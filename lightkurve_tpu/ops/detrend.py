@@ -1,0 +1,137 @@
+"""Savitzky-Golay flatten as a single fixed-shape device computation.
+
+Re-implements the full semantics of the reference's ``LightCurve.flatten``
+(``lightcurve.py:943-1078``) — NaN/user masking, gap segmentation at
+``dt > break_tolerance * median(dt)``, per-segment SG filtering with the
+short-segment median fallback, the iterative sigma-clip loop, and the final
+linear interp/extrapolation of the trend over all cadences — as one jittable
+function over fixed shapes.  The reference's row *compaction* (it filters
+``flux[mask]`` before filtering) is reproduced on device with a stable
+argsort-based compaction, so results match the numpy/scipy path bit-for-bit
+in float64 (tested in ``tests/test_detrend.py``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .masked import masked_median, masked_std
+from .savgol import savgol_filter_interp
+from .interp import interp_linear_extrap
+
+__all__ = ["flatten", "flatten_batch"]
+
+
+def _compact(valid):
+    """Stable permutation placing valid entries first, in original order."""
+    return jnp.argsort(~valid, stable=True)
+
+
+def _segment_bounds(brk, n):
+    """Per-position [lo, hi) bounds given break flags (brk[i] = new segment
+    starts at i).  Positions are compacted indices."""
+    idx = jnp.arange(n)
+    lo = jax.lax.cummax(jnp.where(brk, idx, 0))
+    # hi: nearest break strictly after i (default n)
+    nxt = jnp.where(brk, idx, n)
+    hi = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
+    # shift: hi_i must ignore a break at i itself
+    hi = jnp.concatenate([hi[1:], jnp.array([n])])
+    return lo, hi
+
+
+@partial(jax.jit, static_argnames=("niters", "max_segments"))
+def flatten(time, flux, valid, H, break_tolerance, sigma,
+            niters=3, max_segments=16):
+    """Compute the SG trend of one (masked, padded) light curve.
+
+    Parameters
+    ----------
+    time, flux : (n,) arrays.  Padded tail entries must be finite and the
+        valid prefix of ``time`` (after compaction) sorted ascending.
+    valid : (n,) bool — True where the sample participates in the fit (the
+        caller combines the user mask, finiteness, and the initial global
+        sigma cut, per ``lightcurve.py:997-1010``).
+    H : (w, w) SG projection matrix (``savgol_design_matrix``).
+    break_tolerance : float; pass NaN to disable gap splitting (reference
+        converts None to NaN, ``lightcurve.py:1015-1016``).
+    sigma : clip threshold.
+    niters : static int — sigma-clip iterations.
+    max_segments : static int — cap on gap segments tracked for the
+        short-segment median fallback.
+
+    Returns
+    -------
+    trend : (n,) trend evaluated at every input time (via linear
+        interp/extrapolation over clipped points).
+    valid_out : (n,) the post-clipping mask.
+    """
+    n = time.shape[0]
+    w = H.shape[0]
+    idx = jnp.arange(n)
+
+    def one_iter(valid):
+        order = _compact(valid)
+        m = jnp.sum(valid)
+        ct = time[order]
+        cf = flux[order]
+
+        # gap detection over compacted times (lightcurve.py:1022-1027)
+        dt = jnp.diff(ct, append=ct[-1:])          # dt[i] = ct[i+1]-ct[i]
+        dt_valid = idx < (m - 1)
+        med_dt = masked_median(dt, dt_valid)
+        is_gap = dt > (break_tolerance * med_dt)   # NaN tol → all False
+        brk = jnp.concatenate([jnp.array([True]), is_gap[:-1]])
+        brk = brk | (idx >= m)                     # padding: isolated segs
+        lo, hi = _segment_bounds(brk, n)
+        hi = jnp.minimum(hi, m)                    # segments end at padding
+        seglen = hi - lo
+
+        # SG trend with anchored windows inside each segment
+        trend_c = savgol_filter_interp(cf, H, lo, hi)
+
+        # short-segment median fallback (lightcurve.py:1035-1038)
+        seg_id = jnp.clip(jnp.cumsum(brk) - 1, 0, max_segments - 1)
+        seg_masks = (seg_id[None, :] == jnp.arange(max_segments)[:, None]) \
+            & (idx[None, :] < m)
+        seg_med = masked_median(jnp.broadcast_to(cf, (max_segments, n)),
+                                seg_masks)
+        short = (w > seglen) | (seglen < break_tolerance)
+        trend_c = jnp.where(short, seg_med[seg_id], trend_c)
+
+        # clip outliers vs the trend (lightcurve.py:1049-1056)
+        resid = cf - trend_c
+        std = masked_std(resid, idx < m)
+        keep = jnp.abs(resid) < (std * sigma + 1e-14)
+        keep = keep & (idx < m)
+
+        # interpolate trend through kept points onto ALL times
+        order2 = _compact(keep)
+        m2 = jnp.sum(keep)
+        xp = ct[order2]
+        fp = trend_c[order2]
+        trend_full = interp_linear_extrap(time, xp, fp, m2)
+
+        valid_new = jnp.zeros_like(valid).at[order].set(keep)
+        return valid_new, trend_full
+
+    def body(_, carry):
+        valid, _ = carry
+        return one_iter(valid)
+
+    valid0, trend0 = one_iter(valid)
+    if niters > 1:
+        valid_f, trend_f = jax.lax.fori_loop(1, niters, body, (valid0, trend0))
+    else:
+        valid_f, trend_f = valid0, trend0
+    return trend_f, valid_f
+
+
+def flatten_batch(time, flux, valid, H, break_tolerance, sigma,
+                  niters=3, max_segments=16):
+    """vmapped :func:`flatten` over a leading batch axis."""
+    fn = partial(flatten, niters=niters, max_segments=max_segments)
+    return jax.vmap(lambda t, f, v: fn(t, f, v, H, break_tolerance, sigma))(
+        time, flux, valid)

@@ -1,0 +1,108 @@
+"""Interpolation kernels: linear-with-extrapolation and PCHIP.
+
+Replaces the reference's ``scipy.interpolate.interp1d(..,
+fill_value="extrapolate")`` (used to spread the flatten trend back over
+masked cadences, ``lightcurve.py:1053-1058``) and
+``scipy.interpolate.PchipInterpolator`` (CBV alignment,
+``cbvcorrector.py:1309``) with pure-JAX equivalents over fixed shapes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["interp_linear_extrap", "pchip_interpolate", "pchip_slopes"]
+
+
+def interp_linear_extrap(x, xp, fp, n_valid=None):
+    """Piecewise-linear interpolation with linear extrapolation at both ends.
+
+    Matches ``scipy.interpolate.interp1d(xp, fp, fill_value="extrapolate")``.
+
+    Parameters
+    ----------
+    x : (..., m) query points.
+    xp : (..., n) sorted sample positions (may contain padding past
+        ``n_valid``; padded entries are ignored).
+    fp : (..., n) sample values.
+    n_valid : scalar or (...,) int — number of valid leading entries of
+        ``xp``/``fp``; defaults to all.
+    """
+    n = xp.shape[-1]
+    if n_valid is None:
+        n_valid = n
+    n_valid = jnp.asarray(n_valid)
+    # Push padded xp entries to +inf so searchsorted ignores them.
+    valid = jnp.arange(n) < n_valid[..., None]
+    xp_s = jnp.where(valid, xp, jnp.inf)
+
+    idx = jnp.searchsorted(xp_s, x, side="left")
+    # use segment [idx-1, idx], clamped into the valid range [0, n_valid-1]
+    hi = jnp.clip(idx, 1, jnp.maximum(n_valid[..., None], 2) - 1)
+    lo = hi - 1
+    x_lo = jnp.take_along_axis(xp, lo, axis=-1)
+    x_hi = jnp.take_along_axis(xp, hi, axis=-1)
+    f_lo = jnp.take_along_axis(fp, lo, axis=-1)
+    f_hi = jnp.take_along_axis(fp, hi, axis=-1)
+    denom = x_hi - x_lo
+    slope = jnp.where(denom != 0, (f_hi - f_lo) / jnp.where(denom == 0, 1, denom), 0.0)
+    return f_lo + slope * (x - x_lo)
+
+
+def pchip_slopes(x, y):
+    """Derivatives of the PCHIP (Fritsch-Carlson) monotone cubic interpolant.
+
+    Matches scipy's ``PchipInterpolator`` slope rules, including the
+    one-sided three-point edge formula with monotonicity clamping.
+    ``x`` must be strictly increasing, fully valid, length >= 2.
+    """
+    h = jnp.diff(x, axis=-1)                       # (n-1,)
+    delta = jnp.diff(y, axis=-1) / h               # (n-1,)
+
+    # interior slopes: weighted harmonic mean where deltas share sign
+    h0, h1 = h[..., :-1], h[..., 1:]
+    d0, d1 = delta[..., :-1], delta[..., 1:]
+    w1 = 2 * h1 + h0
+    w2 = h1 + 2 * h0
+    same_sign = (d0 * d1) > 0
+    denom = jnp.where(same_sign, w1 / jnp.where(d0 == 0, 1, d0)
+                      + w2 / jnp.where(d1 == 0, 1, d1), 1.0)
+    interior = jnp.where(same_sign, (w1 + w2) / denom, 0.0)
+
+    def _edge(h0, h1, d0, d1):
+        # scipy's _edge_case: one-sided three-point estimate
+        d = ((2 * h0 + h1) * d0 - h0 * d1) / (h0 + h1)
+        mask0 = jnp.sign(d) != jnp.sign(d0)
+        mask1 = (jnp.sign(d0) != jnp.sign(d1)) & (jnp.abs(d) > 3 * jnp.abs(d0))
+        d = jnp.where(mask0, 0.0, d)
+        return jnp.where(mask1 & ~mask0, 3 * d0, d)
+
+    if x.shape[-1] == 2:
+        left = delta[..., 0]
+        right = delta[..., -1]
+    else:
+        left = _edge(h[..., 0], h[..., 1], delta[..., 0], delta[..., 1])
+        right = _edge(h[..., -1], h[..., -2], delta[..., -1], delta[..., -2])
+    return jnp.concatenate([left[..., None], interior, right[..., None]], axis=-1)
+
+
+def pchip_interpolate(xq, x, y, extrapolate=True):
+    """Evaluate the PCHIP interpolant of (x, y) at query points ``xq``."""
+    d = pchip_slopes(x, y)
+    n = x.shape[-1]
+    idx = jnp.clip(jnp.searchsorted(x, xq, side="right") - 1, 0, n - 2)
+    x0 = jnp.take_along_axis(x, idx, axis=-1)
+    x1 = jnp.take_along_axis(x, idx + 1, axis=-1)
+    y0 = jnp.take_along_axis(y, idx, axis=-1)
+    y1 = jnp.take_along_axis(y, idx + 1, axis=-1)
+    d0 = jnp.take_along_axis(d, idx, axis=-1)
+    d1 = jnp.take_along_axis(d, idx + 1, axis=-1)
+    h = x1 - x0
+    t = (xq - x0) / h
+    h00 = (1 + 2 * t) * (1 - t) ** 2
+    h10 = t * (1 - t) ** 2
+    h01 = t * t * (3 - 2 * t)
+    h11 = t * t * (t - 1)
+    out = h00 * y0 + h10 * h * d0 + h01 * y1 + h11 * h * d1
+    if not extrapolate:
+        out = jnp.where((xq < x[..., :1]) | (xq > x[..., -1:]), jnp.nan, out)
+    return out

@@ -1,0 +1,276 @@
+"""Lomb-Scargle periodogram engines (direct + Press-Rybicki fast).
+
+Re-implements, from the published algorithms, the two astropy backends the
+reference dispatches between (``periodogram.py:917-967``):
+
+- :func:`lombscargle_direct` — the exact O(N·P) generalized (floating-mean)
+  Lomb-Scargle of Zechmeister & Kühr (2009), matching astropy's ``slow``
+  method.  Frequency axis is processed in static chunks so the working set
+  stays in VMEM; the heavy sums are matmul-shaped for the MXU.
+
+- :func:`lombscargle_fast` — the O(N log N) Press & Rybicki (1989)
+  extirpolation + FFT method, matching astropy's ``fast`` method (including
+  its ``Mfft``-order Lagrange extirpolation and default oversampling=5).
+  Phase factors that need float64 (absolute times × frequencies) are
+  precomputed on the host; the device computation is pure scatter-add + FFT
+  and is safe in float32.
+
+Normalizations: 'standard', 'model', 'log', 'psd' with astropy semantics
+(psd: power × 0.5·Σ(1/σ²); the reference then rescales to its own psd /
+amplitude units at ``periodogram.py:969-975``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from math import factorial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["lombscargle_direct", "lombscargle_fast", "extirpolate",
+           "trig_sum", "fast_precompute"]
+
+
+def _apply_normalization(power, YY, normalization, wsum):
+    if normalization == "standard":
+        return power / YY
+    if normalization == "model":
+        return power / (YY - power)
+    if normalization == "log":
+        return -jnp.log1p(-power / YY)
+    if normalization == "psd":
+        return power * 0.5 * wsum
+    raise ValueError(f"Unknown normalization {normalization!r}")
+
+
+@partial(jax.jit, static_argnames=("normalization", "fit_mean", "center_data",
+                                   "chunk"))
+def lombscargle_direct(t, y, freqs, dy=None, normalization="standard",
+                       fit_mean=True, center_data=True, chunk=512):
+    """Exact generalized Lomb-Scargle power at arbitrary frequencies.
+
+    Parameters
+    ----------
+    t, y : (n,) arrays (broadcastable leading batch dims on ``y``).
+    freqs : (p,) frequencies (cycles / unit time).
+    dy : optional (n,) uncertainties; None → uniform weights.  Padded
+        samples can be masked by setting ``dy = inf`` (weight 0).
+    chunk : static frequency-chunk size.
+    """
+    t = jnp.asarray(t)
+    y = jnp.asarray(y)
+    if dy is None:
+        w = jnp.ones_like(t)
+    else:
+        w = 1.0 / jnp.square(jnp.asarray(dy))
+    wsum = jnp.sum(w)
+    wn = w / wsum
+    if fit_mean or center_data:
+        y = y - jnp.sum(wn * y, axis=-1, keepdims=True)
+
+    p = freqs.shape[0]
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    fpad = jnp.pad(freqs, (0, pad), constant_values=1.0)
+    fchunks = fpad.reshape(n_chunks, chunk)
+
+    YY = jnp.sum(wn * y * y, axis=-1)
+
+    def one_chunk(f):
+        omega_t = 2.0 * jnp.pi * f[:, None] * t[None, :]      # (c, n)
+        sin = jnp.sin(omega_t)
+        cos = jnp.cos(omega_t)
+        S2 = 2.0 * ((sin * cos) @ wn)
+        C2 = 2.0 * ((0.5 - sin * sin) @ wn)
+        if fit_mean:
+            S = sin @ wn
+            C = cos @ wn
+            S2 = S2 - 2.0 * S * C
+            C2 = C2 - (C * C - S * S)
+        norm = jnp.sqrt(1.0 + (S2 / C2) ** 2)
+        C2w = 1.0 / norm
+        S2w = (S2 / C2) / norm
+        Cw = jnp.sqrt(0.5 + 0.5 * C2w)
+        Sw = jnp.sqrt(0.5) * jnp.sign(S2w) * jnp.sqrt(1.0 - C2w)
+        cos_tau = cos * Cw[:, None] + sin * Sw[:, None]        # (c, n)
+        sin_tau = sin * Cw[:, None] - cos * Sw[:, None]
+        CC = (cos_tau * cos_tau) @ wn
+        SS = (sin_tau * sin_tau) @ wn
+        if fit_mean:
+            CC = CC - (cos_tau @ wn) ** 2
+            SS = SS - (sin_tau @ wn) ** 2
+        # batched data sums ride the MXU: (..., n) @ (n, c)
+        YC = (y * wn) @ cos_tau.T
+        YS = (y * wn) @ sin_tau.T
+        return YC * YC / CC + YS * YS / SS                     # (..., c)
+
+    powers = jax.lax.map(one_chunk, fchunks)                   # (nc, ..., c)
+    powers = jnp.moveaxis(powers, 0, -2).reshape(y.shape[:-1] + (-1,))[..., :p]
+    return _apply_normalization(powers, YY[..., None], normalization, wsum)
+
+
+def _bitceil(n):
+    return 1 << (int(n) - 1).bit_length()
+
+
+def extirpolate(xi, frac, y, N, M=4):
+    """Press & Rybicki Lagrange extirpolation onto a length-``N`` grid.
+
+    The sample position is ``x = xi + frac`` with ``xi = floor(x)`` int32 and
+    ``frac`` in [0, 1) (split on the host for float32 safety).  ``y`` is a
+    real array (complex payloads are handled by calling this twice — the
+    target backend has no complex support).  ``frac == 0`` samples are
+    deposited exactly at ``xi``.
+    """
+    is_int = frac == 0
+    result_shape = y.shape[:-1] + (N,)
+    result = jnp.zeros(result_shape, dtype=y.dtype)
+    # exact hits
+    result = result.at[..., jnp.where(is_int, xi, 0)].add(
+        jnp.where(is_int, y, 0))
+    # Lagrange spread of the rest over M neighbours
+    y_f = jnp.where(is_int, 0, y)
+    frac_f = jnp.where(is_int, 0.5, frac)
+    ilo = jnp.clip(xi - M // 2, 0, N - M)
+    # numerator = y * prod_j (x - (ilo + j))
+    offs = (xi - ilo)[..., None] + frac_f[..., None] - jnp.arange(M)  # (n, M)
+    numerator = y_f * jnp.prod(offs, axis=-1)
+    denominator = float(factorial(M - 1))
+    for j in range(M):
+        if j > 0:
+            denominator *= j / (j - M)
+        ind = ilo + (M - 1 - j)
+        val = numerator / (denominator * ((xi - ind) + frac_f))
+        result = result.at[..., ind].add(val)
+    return result
+
+
+def fast_precompute(t, f0, df, Nf, oversampling=5, Mfft=4):
+    """Host-side float64 set-up for :func:`lombscargle_fast`.
+
+    Returns a dict of device-ready arrays: grid bin splits (int + frac) and
+    the two unit-modulus phase-correction arrays that require float64.
+    """
+    t = np.asarray(t, dtype=np.float64)
+    Nfft = _bitceil(Nf * oversampling)
+    t0 = t.min()
+    tnorm = ((t - t0) * Nfft * df) % Nfft
+    xi = np.floor(tnorm)
+    frac = tnorm - xi
+    # unit-modulus phase corrections, split to (cos, sin) — the device path
+    # is pure real arithmetic (no complex dtype support on the TPU tunnel)
+    f = f0 + df * np.arange(Nf)
+    ang_h = 2 * np.pi * ((f0 * (t - t0)) % 1.0)
+    ang_f = 2 * np.pi * ((t0 * f) % 1.0)
+    return dict(
+        xi=xi.astype(np.int32), frac=frac, Nfft=Nfft,
+        ph_hr=np.cos(ang_h), ph_hi=np.sin(ang_h),
+        ph_fr=np.cos(ang_f), ph_fi=np.sin(ang_f),
+    )
+
+
+@partial(jax.jit, static_argnames=("Nf", "Nfft", "Mfft"))
+def _trig_sum_device(xi, frac, h, ph_hr, ph_hi, ph_fr, ph_fi, Nf, Nfft, Mfft):
+    """S, C = Σ h sin/cos(2π f t) on the regular grid, via split-real ifft."""
+    from .fft import ifft_pair
+    hr = h * ph_hr
+    hi = h * ph_hi
+    gr = extirpolate(xi, frac.astype(h.dtype), hr, Nfft, Mfft)
+    gi = extirpolate(xi, frac.astype(h.dtype), hi, Nfft, Mfft)
+    fr, fi = ifft_pair(gr, gi)
+    fr, fi = fr[..., :Nf], fi[..., :Nf]
+    out_r = fr * ph_fr - fi * ph_fi
+    out_i = fr * ph_fi + fi * ph_fr
+    return Nfft * out_i, Nfft * out_r          # (S, C)
+
+
+def trig_sum(t, h, df, Nf, f0=0.0, freq_factor=1, oversampling=5, Mfft=4):
+    """Host-orchestrated trig sum (precompute f64 on host, FFT on device)."""
+    pre = fast_precompute(np.asarray(t), f0 * freq_factor, df * freq_factor,
+                          Nf, oversampling, Mfft)
+    h = jnp.asarray(h)
+    return _trig_sum_device(pre["xi"], jnp.asarray(pre["frac"]), h,
+                            jnp.asarray(pre["ph_hr"], h.dtype),
+                            jnp.asarray(pre["ph_hi"], h.dtype),
+                            jnp.asarray(pre["ph_fr"], h.dtype),
+                            jnp.asarray(pre["ph_fi"], h.dtype),
+                            Nf, pre["Nfft"], Mfft)
+
+
+@partial(jax.jit, static_argnames=("Nf", "Nfft1", "Nfft2", "Mfft",
+                                   "normalization", "fit_mean", "center_data"))
+def _ls_fast_device(y, w, pre1, pre2, Nf, Nfft1, Nfft2, Mfft, normalization,
+                    fit_mean, center_data):
+    def tsum(pre, h, Nfft):
+        return _trig_sum_device(pre["xi"], pre["frac"], h, pre["ph_hr"],
+                                pre["ph_hi"], pre["ph_fr"], pre["ph_fi"],
+                                Nf, Nfft, Mfft)
+
+    ws = jnp.sum(w, axis=-1, keepdims=True)
+    if center_data or fit_mean:
+        y = y - jnp.sum(w * y, axis=-1, keepdims=True) / ws
+    Sh, Ch = tsum(pre1, w * y, Nfft1)
+    S2, C2 = tsum(pre2, w, Nfft2)
+    if fit_mean:
+        S, C = tsum(pre1, w, Nfft1)
+        tan_2omega_tau = (S2 - 2 * S * C / ws) / (C2 - (C * C - S * S) / ws)
+    else:
+        S = C = None
+        tan_2omega_tau = S2 / C2
+    norm = jnp.sqrt(1 + tan_2omega_tau * tan_2omega_tau)
+    C2w = 1.0 / norm
+    S2w = tan_2omega_tau / norm
+    Cw = jnp.sqrt(0.5) * jnp.sqrt(1 + C2w)
+    Sw = jnp.sqrt(0.5) * jnp.sign(S2w) * jnp.sqrt(1 - C2w)
+    YY = jnp.sum(w * y * y, axis=-1, keepdims=True)
+    YC = Ch * Cw + Sh * Sw
+    YS = Sh * Cw - Ch * Sw
+    CC = 0.5 * (ws + C2 * C2w + S2 * S2w)
+    SS = 0.5 * (ws - C2 * C2w - S2 * S2w)
+    if fit_mean:
+        CC = CC - (C * Cw + S * Sw) ** 2 / ws
+        SS = SS - (S * Cw - C * Sw) ** 2 / ws
+    power = YC * YC / CC + YS * YS / SS
+    if normalization == "standard":
+        return power / YY
+    if normalization == "model":
+        return power / (YY - power)
+    if normalization == "log":
+        return -jnp.log1p(-power / YY)
+    if normalization == "psd":
+        return power * 0.5
+    raise ValueError(f"Unknown normalization {normalization!r}")
+
+
+def lombscargle_fast(t, y, f0, df, Nf, dy=None, normalization="standard",
+                     fit_mean=True, center_data=True, oversampling=5, Mfft=4):
+    """Press-Rybicki fast Lomb-Scargle on the regular grid f0 + df·[0, Nf).
+
+    ``y`` may carry leading batch axes sharing the same ``t`` — the batched
+    FFTs then run as one device call (the TPU hot path for multi-target
+    searches).  Accuracy vs :func:`lombscargle_direct` is set by
+    ``oversampling``/``Mfft`` exactly as in astropy's 'fast' method.
+    """
+    t = np.asarray(t)
+    y = jnp.asarray(y)
+    if dy is None:
+        w = jnp.ones(y.shape, dtype=y.dtype)
+    else:
+        w = 1.0 / jnp.square(jnp.asarray(dy))
+        w = jnp.broadcast_to(w, y.shape)
+    def dev(pre):
+        return dict(
+            xi=jnp.asarray(pre["xi"]),
+            frac=jnp.asarray(pre["frac"], dtype=y.dtype),
+            ph_hr=jnp.asarray(pre["ph_hr"], dtype=y.dtype),
+            ph_hi=jnp.asarray(pre["ph_hi"], dtype=y.dtype),
+            ph_fr=jnp.asarray(pre["ph_fr"], dtype=y.dtype),
+            ph_fi=jnp.asarray(pre["ph_fi"], dtype=y.dtype),
+        )
+
+    pre1 = fast_precompute(t, f0, df, Nf, oversampling, Mfft)
+    pre2 = fast_precompute(t, 2 * f0, 2 * df, Nf, oversampling, Mfft)
+    return _ls_fast_device(y, w, dev(pre1), dev(pre2), Nf,
+                           pre1["Nfft"], pre2["Nfft"], Mfft, normalization,
+                           fit_mean, center_data)

@@ -1,0 +1,311 @@
+"""Host-side utilities: quality-flag bitmasks, validation, warnings.
+
+Re-implements (from scratch, astropy-free) the behavior of the reference's
+``src/lightkurve/utils.py``: the Kepler/TESS QUALITY bitmask vocabularies
+(public mission facts from the Kepler Archive Manual Table 2.3 and the TESS
+DPDD Table 28; cf. reference ``utils.py:134-292``), ``create_quality_mask``
+(``utils.py:79-130``), ``validate_method`` (``utils.py:577``),
+``running_mean`` (``utils.py:374``) and ``centroid_quadratic``
+(``utils.py:601-703``).  Batched/TPU variants of the numeric helpers live in
+``lightkurve_tpu.ops``.
+"""
+from __future__ import annotations
+
+import logging
+import warnings
+
+import numpy as np
+
+from .units import Quantity
+
+log = logging.getLogger(__name__)
+
+__all__ = [
+    "LightkurveError",
+    "LightkurveWarning",
+    "LightkurveDeprecationWarning",
+    "QualityFlags",
+    "KeplerQualityFlags",
+    "TessQualityFlags",
+    "validate_method",
+    "running_mean",
+    "centroid_quadratic",
+    "channel_to_module_output",
+    "module_output_to_channel",
+]
+
+
+class LightkurveError(Exception):
+    """Class for all lightkurve_tpu exceptions."""
+
+
+class LightkurveWarning(Warning):
+    """Class for all lightkurve_tpu warnings."""
+
+
+class LightkurveDeprecationWarning(LightkurveWarning):
+    """Warning for deprecated features."""
+
+
+def _strip_quantity(x):
+    if isinstance(x, Quantity):
+        return x.value
+    return np.asarray(x)
+
+
+class QualityFlags:
+    """Base class for mission QUALITY bitmask vocabularies."""
+
+    STRINGS: dict = {}
+    OPTIONS: dict = {}
+
+    @classmethod
+    def decode(cls, quality):
+        """Convert a QUALITY integer into a list of human-readable strings."""
+        quality = int(_strip_quantity(quality))
+        return [v for k, v in cls.STRINGS.items() if quality & k]
+
+    @classmethod
+    def create_quality_mask(cls, quality_array, bitmask=None):
+        """Boolean array flagging GOOD cadences given a bitmask.
+
+        ``bitmask`` may be an int or one of 'none'/'default'/'hard'/'hardest'.
+        Matches reference ``utils.py:79-130`` including the >20%-masked
+        warning.
+        """
+        quality_array = _strip_quantity(quality_array).astype(np.int64)
+        if bitmask is None:
+            return np.ones(len(quality_array), dtype=bool)
+        if isinstance(bitmask, str):
+            try:
+                bitmask = cls.OPTIONS[bitmask]
+            except KeyError:
+                raise ValueError(
+                    f"quality_bitmask='{bitmask}' is not supported, expected "
+                    f"one of {tuple(cls.OPTIONS.keys())}")
+        mask = (quality_array & bitmask) == 0
+        n = len(quality_array)
+        n_masked = int((~mask).sum())
+        pct = 100.0 * n_masked / max(n, 1)
+        msg = (f"{pct:.0f}% ({n_masked}/{n}) of the cadences will be ignored "
+               f"due to the quality mask (quality_bitmask={bitmask}).")
+        if pct > 20:
+            log.warning("Warning: " + msg)
+        else:
+            log.info(msg)
+        return mask
+
+
+class KeplerQualityFlags(QualityFlags):
+    """Kepler QUALITY bitmask flags (Kepler Archive Manual, Table 2.3)."""
+
+    AttitudeTweak = 1
+    SafeMode = 2
+    CoarsePoint = 4
+    EarthPoint = 8
+    ZeroCrossing = 16
+    Desat = 32
+    Argabrightening = 64
+    ApertureCosmic = 128
+    ManualExclude = 256
+    SensitivityDropout = 1024
+    ImpulsiveOutlier = 2048
+    ArgabrighteningOnCCD = 4096
+    CollateralCosmic = 8192
+    DetectorAnomaly = 16384
+    NoFinePoint = 32768
+    NoData = 65536
+    RollingBandInAperture = 131072
+    RollingBandInMask = 262144
+    PossibleThrusterFiring = 524288
+    ThrusterFiring = 1048576
+
+    DEFAULT_BITMASK = (AttitudeTweak | SafeMode | CoarsePoint | EarthPoint
+                       | Desat | ManualExclude | DetectorAnomaly | NoData
+                       | ThrusterFiring)
+    HARD_BITMASK = (DEFAULT_BITMASK | SensitivityDropout | ApertureCosmic
+                    | CollateralCosmic | PossibleThrusterFiring)
+    HARDEST_BITMASK = 2096639
+
+    OPTIONS = {"none": 0, "default": DEFAULT_BITMASK, "hard": HARD_BITMASK,
+               "hardest": HARDEST_BITMASK}
+
+    STRINGS = {
+        1: "Attitude tweak",
+        2: "Safe mode",
+        4: "Coarse point",
+        8: "Earth point",
+        16: "Zero crossing",
+        32: "Desaturation event",
+        64: "Argabrightening",
+        128: "Cosmic ray in optimal aperture",
+        256: "Manual exclude",
+        1024: "Sudden sensitivity dropout",
+        2048: "Impulsive outlier",
+        4096: "Argabrightening on CCD",
+        8192: "Cosmic ray in collateral data",
+        16384: "Detector anomaly",
+        32768: "No fine point",
+        65536: "No data",
+        131072: "Rolling band in optimal aperture",
+        262144: "Rolling band in full mask",
+        524288: "Possible thruster firing",
+        1048576: "Thruster firing",
+    }
+
+
+class TessQualityFlags(QualityFlags):
+    """TESS QUALITY bitmask flags (TESS DPDD EXP-TESS-ARC-ICD-0014, Tab. 28)."""
+
+    AttitudeTweak = 1
+    SafeMode = 2
+    CoarsePoint = 4
+    EarthPoint = 8
+    Argabrightening = 16
+    Desat = 32
+    ApertureCosmic = 64
+    ManualExclude = 128
+    Discontinuity = 256
+    ImpulsiveOutlier = 512
+    CollateralCosmic = 1024
+    Straylight = 2048
+    Straylight2 = 4096
+    PlanetSearchExclude = 8192
+    BadCalibrationExclude = 16384
+    InsufficientTargets = 32768
+
+    DEFAULT_BITMASK = (AttitudeTweak | SafeMode | CoarsePoint | EarthPoint
+                       | Argabrightening | Desat | ManualExclude
+                       | ImpulsiveOutlier | BadCalibrationExclude)
+    HARD_BITMASK = (DEFAULT_BITMASK | ApertureCosmic | CollateralCosmic
+                    | Straylight | Straylight2)
+    HARDEST_BITMASK = 65535
+
+    OPTIONS = {"none": 0, "default": DEFAULT_BITMASK, "hard": HARD_BITMASK,
+               "hardest": HARDEST_BITMASK}
+
+    STRINGS = {
+        1: "Attitude tweak",
+        2: "Safe mode",
+        4: "Coarse point",
+        8: "Earth point",
+        16: "Argabrightening",
+        32: "Desaturation event",
+        64: "Cosmic ray in optimal aperture",
+        128: "Manual exclude",
+        256: "Discontinuity corrected",
+        512: "Impulsive outlier",
+        1024: "Cosmic ray in collateral data",
+        2048: "Straylight",
+        4096: "Straylight2",
+        8192: "Planet Search Exclude",
+        16384: "Bad Calibration Exclude",
+        32768: "Insufficient Targets for Error Correction Exclude",
+    }
+
+
+def validate_method(method, supported_methods):
+    """Lower-case ``method`` and raise ValueError if unsupported."""
+    method = method.lower()
+    if method in supported_methods:
+        return method
+    raise ValueError(f"method '{method}' is not supported; must be one of "
+                     f"{supported_methods}")
+
+
+def running_mean(data, window_size):
+    """Moving average via cumulative sums (reference ``utils.py:374-387``)."""
+    data = np.asarray(data, dtype=float)
+    window_size = min(int(window_size), len(data))
+    csum = np.cumsum(np.insert(data, 0, 0.0))
+    return (csum[window_size:] - csum[:-window_size]) / float(window_size)
+
+
+# Pre-computed pseudo-inverse of the 3x3-patch quadratic design matrix
+# P(x, y) = a + b x + c y + d x^2 + e x y + f y^2 sampled on the integer grid
+# x, y in {-1, 0, 1} (Vakili & Hogg 2016, eqns 20-21).
+def _quadratic_pinv():
+    xs, ys = np.meshgrid([-1, 0, 1], [-1, 0, 1])
+    x = xs.ravel()
+    y = ys.ravel()
+    A = np.stack([np.ones(9), x, y, x**2, x * y, y**2], axis=1)
+    return np.linalg.pinv(A)
+
+
+_QUAD_PINV = _quadratic_pinv()
+
+
+def centroid_quadratic(data, mask=None):
+    """Quadratic (Vakili & Hogg 2016) sub-pixel centroid of a 2D image.
+
+    Fits P(x,y) = a + bx + cy + dx² + exy + fy² to the 3×3 patch centred on
+    the brightest (unmasked) pixel and returns the (column, row) of the
+    analytic maximum; (nan, nan) if degenerate.  Mirrors reference
+    ``utils.py:601-703``.  ``mask`` is True where pixels are USED.
+    """
+    data = _strip_quantity(data).astype(float)
+    if mask is not None:
+        data = data.copy()
+        data[~np.asarray(mask, dtype=bool)] = np.nan
+    if not np.isfinite(data).any():
+        return np.nan, np.nan
+    yy, xx = np.unravel_index(np.nanargmax(data), data.shape)
+    yy = min(max(yy, 1), data.shape[0] - 2)
+    xx = min(max(xx, 1), data.shape[1] - 2)
+
+    patch = data[yy - 1: yy + 2, xx - 1: xx + 2]
+    if np.any(np.isnan(patch)):
+        patch = patch.copy()
+        patch[np.isnan(patch)] = np.nanmean(patch)
+
+    a, b, c, d, e, f = _QUAD_PINV @ patch.ravel()
+    det = 4 * d * f - e ** 2
+    if abs(det) < 1e-6:
+        return np.nan, np.nan
+    xm = -(2 * f * b - c * e) / det
+    ym = -(2 * d * c - b * e) / det
+    return xx + xm, yy + ym
+
+
+# --- Kepler focal-plane geometry (public mission facts) --------------------
+# CCD channels 1-84 map onto 21 science modules (2-24, skipping the 4 corner
+# FGS modules 1, 5, 21, 25), 4 outputs per module, in channel order.
+_KEPLER_MODULES = [m for m in range(2, 25) if m not in (5, 21)]
+# Modules 5-24 region: actual list is 2,3,4,6..20,22,23,24
+_KEPLER_MODULES = [2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+                   19, 20, 22, 23, 24]
+
+
+def channel_to_module_output(channel):
+    """Return (module, output) for a Kepler CCD channel number 1-84."""
+    channel = int(channel)
+    if channel < 1 or channel > 84:
+        raise ValueError("Channel number must be in the range 1-84.")
+    idx = channel - 1
+    module = _KEPLER_MODULES[idx // 4]
+    output = idx % 4 + 1
+    return module, output
+
+
+def module_output_to_channel(module, output):
+    """Return the Kepler CCD channel for a (module, output) pair."""
+    module, output = int(module), int(output)
+    if module not in _KEPLER_MODULES:
+        raise ValueError(f"Module {module} is not a science module.")
+    if output < 1 or output > 4:
+        raise ValueError("Output must be in the range 1-4.")
+    return _KEPLER_MODULES.index(module) * 4 + output
+
+
+def show_citation_instructions():
+    print("lightkurve_tpu is a TPU-native re-implementation of the "
+          "lightkurve API. Please cite the lightkurve project "
+          "(Lightkurve Collaboration, 2018, ascl:1812.013) and this package.")
+
+
+def finalize_notebook_url(url):  # pragma: no cover - env dependent
+    import os
+    ext = os.environ.get("LK_JUPYTERHUB_EXTERNAL_URL")
+    if ext:
+        return ext.rstrip("/") + "/" + url.lstrip("/")
+    return url
