@@ -1,0 +1,89 @@
+"""End-of-round benchmark: BLS curve-period evaluations per second per chip.
+
+Runs the flagship batched BLS transit search (the reference's hot loop:
+astropy's Cython ``bls.power``, reference ``periodogram.py:1169``) on the
+real TPU and prints ONE JSON line.
+
+``vs_baseline`` is the fraction of the driver-defined north-star rate
+(BASELINE.json: 10^4 TESS curves × 10^5-period grid per minute on a
+v5p-8 → 2.083e6 curve-period evaluations/sec/chip).
+
+Env overrides: LK_BENCH_B, LK_BENCH_N, LK_BENCH_P (batch, cadences,
+periods).
+"""
+import json
+import os
+import sys
+import time as _time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+NORTH_STAR_RATE = 1e4 * 1e5 / 60.0 / 8.0   # curve-period evals /s /chip
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.bls import bls_power
+
+    B = int(os.environ.get("LK_BENCH_B", 4))
+    N = int(os.environ.get("LK_BENCH_N", 8192))
+    P = int(os.environ.get("LK_BENCH_P", 1024))
+    dtype = jnp.float32
+
+    rng = np.random.default_rng(0)
+    t = np.arange(N) * (2.0 / 60 / 24)          # TESS 2-min cadence
+    flux = 1.0 + 2e-4 * rng.standard_normal((B, N))
+    P_true = 3.3
+    ph = np.mod(t - 1.0 + P_true / 2, P_true) - P_true / 2
+    flux[:, np.abs(ph) < 0.06] -= 3e-3
+    periods = np.linspace(1.0, float(t[-1] / 3), P)
+    durations = np.array([0.05, 0.10, 0.15, 0.20, 0.25, 0.33])
+
+    time_d = jnp.asarray(np.broadcast_to(t, (B, N)), dtype)
+    flux_d = jnp.asarray(flux, dtype)
+    dy_d = jnp.asarray(np.full((B, N), 2e-4), dtype)
+    periods_d = jnp.asarray(periods, dtype)
+    durations_d = jnp.asarray(durations, dtype)
+
+    d_phase = float(durations.min()) / 10
+    t0_count = int(np.ceil(periods.max() / d_phase)) + 1
+
+    @jax.jit
+    def step(time, flux, dy):
+        out = jax.vmap(lambda tt, yy, dd: bls_power(
+            tt, yy, dd, periods_d, durations_d, oversample=10, chunk=16,
+            t0_count=t0_count, d_phase=d_phase))(time, flux, dy)
+        return out["power"], out["period"]
+
+    # warmup/compile
+    power, _ = step(time_d, flux_d, dy_d)
+    np.asarray(power)
+    t0 = _time.time()
+    n_rep = 3
+    for _ in range(n_rep):
+        power, periods_out = step(time_d, flux_d, dy_d)
+    np.asarray(power)
+    dt = (_time.time() - t0) / n_rep
+
+    # sanity: recover the injected planet
+    ib = int(np.argmax(np.asarray(power)[0]))
+    rec = periods[ib]
+    ok = abs(rec - P_true) / P_true < 0.05
+
+    rate = B * P / dt
+    print(json.dumps({
+        "metric": "bls_curve_period_evals_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "curve-period/s/chip",
+        "vs_baseline": round(rate / NORTH_STAR_RATE, 5),
+        "detail": {"B": B, "N": N, "P": P, "seconds_per_step": round(dt, 3),
+                   "recovered_period_ok": bool(ok),
+                   "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()

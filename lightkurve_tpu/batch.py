@@ -1,0 +1,267 @@
+"""Batched multi-target containers — the TPU-native pipeline layer.
+
+The reference processes one target at a time (its only concurrency is a
+``multiprocessing`` pool, SURVEY.md §2.3); this module is the new
+first-class batch layer: thousands of light curves packed as fixed-shape
+``(B, N)`` arrays + validity masks, on which every hot operation (flatten,
+Lomb-Scargle, BLS, photometry) runs as ONE vmapped device program, and
+which shards over a device mesh via :mod:`lightkurve_tpu.parallel`.
+
+Variable-length curves are padded to the stack length (bucket-by-length
+padding, SURVEY.md §7 hard part (e)); padded samples carry ``mask=False``
+and weight zero in every kernel.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .lightcurve import LightCurve
+from .time import Time
+from .units import Quantity, dimensionless
+
+__all__ = ["LightCurveStack", "TPFStack"]
+
+
+def _bitceil(n):
+    return 1 << (int(n) - 1).bit_length()
+
+
+@dataclass
+class LightCurveStack:
+    """A fixed-shape stack of light curves: time/flux/flux_err (B, N) + mask.
+
+    All arrays live on device; ``mask`` is True for valid samples.  Padded
+    time entries continue the median cadence so device kernels never see
+    non-finite or non-monotonic times.
+    """
+
+    time: object          # (B, N) device array, float
+    flux: object          # (B, N)
+    flux_err: object      # (B, N)
+    mask: object          # (B, N) bool
+    meta: list = field(default_factory=list)
+    time_format: str = "jd"
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_collection(cls, lcs, length=None, dtype=None, pad_to_pow2=True):
+        import jax
+        import jax.numpy as jnp
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 \
+                else jnp.float32
+        n_max = max(len(lc) for lc in lcs)
+        if length is None:
+            length = _bitceil(n_max) if pad_to_pow2 else n_max
+        B = len(lcs)
+        t = np.zeros((B, length))
+        f = np.zeros((B, length))
+        fe = np.ones((B, length))
+        m = np.zeros((B, length), dtype=bool)
+        metas = []
+        for i, lc in enumerate(lcs):
+            n = len(lc)
+            tv = lc.time.value.astype(np.float64)
+            fv = lc.flux.value.astype(np.float64)
+            fev = lc.flux_err.value.astype(np.float64)
+            t[i, :n] = tv
+            f[i, :n] = np.nan_to_num(fv)
+            fe[i, :n] = np.where(np.isfinite(fev) & (fev > 0), fev, 1.0)
+            m[i, :n] = np.isfinite(fv)
+            # pad times continuing the median cadence (kernel-safe)
+            if n < length and n > 1:
+                dt = np.median(np.diff(tv))
+                t[i, n:] = tv[-1] + dt * np.arange(1, length - n + 1)
+            metas.append(dict(lc.meta))
+        fmt = lcs[0].time.format if len(lcs) else "jd"
+        return cls(time=jnp.asarray(t, dtype), flux=jnp.asarray(f, dtype),
+                   flux_err=jnp.asarray(fe, dtype),
+                   mask=jnp.asarray(m), meta=metas, time_format=fmt)
+
+    @property
+    def shape(self):
+        return self.time.shape
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __getitem__(self, i):
+        """Unpack one member back into a host LightCurve."""
+        m = np.asarray(self.mask[i])
+        lc = LightCurve(
+            time=Time(np.asarray(self.time[i])[m], format=self.time_format),
+            flux=Quantity(np.asarray(self.flux[i])[m], dimensionless),
+            flux_err=Quantity(np.asarray(self.flux_err[i])[m],
+                              dimensionless),
+            meta=self.meta[i] if i < len(self.meta) else {})
+        return lc
+
+    def _replace(self, **kw):
+        d = dict(time=self.time, flux=self.flux, flux_err=self.flux_err,
+                 mask=self.mask, meta=self.meta,
+                 time_format=self.time_format)
+        d.update(kw)
+        return LightCurveStack(**d)
+
+    # ------------------------------------------------------------------
+    # batched operations
+    # ------------------------------------------------------------------
+    def normalize(self):
+        """Divide each curve by its median (batched)."""
+        import jax.numpy as jnp
+        from .ops.masked import masked_median
+        med = masked_median(self.flux, self.mask)[:, None]
+        return self._replace(flux=self.flux / med,
+                             flux_err=self.flux_err / jnp.abs(med))
+
+    def flatten(self, window_length=101, polyorder=2, break_tolerance=5,
+                niters=3, sigma=3, return_trend=False):
+        """Batched SG flatten — one device program over the whole stack."""
+        import jax.numpy as jnp
+        from .ops.detrend import flatten_batch
+        from .ops.savgol import savgol_design_matrix
+        H = savgol_design_matrix(window_length, min(polyorder,
+                                                    window_length - 1))
+        bt = np.nan if break_tolerance is None else float(break_tolerance)
+        trend, valid = flatten_batch(
+            self.time, self.flux, self.mask,
+            jnp.asarray(H, self.flux.dtype),
+            jnp.asarray(bt, self.flux.dtype),
+            jnp.asarray(float(sigma), self.flux.dtype), niters=int(niters))
+        flat = self._replace(flux=self.flux / trend,
+                             flux_err=self.flux_err / trend)
+        if return_trend:
+            return flat, self._replace(flux=trend)
+        return flat
+
+    def remove_outliers(self, sigma=5.0, **kwargs):
+        """Mask (not delete) outliers, batched."""
+        from .ops.stats import sigma_clip_mask
+        out = sigma_clip_mask(self.flux, mask=self.mask, sigma=sigma,
+                              **kwargs)
+        return self._replace(mask=self.mask & ~out)
+
+    def to_periodogram(self, minimum_frequency=None, maximum_frequency=None,
+                       oversample_factor=1.0, normalization="psd",
+                       sharded=False):
+        """Batched fast Lomb-Scargle over a shared frequency grid.
+
+        The grid is derived from the FIRST curve's baseline/cadence (stacks
+        are assumed homogeneous — e.g. one TESS sector).  Returns
+        (frequency (Nf,), power (B, Nf)).
+        """
+        import jax.numpy as jnp
+        from .ops.lombscargle import lombscargle_fast
+        t0 = np.asarray(self.time[0], dtype=np.float64)
+        nyquist = 0.5 / np.median(np.diff(t0))
+        fs = 1.0 / (t0[-1] - t0[0]) / oversample_factor
+        f0 = fs if minimum_frequency is None else float(minimum_frequency)
+        fmax = nyquist if maximum_frequency is None else \
+            float(maximum_frequency)
+        Nf = int((fmax - f0) / fs)
+        # padded samples get zero weight via dy=inf
+        dy = jnp.where(self.mask, self.flux_err,
+                       jnp.asarray(np.inf, self.flux.dtype))
+        power = lombscargle_fast(t0, self.flux, f0, fs, Nf, dy=dy,
+                                 normalization=normalization)
+        freqs = f0 + fs * np.arange(Nf)
+        if normalization == "psd":
+            n = np.asarray(self.mask.sum(axis=1))[:, None]
+            power = np.asarray(power) * 2.0 / (n * oversample_factor * fs)
+        else:
+            power = np.asarray(power)
+        return freqs, power
+
+    def bls_search(self, periods, durations, oversample=10,
+                   objective="likelihood", sharded=False, mesh=None):
+        """Batched BLS over the stack; optionally sharded over a device
+        mesh (targets × period-grid), see ``parallel.sharded_bls``."""
+        import jax
+        import jax.numpy as jnp
+        from .ops.bls import bls_power
+        periods = jnp.asarray(periods, self.flux.dtype)
+        durations = jnp.asarray(durations, self.flux.dtype)
+        dy = jnp.where(self.mask, self.flux_err,
+                       jnp.asarray(np.inf, self.flux.dtype))
+        if sharded:
+            from .parallel import sharded_bls
+            return sharded_bls(self.time, self.flux, dy, periods, durations,
+                               oversample=oversample, objective=objective,
+                               mesh=mesh)
+        fn = jax.vmap(lambda t, y, d: bls_power(
+            t, y, d, periods, durations, oversample=oversample,
+            objective=objective))
+        return fn(self.time, self.flux, dy)
+
+    def estimate_cdpp_batch(self, transit_duration=13, savgol_window=101,
+                            savgol_polyorder=2, sigma=5.0):
+        """Batched sgCDPP (ppm), mirroring ``LightCurve.estimate_cdpp``."""
+        import jax.numpy as jnp
+        from .ops.masked import masked_median, masked_std
+        from .ops.stats import running_mean, sigma_clip_mask
+        flat = self.flatten(window_length=savgol_window,
+                            polyorder=savgol_polyorder)
+        out = sigma_clip_mask(flat.flux, mask=flat.mask, sigma=sigma)
+        m = flat.mask & ~out
+        med = masked_median(flat.flux, m)[:, None]
+        norm = (flat.flux / med - 1.0) * 1e6
+        # zero out invalid samples: running mean then std over valid windows
+        norm = jnp.where(m, norm, 0.0)
+        rm = running_mean(norm, transit_duration)
+        # windows fully inside the valid prefix
+        cnt = running_mean(m.astype(norm.dtype), transit_duration)
+        wmask = cnt > 0.999
+        return np.asarray(masked_std(rm, wmask))
+
+
+@dataclass
+class TPFStack:
+    """A stack of TPF cubes (B, T, H, W) + aperture masks (B, H, W)."""
+
+    flux: object
+    flux_err: object
+    time: object          # (B, T)
+    aperture: object      # (B, H, W) bool
+    meta: list = field(default_factory=list)
+    time_format: str = "btjd"
+
+    @classmethod
+    def from_collection(cls, tpfs, aperture_mask="default", dtype=None):
+        import jax
+        import jax.numpy as jnp
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 \
+                else jnp.float32
+        shapes = {t.shape for t in tpfs}
+        if len(shapes) != 1:
+            raise ValueError("All TPFs in a stack must share one shape; "
+                             f"got {shapes}")
+        flux = np.stack([t.flux.value for t in tpfs])
+        err = np.stack([t.flux_err.value for t in tpfs])
+        time = np.stack([t.time.value for t in tpfs])
+        aps = np.stack([t._parse_aperture_mask(aperture_mask)
+                        for t in tpfs])
+        return cls(flux=jnp.asarray(flux, dtype),
+                   flux_err=jnp.asarray(err, dtype),
+                   time=jnp.asarray(time, dtype),
+                   aperture=jnp.asarray(aps),
+                   meta=[dict(t.meta) for t in tpfs],
+                   time_format=tpfs[0]._time_format)
+
+    def __len__(self):
+        return self.flux.shape[0]
+
+    def extract_aperture_photometry(self):
+        """Batched masked-reduction photometry → LightCurveStack."""
+        import jax.numpy as jnp
+        from .ops.photometry import aperture_photometry_cube
+        flux, flux_err = aperture_photometry_cube(
+            self.flux, self.flux_err, self.aperture)
+        mask = jnp.isfinite(flux)
+        return LightCurveStack(
+            time=self.time, flux=jnp.nan_to_num(flux),
+            flux_err=jnp.where(jnp.isfinite(flux_err), flux_err, 1.0),
+            mask=mask, meta=self.meta, time_format=self.time_format)

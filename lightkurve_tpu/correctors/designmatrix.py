@@ -1,0 +1,387 @@
+"""Design matrices for linear systematics regression.
+
+From-scratch, pandas-free re-design of the reference's
+``correctors/designmatrix.py`` (997 LoC): the matrix is a plain float64
+numpy array plus column names and Gaussian priors, which keeps the
+host→device handoff zero-copy.  The sparse variant is intentionally folded
+into the dense class (TPU kernels are dense; scipy.sparse inputs are
+densified on entry) — sparsity in the reference existed to save CPU RAM,
+which is not the constraint here.
+
+B-spline bases are built with our own Cox-de Boor implementation
+(replacing patsy ``bs()`` at reference ``designmatrix.py:952-997`` and the
+recursive sparse variant at ``:853-949``).
+"""
+from __future__ import annotations
+
+import warnings
+from copy import deepcopy
+
+import numpy as np
+
+from ..units import Quantity
+from ..utils import LightkurveWarning
+
+__all__ = ["DesignMatrix", "DesignMatrixCollection", "SparseDesignMatrix",
+           "SparseDesignMatrixCollection", "create_spline_matrix",
+           "create_sparse_spline_matrix"]
+
+
+def _strip(values):
+    if isinstance(values, Quantity):
+        return np.asarray(values.value, dtype=float)
+    try:
+        import scipy.sparse as sp
+        if sp.issparse(values):
+            return np.asarray(values.todense(), dtype=float)
+    except Exception:
+        pass
+    return np.asarray(values, dtype=float)
+
+
+class DesignMatrix:
+    """A matrix of column regressors with Gaussian coefficient priors
+    (reference ``designmatrix.py:28-355``)."""
+
+    def __init__(self, df, columns=None, name="unnamed_matrix", prior_mu=None,
+                 prior_sigma=None):
+        if isinstance(df, DesignMatrix):
+            values = df.values.copy()
+            if columns is None:
+                columns = list(df.columns)
+        elif isinstance(df, dict):
+            keys = list(df.keys())
+            values = np.column_stack([_strip(df[k]) for k in keys])
+            if columns is None:
+                columns = keys
+        else:
+            try:
+                import pandas as pd
+                if isinstance(df, pd.DataFrame):
+                    if columns is None:
+                        columns = [str(c) for c in df.columns]
+                    df = df.values
+            except Exception:
+                pass
+            values = _strip(df)
+            if values.ndim == 1:
+                values = values[:, None]
+        self.values_ = np.atleast_2d(values)
+        if self.values_.shape[0] == 1 and self.values_.shape[1] > 1 and \
+                np.ndim(df) == 1:
+            self.values_ = self.values_.T
+        self.columns = (list(columns) if columns is not None
+                        else [str(i) for i in range(self.values_.shape[1])])
+        self.name = name
+        k = self.values_.shape[1]
+        if isinstance(prior_mu, Quantity):
+            prior_mu = prior_mu.value
+        if isinstance(prior_sigma, Quantity):
+            prior_sigma = prior_sigma.value
+        self.prior_mu = (np.atleast_1d(prior_mu).astype(float)
+                         if prior_mu is not None else np.zeros(k))
+        self.prior_sigma = (np.atleast_1d(prior_sigma).astype(float)
+                            if prior_sigma is not None
+                            else np.full(k, np.inf))
+
+    # -- core ---------------------------------------------------------------
+    @property
+    def values(self):
+        return self.values_
+
+    @property
+    def X(self):
+        return self.values_
+
+    @property
+    def shape(self):
+        return self.values_.shape
+
+    @property
+    def rank(self):
+        return int(np.linalg.matrix_rank(self.values_))
+
+    def copy(self):
+        return deepcopy(self)
+
+    def __getitem__(self, key):
+        return self.values_[:, self.columns.index(key)]
+
+    def __repr__(self):
+        return f"{self.name} DesignMatrix {self.shape}"
+
+    def _get_prior_sample(self):
+        return np.random.normal(self.prior_mu, self.prior_sigma)
+
+    # -- transformations ------------------------------------------------------
+    def split(self, row_indices, inplace=False):
+        """Split every regressor into per-segment columns
+        (reference ``designmatrix.py:167-214``): column j of segment i is
+        the original column zeroed outside rows [row_indices[i-1],
+        row_indices[i])."""
+        if isinstance(row_indices, int):
+            row_indices = [row_indices]
+        if row_indices is None or len(row_indices) == 0 or \
+                list(row_indices) == [0]:
+            return self
+        n, k = self.shape
+        lower = np.append(0, row_indices).astype(int)
+        upper = np.append(row_indices, n).astype(int)
+        nseg = len(lower)
+        new = np.zeros((n, k * nseg))
+        cols = []
+        for i, (a, b) in enumerate(zip(lower, upper)):
+            new[a:b, i * k:(i + 1) * k] = self.values_[a:b]
+            cols.extend([f"{c} {i + 1}" for c in self.columns])
+        dm = self if inplace else self.copy()
+        dm.values_ = new
+        dm.columns = cols
+        dm.prior_mu = np.tile(self.prior_mu, nseg)
+        dm.prior_sigma = np.tile(self.prior_sigma, nseg)
+        return dm
+
+    def standardize(self, inplace=False):
+        """Median-subtract and sigma-divide columns, zeros excluded
+        (reference ``designmatrix.py:216-250``)."""
+        ar = self.values_.astype(float).copy()
+        ar[ar == 0] = np.nan
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            is_const = np.nanstd(ar, axis=0) == 0
+            med = np.nanmedian(ar[:, ~is_const], axis=0)
+            std = np.nanstd(ar[:, ~is_const], axis=0)
+        ar[:, ~is_const] = (ar[:, ~is_const] - med) / std
+        ar[np.isnan(ar)] = 0
+        dm = self if inplace else self.copy()
+        dm.values_ = ar
+        return dm
+
+    def pca(self, nterms=6, n_iter=10, seed=0):
+        """Randomized-SVD PCA reduction on device
+        (reference ``designmatrix.py:252-282`` via fbpca)."""
+        import jax.numpy as jnp
+        from ..ops.solve import randomized_pca
+        nterms = min(nterms, self.shape[1])
+        U, _, _ = randomized_pca(jnp.asarray(self.values_), nterms,
+                                 n_iter=n_iter, seed=seed)
+        return DesignMatrix(np.asarray(U, dtype=float), name=self.name)
+
+    def append_constant(self, prior_mu=0, prior_sigma=np.inf, inplace=False):
+        """Append a column of ones named 'offset'
+        (reference ``designmatrix.py:284-304``)."""
+        dm = self if inplace else self.copy()
+        dm.values_ = np.column_stack([dm.values_, np.ones(dm.shape[0])])
+        dm.columns = list(dm.columns) + ["offset"]
+        dm.prior_mu = np.append(dm.prior_mu, prior_mu)
+        dm.prior_sigma = np.append(dm.prior_sigma, prior_sigma)
+        return dm
+
+    def validate(self, rank=True):
+        """Warn on low rank; raise on malformed priors
+        (reference ``designmatrix.py:306-349``)."""
+        if rank and self.rank < 0.5 * self.shape[1]:
+            warnings.warn(
+                f"The design matrix has low rank ({self.rank}) compared to "
+                f"the number of columns ({self.shape[1]}), which suggests "
+                "that the matrix contains duplicate or correlated columns. "
+                "This may prevent the regression from succeeding. Consider "
+                "reducing the dimensionality by calling the `pca()` method.",
+                LightkurveWarning)
+        if len(self.prior_mu) != self.shape[1]:
+            raise ValueError(f"`prior_mu` must have shape {self.shape[1]}")
+        if len(self.prior_sigma) != self.shape[1]:
+            raise ValueError(f"`prior_sigma` must have shape {self.shape[1]}")
+        if np.any(np.asarray(self.prior_sigma) <= 0):
+            raise ValueError("`prior_sigma` values cannot be smaller than "
+                             "or equal to zero")
+
+    def to_sparse(self):
+        return SparseDesignMatrix(self.values_, columns=self.columns,
+                                  name=self.name, prior_mu=self.prior_mu,
+                                  prior_sigma=self.prior_sigma)
+
+    def collect(self, matrix):
+        return DesignMatrixCollection([self, matrix])
+
+    def plot(self, ax=None, **kwargs):
+        import matplotlib.pyplot as plt
+        if ax is None:
+            _, ax = plt.subplots()
+        im = ax.imshow(self.values_, aspect="auto", interpolation="nearest",
+                       **kwargs)
+        plt.colorbar(im, ax=ax, label="Component Value")
+        ax.set_xlabel("Component")
+        ax.set_ylabel("X")
+        ax.set_title(self.name)
+        return ax
+
+    def plot_priors(self, ax=None):
+        import matplotlib.pyplot as plt
+        if ax is None:
+            _, ax = plt.subplots()
+        for m, s in zip(self.prior_mu, self.prior_sigma):
+            if not np.isfinite(s):
+                ax.axhline(1, color="k")
+            else:
+                x = np.linspace(m - 5 * s, m + 5 * s, 1000)
+                ax.plot(x, np.exp(-((x - m) ** 2) / (2 * s ** 2)), c="k")
+        ax.set_xlabel("Value")
+        ax.set_title(f"{self.name} Priors")
+        return ax
+
+
+class SparseDesignMatrix(DesignMatrix):
+    """API-compatible alias of :class:`DesignMatrix`.
+
+    The reference maintains a scipy-CSR twin class
+    (``designmatrix.py:556-791``) to save memory on CPU; our device solves
+    are dense MXU matmuls, so sparse inputs are densified on entry and the
+    class only preserves the reference's type vocabulary."""
+
+    def validate(self, rank=False):
+        super().validate(rank=rank)
+
+    def __repr__(self):
+        return f"{self.name} SparseDesignMatrix {self.shape}"
+
+
+class DesignMatrixCollection:
+    """An ordered bundle of design matrices
+    (reference ``designmatrix.py:387-553``)."""
+
+    def __init__(self, matrices):
+        self.matrices = list(matrices)
+
+    @property
+    def values(self):
+        return np.hstack([m.values for m in self.matrices])
+
+    @property
+    def X(self):
+        return self.values
+
+    @property
+    def prior_mu(self):
+        return np.hstack([m.prior_mu for m in self.matrices])
+
+    @property
+    def prior_sigma(self):
+        return np.hstack([m.prior_sigma for m in self.matrices])
+
+    def validate(self):
+        for m in self.matrices:
+            m.validate()
+
+    def copy(self):
+        return deepcopy(self)
+
+    def _get_prior_sample(self):
+        return np.hstack([m._get_prior_sample() for m in self.matrices])
+
+    def to_designmatrix(self, name=None):
+        """Flatten into a single DesignMatrix."""
+        name = name or self.matrices[0].name
+        cols = sum([list(m.columns) for m in self.matrices], [])
+        return DesignMatrix(self.values, columns=cols, name=name,
+                            prior_mu=self.prior_mu,
+                            prior_sigma=self.prior_sigma)
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return self.matrices[key]
+        try:
+            return [m for m in self.matrices if m.name == key][0]
+        except IndexError:
+            raise KeyError(f"Arguments to `DesignMatrixCollection` must be "
+                           f"castable to int or a matrix name; got {key!r}")
+
+    def __repr__(self):
+        return "DesignMatrixCollection:\n" + "\n".join(
+            f"\t{m!r}" for m in self.matrices)
+
+    def plot(self, ax=None, **kwargs):
+        return self.to_designmatrix().plot(ax=ax, **kwargs)
+
+
+class SparseDesignMatrixCollection(DesignMatrixCollection):
+    """API-compatible alias (see :class:`SparseDesignMatrix`)."""
+
+    def to_designmatrix(self, name=None):
+        dm = super().to_designmatrix(name=name)
+        return SparseDesignMatrix(dm.values, columns=dm.columns, name=dm.name,
+                                  prior_mu=dm.prior_mu,
+                                  prior_sigma=dm.prior_sigma)
+
+
+# ---------------------------------------------------------------------------
+# B-spline basis construction (Cox-de Boor)
+# ---------------------------------------------------------------------------
+def _bspline_basis(x, knots_aug, degree):
+    """Full B-spline basis on the augmented knot vector, (len(x), nbasis)."""
+    x = np.asarray(x, dtype=np.float64)
+    kv = np.asarray(knots_aug, dtype=np.float64)
+    nb = len(kv) - degree - 1
+    # degree-0 indicators: [kv[i], kv[i+1]) with the last interval closed
+    B = np.zeros((len(x), len(kv) - 1))
+    for i in range(len(kv) - 1):
+        if kv[i + 1] == kv[-1]:
+            ind = (x >= kv[i]) & (x <= kv[i + 1])
+        else:
+            ind = (x >= kv[i]) & (x < kv[i + 1])
+        B[:, i] = ind
+    for d in range(1, degree + 1):
+        Bn = np.zeros((len(x), len(kv) - d - 1))
+        for i in range(len(kv) - d - 1):
+            da = kv[i + d] - kv[i]
+            db = kv[i + d + 1] - kv[i + 1]
+            term = 0.0
+            if da > 0:
+                term = term + (x - kv[i]) / da * B[:, i]
+            if db > 0:
+                term = term + (kv[i + d + 1] - x) / db * B[:, i + 1]
+            Bn[:, i] = term
+        B = Bn
+    return B[:, :nb]
+
+
+def create_spline_matrix(x, n_knots=20, knots=None, degree=3, name="spline",
+                         include_intercept=True):
+    """B-spline design matrix (reference ``designmatrix.py:952-997``).
+
+    Interior knots default to equally spaced quantiles of ``x`` (the same
+    rule patsy's ``bs(df=n_knots)`` uses); boundary knots are repeated
+    ``degree+1`` times.  With default ``include_intercept`` the basis has
+    ``n_knots`` columns and sums to one everywhere.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if knots is not None:
+        interior = np.asarray(knots, dtype=float)
+        ncols = len(interior) + degree + 1
+    else:
+        if not isinstance(n_knots, int):
+            raise ValueError("`n_knots` must be an integer.")
+        if n_knots - degree <= 0:
+            raise ValueError("n_knots must be greater than degree.")
+        n_interior = n_knots - degree - (0 if include_intercept else 1)
+        if n_interior > 0:
+            qs = np.linspace(0, 100, n_interior + 2)[1:-1]
+            interior = np.percentile(x, qs)
+        else:
+            interior = np.array([])
+        ncols = n_knots if include_intercept else n_knots + 1
+    kv = np.concatenate([[x.min()] * (degree + 1), interior,
+                         [x.max()] * (degree + 1)])
+    B = _bspline_basis(x, kv, degree)
+    if not include_intercept:
+        B = B[:, 1:]
+    cols = [f"knot{i + 1}" for i in range(B.shape[1])]
+    return DesignMatrix(B, columns=cols, name=name)
+
+
+def create_sparse_spline_matrix(x, n_knots=20, knots=None, degree=3,
+                                name="spline"):
+    """Sparse-flavored spline matrix (reference ``designmatrix.py:896-949``);
+    dense under the hood, see :class:`SparseDesignMatrix`."""
+    dm = create_spline_matrix(x, n_knots=n_knots, knots=knots, degree=degree,
+                              name=name)
+    return SparseDesignMatrix(dm.values, columns=dm.columns, name=name)

@@ -1,0 +1,1081 @@
+"""LightCurve containers — the host-side data model.
+
+From-scratch re-design of the reference's ``LightCurve`` family
+(``src/lightkurve/lightcurve.py:254-3890``).  The reference subclasses
+astropy ``TimeSeries``; here the container is a lean column store (numpy
+arrays + :class:`~lightkurve_tpu.time.Time` + metadata dict) whose heavy
+methods delegate to the jitted device kernels in ``lightkurve_tpu.ops``.
+Host code owns: metadata, units/time bookkeeping, NaN↔mask conversion,
+row compaction, plotting.  Device code owns: every reduction/scan over the
+cadence axis (flatten, periodograms, binning when batched).
+
+The batched, sharded multi-target equivalent is
+:class:`lightkurve_tpu.batch.LightCurveStack`.
+"""
+from __future__ import annotations
+
+import warnings
+from collections import OrderedDict
+from copy import deepcopy
+
+import numpy as np
+
+from .time import Time, TimeDelta
+from .units import Quantity, Unit, dimensionless, percent, ppm, ppt
+from .utils import (
+    LightkurveError,
+    LightkurveWarning,
+    KeplerQualityFlags,
+    TessQualityFlags,
+    running_mean,
+    validate_method,
+)
+
+__all__ = ["LightCurve", "FoldedLightCurve", "KeplerLightCurve",
+           "TessLightCurve"]
+
+
+def _to_unitful(values, default_unit=dimensionless):
+    if isinstance(values, Quantity):
+        return values
+    return Quantity(np.asarray(values, dtype=float), default_unit)
+
+
+class LightCurve:
+    """A time series of flux measurements with guaranteed columns.
+
+    Guarantees the presence of ``time``, ``flux`` and ``flux_err`` columns
+    (reference ``lightcurve.py:355-488``) and provides attribute access to
+    all columns and (upper-case) metadata keys.
+
+    Parameters
+    ----------
+    data : dict or LightCurve, optional
+        Column name → array mapping.
+    time, flux, flux_err : array-like, optional
+        Override/provide the required columns.
+    meta : dict, optional
+    """
+
+    _required_columns = ["time", "flux", "flux_err"]
+    _default_time_format = "jd"
+
+    def __init__(self, data=None, *, time=None, flux=None, flux_err=None,
+                 meta=None, **extra_columns):
+        cols = OrderedDict()
+        _meta = {}
+        if isinstance(data, LightCurve):
+            cols.update({k: _copy_col(v) for k, v in data._cols.items()})
+            _meta.update(deepcopy(data.meta))
+        elif data is not None:
+            for k, v in dict(data).items():
+                cols[k] = v
+        if meta:
+            _meta.update(meta)
+
+        if time is not None:
+            cols["time"] = time
+        if flux is not None:
+            cols["flux"] = flux
+        if flux_err is not None:
+            cols["flux_err"] = flux_err
+        cols.update(extra_columns)
+
+        # --- time column -------------------------------------------------
+        if "time" not in cols:
+            if "flux" in cols:
+                cols["time"] = np.arange(len(np.atleast_1d(cols["flux"])),
+                                         dtype=float)
+            else:
+                cols["time"] = np.array([], dtype=float)
+        t = cols["time"]
+        if not isinstance(t, Time):
+            t = np.atleast_1d(np.asarray(t, dtype=float))
+            # reference sets non-finite times to 0 before Time creation
+            t = np.where(np.isfinite(t), t, 0.0)
+            t = Time(t, format=self._default_time_format, scale="tdb")
+        cols["time"] = t
+        n = len(t)
+
+        # --- required flux columns ----------------------------------------
+        if "flux" not in cols:
+            cols["flux"] = np.full(n, np.nan)
+        if "flux_err" not in cols:
+            cols["flux_err"] = np.full(n, np.nan)
+
+        object.__setattr__(self, "_cols", OrderedDict())
+        object.__setattr__(self, "meta", _meta)
+        for k, v in cols.items():
+            self._set_column(k, v)
+
+        # required columns first, in order
+        ordered = OrderedDict()
+        for k in self._required_columns:
+            ordered[k] = self._cols[k]
+        for k, v in self._cols.items():
+            if k not in ordered:
+                ordered[k] = v
+        object.__setattr__(self, "_cols", ordered)
+
+    # ------------------------------------------------------------------
+    # column store
+    # ------------------------------------------------------------------
+    def _set_column(self, name, values):
+        n = len(self._cols["time"]) if "time" in self._cols else None
+        if name == "time":
+            if not isinstance(values, Time):
+                values = Time(np.atleast_1d(np.asarray(values, dtype=float)),
+                              format=self.time.format if "time" in self._cols
+                              else self._default_time_format,
+                              scale="tdb")
+            self._cols["time"] = values
+            return
+        if isinstance(values, Quantity):
+            arr = values
+        elif isinstance(values, np.ndarray) and values.dtype.kind in "iub":
+            arr = np.atleast_1d(values)
+        else:
+            v = np.atleast_1d(np.asarray(values))
+            if v.dtype.kind in "iuf":
+                arr = Quantity(v.astype(float), dimensionless) \
+                    if name in ("flux", "flux_err") else v
+            else:
+                arr = v
+        if n is not None and len(np.atleast_1d(arr)) != n and n > 0:
+            if np.ndim(arr) == 0:
+                arr = np.broadcast_to(arr, (n,)).copy()
+            else:
+                raise ValueError(
+                    f"Column '{name}' has length {len(arr)} != {n}")
+        self._cols[name] = arr
+
+    @property
+    def columns(self):
+        return list(self._cols.keys())
+
+    @property
+    def colnames(self):
+        return list(self._cols.keys())
+
+    # -- required-column properties ------------------------------------
+    @property
+    def time(self) -> Time:
+        return self._cols["time"]
+
+    @time.setter
+    def time(self, v):
+        self._set_column("time", v)
+
+    @property
+    def flux(self) -> Quantity:
+        return self._cols["flux"]
+
+    @flux.setter
+    def flux(self, v):
+        self._set_column("flux", _to_unitful(v))
+
+    @property
+    def flux_err(self) -> Quantity:
+        return self._cols["flux_err"]
+
+    @flux_err.setter
+    def flux_err(self, v):
+        self._set_column("flux_err", _to_unitful(v))
+
+    # -- attribute protocol ----------------------------------------------
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        cols = object.__getattribute__(self, "_cols")
+        if name in cols:
+            return cols[name]
+        meta = object.__getattribute__(self, "meta")
+        if name in meta:
+            return meta[name]
+        if name.upper() in meta:
+            return meta[name.upper()]
+        raise AttributeError(f"object has no attribute {name!r}")
+
+    def __setattr__(self, name, value):
+        if name in ("meta",):
+            object.__setattr__(self, name, value)
+            return
+        cls_attr = getattr(type(self), name, None)
+        if isinstance(cls_attr, property):
+            cls_attr.fset(self, value)
+            return
+        if name in self._cols:
+            self._set_column(name, value)
+            return
+        object.__setattr__(self, name, value)
+
+    # -- item protocol ------------------------------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._cols[key]
+        if isinstance(key, (list, tuple)) and key and \
+                all(isinstance(k, str) for k in key):
+            out = self.copy()
+            out._cols = OrderedDict((k, self._cols[k]) for k in
+                                    dict.fromkeys(list(self._required_columns)
+                                                  + list(key)))
+            return out
+        # row selection returns a sliced copy
+        out = self.__class__.__new__(self.__class__)
+        object.__setattr__(out, "meta", deepcopy(self.meta))
+        cols = OrderedDict()
+        if isinstance(key, (int, np.integer)):
+            key = slice(key, key + 1) if key != -1 else slice(-1, None)
+        for k, v in self._cols.items():
+            cols[k] = v[key]
+        object.__setattr__(out, "_cols", cols)
+        return out
+
+    def __setitem__(self, key, value):
+        if isinstance(key, str):
+            self._set_column(key, value)
+        else:
+            raise TypeError("Row assignment is not supported; columns only.")
+
+    def __contains__(self, name):
+        return name in self._cols
+
+    def __len__(self):
+        return len(self.time)
+
+    def __repr__(self):
+        cols = ", ".join(self.columns)
+        return (f"<{type(self).__name__} length={len(self)} "
+                f"columns=[{cols}]>")
+
+    def copy(self):
+        out = self.__class__.__new__(self.__class__)
+        object.__setattr__(out, "meta", deepcopy(self.meta))
+        object.__setattr__(
+            out, "_cols",
+            OrderedDict((k, _copy_col(v)) for k, v in self._cols.items()))
+        return out
+
+    def remove_column(self, name):
+        if name in self._required_columns:
+            raise ValueError(f"Cannot remove required column '{name}'")
+        del self._cols[name]
+
+    def add_column(self, values, name=None, index=None):
+        self._set_column(name, values)
+        if index is not None:
+            keys = [k for k in self._cols if k != name]
+            keys.insert(index, name)
+            object.__setattr__(self, "_cols",
+                               OrderedDict((k, self._cols[k]) for k in keys))
+
+    def keys(self):
+        return self.columns
+
+    # ------------------------------------------------------------------
+    # arithmetic with error propagation (reference lightcurve.py:764-859)
+    # ------------------------------------------------------------------
+    def _check_compat(self, other, verb):
+        if len(self) != len(other):
+            raise ValueError(
+                f"Cannot {verb} LightCurve objects because they do not have "
+                f"equal length ({len(self)} vs {len(other)}).")
+        if np.any(self.time.value != other.time.value):
+            warnings.warn(
+                f"Two LightCurve objects with inconsistent time values are "
+                f"being {verb}ed.", LightkurveWarning)
+
+    def __add__(self, other):
+        newlc = self.copy()
+        if isinstance(other, LightCurve):
+            self._check_compat(other, "add")
+            newlc.flux = self.flux + other.flux
+            newlc.flux_err = Quantity(
+                np.hypot(self.flux_err.value, other.flux_err.to(
+                    self.flux_err.unit).value), self.flux_err.unit)
+        else:
+            newlc.flux = self.flux + other
+        return newlc
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self.__add__(-1 * other)
+
+    def __rsub__(self, other):
+        return (-1 * self).__add__(other)
+
+    def __mul__(self, other):
+        newlc = self.copy()
+        if isinstance(other, LightCurve):
+            self._check_compat(other, "multiply")
+            newlc.flux = self.flux * other.flux
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rel = np.hypot(self.flux_err.value / self.flux.value,
+                               other.flux_err.value / other.flux.value)
+            newlc.flux_err = Quantity(np.abs(newlc.flux.value) * rel,
+                                      newlc.flux.unit)
+        elif isinstance(other, Unit):
+            newlc.flux = self.flux * other
+            newlc.flux_err = self.flux_err * other
+        else:
+            newlc.flux = self.flux * other
+            newlc.flux_err = self.flux_err * np.abs(other)
+        return newlc
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        if isinstance(other, LightCurve):
+            newlc = self.copy()
+            self._check_compat(other, "divide")
+            newlc.flux = self.flux / other.flux
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rel = np.hypot(self.flux_err.value / self.flux.value,
+                               other.flux_err.value / other.flux.value)
+            newlc.flux_err = Quantity(np.abs(newlc.flux.value) * rel,
+                                      newlc.flux.unit)
+            return newlc
+        return self.__mul__(1.0 / other if not isinstance(other, Unit)
+                            else other ** -1)
+
+    def __rtruediv__(self, other):
+        newlc = self.copy()
+        if isinstance(other, LightCurve):
+            return other.__truediv__(self)
+        newlc.flux = other / self.flux
+        with np.errstate(divide="ignore", invalid="ignore"):
+            newlc.flux_err = Quantity(
+                np.abs(newlc.flux.value)
+                * np.abs(self.flux_err.value / self.flux.value),
+                newlc.flux.unit)
+        return newlc
+
+    # ------------------------------------------------------------------
+    # core operations
+    # ------------------------------------------------------------------
+    def select_flux(self, flux_column, flux_err_column=None):
+        """Use a different column as ``flux`` (reference ``:612-698``)."""
+        if flux_column not in self.columns:
+            raise ValueError(f"'{flux_column}' is not a column")
+        if flux_err_column and flux_err_column not in self.columns:
+            raise ValueError(f"'{flux_err_column}' is not a column")
+        lc = self.copy()
+        new_flux = _to_unitful(lc[flux_column])
+        lc["flux"] = new_flux
+        if not flux_err_column:
+            flux_err_column = f"{flux_column}_err"
+        if flux_err_column in lc.columns:
+            new_err = _to_unitful(lc[flux_err_column])
+        else:
+            new_err = Quantity(np.full(len(lc), np.nan), new_flux.unit)
+        if new_flux.unit.bases != new_err.unit.bases:
+            raise ValueError(
+                f"Columns '{flux_column}' and '{flux_err_column}' have "
+                f"different units")
+        lc["flux_err"] = new_err
+        lc.meta["FLUX_ORIGIN"] = flux_column
+        if not new_flux.unit.bases:
+            lc.meta["NORMALIZED"] = True
+        else:
+            lc.meta.pop("NORMALIZED", None)
+        return lc
+
+    def normalize(self, unit="unscaled"):
+        """Divide flux and flux_err by the median (reference ``:1216-1298``)."""
+        validate_method(unit, ["unscaled", "percent", "ppt", "ppm"])
+        median_flux = np.nanmedian(self.flux.value)
+        std_flux = np.nanstd(self.flux.value)
+        if (median_flux == 0) or (np.isfinite(std_flux)
+                                  and abs(median_flux) < 0.5 * std_flux):
+            warnings.warn(
+                "The light curve appears to be zero-centered "
+                f"(median={median_flux:.2e} +/- {std_flux:.2e}); `normalize()`"
+                " will divide the light curve by a value close to zero, which"
+                " is probably not what you want.", LightkurveWarning)
+        if median_flux < 0:
+            warnings.warn(
+                f"The light curve has a negative median flux "
+                f"({median_flux:.2e}); `normalize()` will therefore divide by"
+                f" a negative number and invert the light curve, which is "
+                f"probablynot what you want", LightkurveWarning)
+        lc = self.copy()
+        lc.flux = Quantity(self.flux.value / median_flux, dimensionless)
+        lc.flux_err = Quantity(self.flux_err.value / median_flux,
+                               dimensionless)
+        if unit == "percent":
+            lc.flux = lc.flux.to(percent)
+            lc.flux_err = lc.flux_err.to(percent)
+        elif unit == "ppt":
+            lc.flux = lc.flux.to(ppt)
+            lc.flux_err = lc.flux_err.to(ppt)
+        elif unit == "ppm":
+            lc.flux = lc.flux.to(ppm)
+            lc.flux_err = lc.flux_err.to(ppm)
+        lc.meta["NORMALIZED"] = True
+        return lc
+
+    def remove_nans(self, column="flux"):
+        """Drop cadences where ``column`` is NaN (reference ``:1300-1327``)."""
+        col = self._cols[column]
+        vals = col.value if isinstance(col, Quantity) else np.asarray(col)
+        return self[~np.isnan(vals)]
+
+    def remove_outliers(self, sigma=5.0, sigma_lower=None, sigma_upper=None,
+                        return_mask=False, column="flux", **kwargs):
+        """Sigma-clip ``column`` and drop outlier rows (ref ``:1429-1549``)."""
+        import jax.numpy as jnp
+        from .ops import sigma_clip_mask
+        col = self._cols[column]
+        vals = col.value if isinstance(col, Quantity) else np.asarray(col)
+        outlier = np.asarray(sigma_clip_mask(
+            jnp.asarray(vals.astype(np.float64 if _x64() else np.float32)),
+            sigma=sigma, sigma_lower=sigma_lower, sigma_upper=sigma_upper,
+            **kwargs))
+        if return_mask:
+            return self[~outlier], outlier
+        return self[~outlier]
+
+    def flatten(self, window_length=101, polyorder=2, return_trend=False,
+                break_tolerance=5, niters=3, sigma=3, mask=None, **kwargs):
+        """Remove low-frequency trends with an SG filter (ref ``:943-1078``).
+
+        The whole pipeline (compaction, gap segmentation, SG smoothing,
+        iterative clipping, trend interpolation) runs as ONE device program
+        (:func:`lightkurve_tpu.ops.detrend.flatten`).
+        """
+        import jax.numpy as jnp
+        from .ops import flatten_op
+        from .ops.savgol import savgol_design_matrix
+
+        window_length = int(window_length)
+        if polyorder >= window_length:
+            polyorder = window_length - 1
+        if window_length % 2 == 0:
+            window_length += 1
+
+        n = len(self)
+        tv = self.time.value.astype(float)
+        fv = self.flux.value.astype(float)
+
+        if mask is None:
+            keep = np.ones(n, dtype=bool)
+        else:
+            keep = ~np.asarray(mask, dtype=bool)
+        # NaN & global outlier pre-mask (reference :1003-1010)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            extra = np.isfinite(fv)
+            extra &= np.nan_to_num(np.abs(fv - np.nanmedian(fv))) <= (
+                np.nanstd(fv) * sigma)
+        keep &= extra
+
+        bt = np.nan if break_tolerance is None else float(break_tolerance)
+        H = savgol_design_matrix(window_length, polyorder)
+        dtype = np.float64 if _x64() else np.float32
+        trend, _ = flatten_op(
+            jnp.asarray(tv, dtype), jnp.asarray(fv, dtype),
+            jnp.asarray(keep), jnp.asarray(H, dtype),
+            jnp.asarray(bt, dtype), jnp.asarray(float(sigma), dtype),
+            niters=int(niters))
+        trend = np.asarray(trend, dtype=float)
+
+        flatten_lc = self.copy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            flatten_lc.flux = Quantity(fv / trend, dimensionless)
+            flatten_lc.flux_err = Quantity(self.flux_err.value / trend,
+                                           dimensionless)
+        flatten_lc.meta["NORMALIZED"] = True
+        if return_trend:
+            trend_lc = self.copy()
+            trend_lc.flux = Quantity(trend, self.flux.unit)
+            return flatten_lc, trend_lc
+        return flatten_lc
+
+    def fold(self, period=None, epoch_time=None, epoch_phase=0,
+             wrap_phase=None, normalize_phase=False):
+        """Phase-fold into a :class:`FoldedLightCurve` (ref ``:1089-1214``)."""
+        if period is None:
+            raise ValueError("fold() requires a `period`")
+        period_d = _as_days(period)
+        if epoch_time is not None and not isinstance(epoch_time, Time):
+            epoch_time = Time(epoch_time, format=self.time.format,
+                              scale=self.time.scale)
+        if epoch_time is not None and epoch_time.value > 2450000 and \
+                self.time.format in ("bkjd", "btjd"):
+            warnings.warn(
+                f"`epoch_time` appears to be given in JD, however the light "
+                f"curve time uses {self.time.format.upper()}.",
+                LightkurveWarning)
+
+        t = self.time.value.astype(np.float64)
+        t0 = t[0] if epoch_time is None else epoch_time.to_value(
+            self.time.format)
+        if normalize_phase:
+            eph = float(epoch_phase) * period_d
+            wrap = period_d * (0.5 if wrap_phase is None else float(wrap_phase))
+        else:
+            eph = _as_days(epoch_phase) if epoch_phase is not None else 0.0
+            wrap = period_d * 0.5 if wrap_phase is None else _as_days(wrap_phase)
+        phase = np.mod(t - t0 + eph, period_d)
+        phase = np.where(phase >= wrap, phase - period_d, phase)
+
+        lc = FoldedLightCurve.__new__(FoldedLightCurve)
+        object.__setattr__(lc, "meta", deepcopy(self.meta))
+        cols = OrderedDict()
+        if normalize_phase:
+            cols["time"] = Time(phase / period_d, format="jd",
+                                scale=self.time.scale)
+        else:
+            cols["time"] = Time(phase, format="jd", scale=self.time.scale)
+        for k, v in self._cols.items():
+            if k != "time":
+                cols[k] = _copy_col(v)
+        cols["time_original"] = self.time.copy()
+        object.__setattr__(lc, "_cols", cols)
+        lc.meta["PERIOD"] = Quantity(period_d, "d")
+        lc.meta["EPOCH_TIME"] = Time(t0, format=self.time.format,
+                                     scale=self.time.scale)
+        lc.meta["EPOCH_PHASE"] = epoch_phase
+        lc.meta["WRAP_PHASE"] = wrap
+        lc.meta["NORMALIZE_PHASE"] = normalize_phase
+        order = np.argsort(phase, kind="stable")
+        return lc[order]
+
+    def bin(self, time_bin_size=None, time_bin_start=None, n_bins=None,
+            aggregate_func=None, bins=None, binsize=None):
+        """Bin into equal time intervals (reference ``:1558-1762``).
+
+        ``flux_err`` is aggregated as root-mean-square if present, else the
+        per-bin standard deviation of the flux.  Other numeric columns are
+        binned with the mean.
+        """
+        if binsize is not None and bins is not None:
+            raise ValueError("Only one of ``bins`` and ``binsize`` can be "
+                             "specified.")
+        if (binsize is not None or bins is not None) and \
+                (time_bin_size is not None or n_bins is not None):
+            raise ValueError("``bins`` or ``binsize`` conflicts with "
+                             "``n_bins`` or ``time_bin_size``.")
+        tv = self.time.value.astype(np.float64)
+        if time_bin_start is None:
+            start = tv[0]
+        elif isinstance(time_bin_start, Time):
+            start = time_bin_start.to_value(self.time.format)
+        else:
+            start = float(time_bin_start)
+
+        if time_bin_size is not None:
+            size = _as_days(time_bin_size)
+        elif bins is not None:
+            if isinstance(bins, str):
+                raise NotImplementedError(
+                    f"automatic binning method {bins!r} is not supported")
+            if np.size(bins) == 1:
+                span = tv[-1] - start
+                size = span / int(bins) * (1 + 1e-10)
+            else:
+                return self._bin_by_edges(np.asarray(bins, dtype=int))
+        elif binsize is not None:
+            idx = np.arange(0, len(tv), int(binsize))
+            return self._bin_by_edges(np.append(idx, len(tv) - 1))
+        else:
+            size = 0.5  # days (reference default)
+
+        if n_bins is None:
+            nb = max(int(np.ceil((tv[-1] - start) / size + 1e-10)), 1)
+        else:
+            nb = int(n_bins)
+        ids = np.floor((tv - start) / size).astype(int)
+        return self._bin_core(ids, nb, start + (np.arange(nb) + 0.5) * size,
+                              aggregate_func)
+
+    def _bin_by_edges(self, edge_indices):
+        tv = self.time.value.astype(np.float64)
+        starts = tv[edge_indices[:-1]]
+        ends = tv[edge_indices[1:]]
+        nb = len(starts)
+        ids = np.searchsorted(starts, tv, side="right") - 1
+        ids[tv >= ends[-1]] = nb - 1
+        return self._bin_core(ids, nb, 0.5 * (starts + ends), None)
+
+    def _bin_core(self, ids, nb, mid_times, aggregate_func):
+        tv = self.time.value
+        in_range = (ids >= 0) & (ids < nb)
+        idc = np.clip(ids, 0, nb - 1)
+
+        def agg(values, how):
+            out = np.full(nb, np.nan)
+            valid = in_range & np.isfinite(values)
+            if not valid.any():
+                return out
+            cnt = np.bincount(idc[valid], minlength=nb).astype(float)
+            nz = cnt > 0
+            if how == "mean":
+                s = np.bincount(idc[valid], weights=values[valid],
+                                minlength=nb)
+                out[nz] = s[nz] / cnt[nz]
+            elif how == "rmse":
+                s = np.bincount(idc[valid], weights=values[valid] ** 2,
+                                minlength=nb)
+                out[nz] = np.sqrt(s[nz] / cnt[nz])
+            elif how == "std":
+                s = np.bincount(idc[valid], weights=values[valid],
+                                minlength=nb)
+                mean = np.zeros(nb)
+                mean[nz] = s[nz] / cnt[nz]
+                d2 = (values - mean[idc]) ** 2
+                s2 = np.bincount(idc[valid], weights=d2[valid], minlength=nb)
+                out[nz] = np.sqrt(s2[nz] / cnt[nz])
+            return out
+
+        if aggregate_func is None:
+            flux_how = "mean"
+        else:
+            flux_how = aggregate_func if isinstance(aggregate_func, str) \
+                else "mean"
+
+        new_cols = OrderedDict()
+        new_cols["time"] = Time(mid_times, format=self.time.format,
+                                scale=self.time.scale)
+        fv = self.flux.value
+        new_cols["flux"] = Quantity(agg(fv, flux_how), self.flux.unit)
+        if np.any(np.isfinite(self.flux_err.value)):
+            new_cols["flux_err"] = Quantity(agg(self.flux_err.value, "rmse"),
+                                            self.flux_err.unit)
+        else:
+            new_cols["flux_err"] = Quantity(agg(fv, "std"), self.flux.unit)
+        for k, v in self._cols.items():
+            if k in ("time", "flux", "flux_err"):
+                continue
+            vals = v.value if isinstance(v, Quantity) else np.asarray(v)
+            if vals.dtype.kind in "iuf" and vals.ndim == 1:
+                binned = agg(vals.astype(float), "mean")
+                new_cols[k] = Quantity(binned, v.unit) \
+                    if isinstance(v, Quantity) else binned
+        out = self.__class__.__new__(self.__class__)
+        object.__setattr__(out, "meta", deepcopy(self.meta))
+        object.__setattr__(out, "_cols", new_cols)
+        return out
+
+    def fill_gaps(self, method="gaussian_noise"):
+        """Fill gaps in time with Gaussian noise (reference ``:1329-1427``)."""
+        lc = self.remove_nans()
+        tv = lc.time.value
+        newdata = {}
+        if "cadenceno" in lc._cols:
+            cad = np.asarray(lc._cols["cadenceno"]).astype(int)
+            med_dt = np.median(np.diff(tv))
+            dt = tv - med_dt * cad
+            ncad = np.arange(cad[0], cad[-1] + 1)
+            missing = ncad[~np.isin(ncad, cad)]
+            ndt = np.interp(missing, cad, dt)
+            allcad = np.concatenate([missing, cad])
+            alldt = np.concatenate([ndt, dt])
+            order = np.argsort(allcad)
+            allcad, alldt = allcad[order], alldt[order]
+            ntime = alldt + med_dt * allcad
+            in_original = np.isin(allcad, cad)
+            newdata["cadenceno"] = allcad
+        else:
+            dt = np.nanmedian(np.diff(tv))
+            ntime = [tv[0]]
+            for t in tv[1:]:
+                prev = ntime[-1]
+                while (t - prev) > 1.2 * dt:
+                    ntime.append(prev + dt)
+                    prev = ntime[-1]
+                ntime.append(t)
+            ntime = np.asarray(ntime, dtype=float)
+            in_original = np.isin(ntime, tv)
+
+        n_new = len(ntime)
+        f = np.zeros(n_new)
+        f[in_original] = lc.flux.value
+        fe = np.zeros(n_new)
+        fe[in_original] = lc.flux_err.value
+        fe[~in_original] = np.interp(ntime[~in_original], tv,
+                                     lc.flux_err.value)
+        if method == "gaussian_noise":
+            try:
+                std = lc.estimate_cdpp().to(dimensionless).value \
+                    * np.nanmedian(lc.flux.value)
+            except Exception:
+                std = np.nanstd(lc.flux.value)
+            if not np.isfinite(std):
+                std = np.nanstd(lc.flux.value)
+            f[~in_original] = np.random.normal(np.nanmean(lc.flux.value),
+                                               std, (~in_original).sum())
+        else:
+            raise NotImplementedError(f"No such method as {method}")
+        newdata["time"] = Time(ntime, format=lc.time.format,
+                               scale=lc.time.scale)
+        newdata["flux"] = Quantity(f, lc.flux.unit)
+        newdata["flux_err"] = Quantity(fe, lc.flux_err.unit)
+        if "quality" in lc._cols:
+            q = np.zeros(n_new, dtype=np.asarray(lc._cols["quality"]).dtype)
+            q[in_original] = np.asarray(lc._cols["quality"])
+            q[~in_original] += 65536
+            newdata["quality"] = q
+        return LightCurve(data=newdata, meta=deepcopy(self.meta))
+
+    def estimate_cdpp(self, transit_duration=13, savgol_window=101,
+                      savgol_polyorder=2, sigma=5.0):
+        """sgCDPP proxy noise metric in ppm (reference ``:1764-1833``)."""
+        if not isinstance(transit_duration, int):
+            raise ValueError("transit_duration must be an integer in units "
+                             f"number of cadences, got {transit_duration}.")
+        detrended = self.flatten(window_length=savgol_window,
+                                 polyorder=savgol_polyorder)
+        cleaned = detrended.remove_outliers(sigma=sigma)
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore", message=".*already.*")
+            warnings.simplefilter("ignore", LightkurveWarning)
+            normalized = cleaned.normalize("ppm")
+        mean = running_mean(normalized.flux.value, transit_duration)
+        return Quantity(np.std(mean), ppm)
+
+    def create_transit_mask(self, period, transit_time, duration):
+        """Boolean in-transit mask for one or more planets (ref ``:2967``)."""
+        def listify(x):
+            if isinstance(x, Quantity) and x.ndim == 0:
+                return [x]
+            return np.atleast_1d(x)
+
+        period = [_as_days(p) for p in listify(period)]
+        duration = [_as_days(d) for d in listify(duration)]
+        transit_time = [
+            tt.to_value(self.time.format) if isinstance(tt, Time)
+            else float(tt) for tt in listify(transit_time)]
+        if not (len(period) == len(duration) == len(transit_time)):
+            raise ValueError("period, transit_time, and duration must have "
+                             "the same number of values.")
+        t = self.time.value
+        mask = np.zeros(len(t), dtype=bool)
+        for p, t0, d in zip(period, transit_time, duration):
+            hp = 0.5 * p
+            mask |= np.abs(np.mod(t - t0 + hp, p) - hp) < 0.5 * d
+        return mask
+
+    def truncate(self, before=None, after=None, column="time"):
+        """Truncate to rows where before <= column <= after."""
+        vals = self._cols[column]
+        vals = vals.value if isinstance(vals, (Quantity, Time)) \
+            else np.asarray(vals)
+        mask = np.ones(len(self), dtype=bool)
+        if before is not None:
+            mask &= vals >= before
+        if after is not None:
+            mask &= vals <= after
+        return self[mask]
+
+    def head(self, n=5):
+        return self[:n]
+
+    def tail(self, n=5):
+        return self[-n:] if n < len(self) else self.copy()
+
+    # ------------------------------------------------------------------
+    # dispatchers
+    # ------------------------------------------------------------------
+    def to_periodogram(self, method="lombscargle", **kwargs):
+        """Compute a periodogram; 'lombscargle'/'ls' or 'boxleastsquares'/'bls'
+        (reference ``:2490-2535``)."""
+        supported = ("ls", "bls", "lombscargle", "boxleastsquares")
+        method = validate_method(method, supported)
+        if method in ("bls", "boxleastsquares"):
+            from .periodogram import BoxLeastSquaresPeriodogram
+            return BoxLeastSquaresPeriodogram.from_lightcurve(lc=self,
+                                                              **kwargs)
+        from .periodogram import LombScarglePeriodogram
+        return LombScarglePeriodogram.from_lightcurve(lc=self, **kwargs)
+
+    def to_seismology(self, **kwargs):
+        from .seismology import Seismology
+        return Seismology.from_lightcurve(self, **kwargs)
+
+    def to_corrector(self, method="sff", **kwargs):
+        """Return a corrector: 'sff' or 'cbv' (reference ``:2732-2764``)."""
+        if method == "pld":
+            raise ValueError(
+                "The 'pld' method can only be used on "
+                "`TargetPixelFile` objects, not `LightCurve` objects.")
+        method = validate_method(method, supported_methods=["sff", "cbv"])
+        if method == "sff":
+            from .correctors import SFFCorrector
+            return SFFCorrector(self, **kwargs)
+        from .correctors import CBVCorrector
+        return CBVCorrector(self, **kwargs)
+
+    def search_neighbors(self, limit=10, radius=3600.0, **search_criteria):
+        from .search import search_lightcurve
+        result = search_lightcurve(f"{self.meta.get('TARGETID', self.meta.get('LABEL'))}",
+                                   radius=radius, limit=limit + 1,
+                                   **search_criteria)
+        return result
+
+    # ------------------------------------------------------------------
+    # exports
+    # ------------------------------------------------------------------
+    def to_pandas(self):
+        import pandas as pd
+        data = {}
+        for k, v in self._cols.items():
+            if isinstance(v, Time):
+                data[k] = v.value
+            elif isinstance(v, Quantity):
+                data[k] = v.value
+            else:
+                data[k] = np.asarray(v)
+        df = pd.DataFrame(data)
+        df.index = df["time"]
+        df.index.name = "time"
+        return df.drop(columns=["time"])
+
+    def to_csv(self, path_or_buf=None, **kwargs):
+        df = self.to_pandas()
+        return df.to_csv(path_or_buf=path_or_buf, **kwargs)
+
+    def to_excel(self, path_or_buf, **kwargs):  # pragma: no cover
+        self.to_pandas().to_excel(path_or_buf, **kwargs)
+
+    def to_table(self):
+        return dict(self._cols)
+
+    def to_timeseries(self):
+        return self
+
+    def to_stingray(self):  # pragma: no cover - optional dep absent
+        raise ImportError("the `stingray` package is not available in this "
+                          "environment")
+
+    def to_fits(self, path=None, overwrite=False, flux_column_name="FLUX",
+                **extra_data):
+        """Write a Kepler-style FITS light-curve file (ref ``:2552-2730``)."""
+        from .io.writers import lightcurve_to_fits
+        return lightcurve_to_fits(self, path=path, overwrite=overwrite,
+                                  flux_column_name=flux_column_name,
+                                  **extra_data)
+
+    def interact_bls(self, notebook_url=None, minimum_period=None,
+                     maximum_period=None, resolution=2000):
+        from .interact import show_interact_widget_bls
+        return show_interact_widget_bls(
+            self, notebook_url=notebook_url, minimum_period=minimum_period,
+            maximum_period=maximum_period, resolution=resolution)
+
+    # ------------------------------------------------------------------
+    # plotting
+    # ------------------------------------------------------------------
+    def _create_plot(self, method="plot", column="flux", ax=None,
+                     normalize=False, xlabel=None, ylabel=None, title="",
+                     style="lightkurve", show_colorbar=True,
+                     colorbar_label="", offset=None, clip_outliers=False,
+                     **kwargs):
+        import matplotlib.pyplot as plt
+        flux = self._cols[column]
+        if not isinstance(flux, Quantity):
+            flux = Quantity(np.asarray(flux, dtype=float), dimensionless)
+        lc = self
+        if normalize:
+            lc = self.normalize()
+            flux = lc.flux if column == "flux" else lc._cols[column]
+        if ax is None:
+            _, ax = plt.subplots(1)
+        if ylabel is None:
+            ylabel = "Normalized Flux" if (normalize or self.meta.get(
+                "NORMALIZED")) else "Flux"
+            if str(flux.unit):
+                ylabel += f" [{flux.unit}]"
+        if xlabel is None:
+            if isinstance(self, FoldedLightCurve):
+                xlabel = "Phase [JD]" if not self.meta.get(
+                    "NORMALIZE_PHASE") else "Phase"
+            else:
+                xlabel = f"Time [{self.time.format.upper()}]"
+        x = self.time.value
+        y = np.asarray(flux.value, dtype=float)
+        if offset is not None:
+            y = y + offset
+        label = kwargs.pop("label", self.meta.get("LABEL"))
+        if method == "plot":
+            ax.plot(x, y, label=label, **kwargs)
+        elif method == "scatter":
+            sc = ax.scatter(x, y, label=label, **kwargs)
+            if show_colorbar and "c" in kwargs and not isinstance(
+                    kwargs["c"], str):
+                cbar = plt.colorbar(sc, ax=ax)
+                cbar.set_label(colorbar_label)
+        else:
+            yerr = kwargs.pop("yerr", self.flux_err.value)
+            ax.errorbar(x, y, yerr=yerr, label=label, **kwargs)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        ax.set_title(title)
+        if label is not None:
+            ax.legend(loc="best")
+        return ax
+
+    def plot(self, **kwargs):
+        return self._create_plot(method="plot", **kwargs)
+
+    def scatter(self, colorbar_label="", show_colorbar=True, **kwargs):
+        return self._create_plot(method="scatter",
+                                 colorbar_label=colorbar_label,
+                                 show_colorbar=show_colorbar, **kwargs)
+
+    def errorbar(self, linestyle="", **kwargs):
+        if "ls" not in kwargs:
+            kwargs["linestyle"] = linestyle
+        kwargs["fmt"] = kwargs.get("fmt", ".")
+        return self._create_plot(method="errorbar", **kwargs)
+
+    def plot_river(self, period, epoch_time=None, ax=None, bin_points=1,
+                   minimum_phase=-0.5, maximum_phase=0.5, method="mean",
+                   **kwargs):
+        """Phase × cycle river diagram (reference ``:2769-2965``)."""
+        import matplotlib.pyplot as plt
+        method = validate_method(method, ["mean", "median", "sigma"])
+        period = _as_days(period)
+        t = self.time.value.astype(np.float64)
+        if epoch_time is None:
+            t0 = t[0]
+        elif isinstance(epoch_time, Time):
+            t0 = epoch_time.to_value(self.time.format)
+        else:
+            t0 = float(epoch_time)
+        f = self.flux.value
+        # cycle index and phase
+        rel = (t - t0) / period + 0.5
+        cycle = np.floor(rel).astype(int)
+        phase = rel - np.floor(rel) - 0.5
+        cycle -= cycle.min()
+        n_cycles = cycle.max() + 1
+        nb = max(int((maximum_phase - minimum_phase) / (
+            bin_points * np.median(np.diff(t)) / period)), 10)
+        pb = np.floor((phase - minimum_phase) /
+                      (maximum_phase - minimum_phase) * nb).astype(int)
+        ok = (pb >= 0) & (pb < nb) & np.isfinite(f)
+        img = np.full((n_cycles, nb), np.nan)
+        cnt = np.zeros((n_cycles, nb))
+        np.add.at(cnt, (cycle[ok], pb[ok]), 1)
+        tot = np.zeros((n_cycles, nb))
+        np.add.at(tot, (cycle[ok], pb[ok]), f[ok])
+        nz = cnt > 0
+        img[nz] = tot[nz] / cnt[nz]
+        if ax is None:
+            _, ax = plt.subplots(1)
+        pc = ax.pcolormesh(
+            np.linspace(minimum_phase, maximum_phase, nb) * period,
+            np.arange(n_cycles), img, **kwargs)
+        plt.colorbar(pc, ax=ax, label="Flux")
+        ax.set_xlabel("Phase [days]")
+        ax.set_ylabel("Cycle")
+        return ax
+
+    def query_solar_system_objects(self, *args, **kwargs):
+        raise NotImplementedError(
+            "Solar-system object queries require network access to the "
+            "SkyBot service, which is unavailable in this environment.")
+
+
+def _copy_col(v):
+    if isinstance(v, (Time, TimeDelta)):
+        return v.copy()
+    return np.array(v, copy=True, subok=True)
+
+
+def _as_days(x):
+    """Convert a float / Quantity / TimeDelta to float days."""
+    if isinstance(x, TimeDelta):
+        return float(np.asarray(x.value))
+    if isinstance(x, Quantity):
+        from .units import day
+        if x.unit.bases == {"time": 1}:
+            return float(np.asarray(x.to(day).value))
+        return float(np.asarray(x.value))
+    return float(x)
+
+
+def _x64():
+    import jax
+    return jax.config.jax_enable_x64
+
+
+class FoldedLightCurve(LightCurve):
+    """A LightCurve whose time column holds phase values
+    (reference ``lightcurve.py:3166-3585``)."""
+
+    @property
+    def phase(self):
+        return self.time
+
+    @property
+    def cycle(self):
+        """Integer cycle number of each sample (reference ``:3213-3229``)."""
+        period = _as_days(self.meta["PERIOD"])
+        t0 = self.meta["EPOCH_TIME"].value
+        t = self._cols["time_original"].value
+        cyc = np.floor((t - t0 + 0.5 * period) / period)
+        return (cyc - cyc.min()).astype(int)
+
+    @property
+    def odd_mask(self):
+        return self.cycle % 2 == 1
+
+    @property
+    def even_mask(self):
+        return ~self.odd_mask
+
+    def bin(self, *args, **kwargs):
+        binned = super().bin(*args, **kwargs)
+        binned.meta = deepcopy(self.meta)
+        return binned
+
+    def plot(self, **kwargs):
+        ax = super().plot(**kwargs)
+        return ax
+
+    def scatter(self, **kwargs):
+        return super().scatter(**kwargs)
+
+    def errorbar(self, **kwargs):
+        return super().errorbar(**kwargs)
+
+
+class KeplerLightCurve(LightCurve):
+    """LightCurve with Kepler defaults: BKJD times
+    (reference ``lightcurve.py:3588-3712``)."""
+
+    _default_time_format = "bkjd"
+
+    @classmethod
+    def read(cls, path, format="kepler", **kwargs):
+        from .io import read as _read
+        return _read(path, format=format, **kwargs)
+
+    def to_fits(self, path=None, overwrite=False, flux_column_name="FLUX",
+                aperture_mask=None, **extra_data):
+        from .io.writers import lightcurve_to_fits
+        return lightcurve_to_fits(self, path=path, overwrite=overwrite,
+                                  flux_column_name=flux_column_name,
+                                  aperture_mask=aperture_mask, **extra_data)
+
+
+class TessLightCurve(LightCurve):
+    """LightCurve with TESS defaults: BTJD times
+    (reference ``lightcurve.py:3715-3834``)."""
+
+    _default_time_format = "btjd"
+
+    @classmethod
+    def read(cls, path, format="tess", **kwargs):
+        from .io import read as _read
+        return _read(path, format=format, **kwargs)
+
+    def to_fits(self, path=None, overwrite=False, flux_column_name="FLUX",
+                aperture_mask=None, **extra_data):
+        from .io.writers import lightcurve_to_fits
+        return lightcurve_to_fits(self, path=path, overwrite=overwrite,
+                                  flux_column_name=flux_column_name,
+                                  aperture_mask=aperture_mask, **extra_data)

@@ -24,10 +24,12 @@ from .binning import bin_time as bin_time_op
 from .lombscargle import (
     lombscargle_direct,
     lombscargle_fast,
+    lombscargle_chi2,
     extirpolate,
     trig_sum,
 )
-from .bls import bls_power, bls_power_direct
+from .bls import bls_power, bls_power_direct, bls_objective_single
+from .fft import fft_pair, ifft_pair, rfft_pair
 from .solve import (
     solve_regression,
     iterative_clipped_regression,
@@ -48,8 +50,10 @@ __all__ = [
     "savgol_design_matrix", "savgol_filter_interp",
     "flatten_op", "flatten_batch",
     "fold_phase", "transit_mask_op", "bin_folded", "bin_time_op",
-    "lombscargle_direct", "lombscargle_fast", "extirpolate", "trig_sum",
-    "bls_power", "bls_power_direct",
+    "lombscargle_direct", "lombscargle_fast", "lombscargle_chi2",
+    "extirpolate", "trig_sum",
+    "bls_power", "bls_power_direct", "bls_objective_single",
+    "fft_pair", "ifft_pair", "rfft_pair",
     "solve_regression", "iterative_clipped_regression", "randomized_pca",
     "autocorrelate_windows", "acf2d",
     "aperture_photometry_cube", "centroid_moments_cube",

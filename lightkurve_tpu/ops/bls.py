@@ -126,7 +126,8 @@ def _bls_scan(ts, w, wy, periods, durations, d_phase, use_likelihood,
 
 
 def bls_power(t, y, dy, periods, durations, oversample=10,
-              objective="likelihood", chunk=64):
+              objective="likelihood", chunk=64, t0_count=None,
+              d_phase=None):
     """Exact BLS periodogram over a period grid.
 
     Parameters
@@ -156,9 +157,14 @@ def bls_power(t, y, dy, periods, durations, oversample=10,
     ts = t - t_min
     wy = w * y
 
-    d_phase = float(np.min(np.asarray(durations))) / oversample
-    max_p = float(np.max(np.asarray(periods)))
-    t0_count = int(np.ceil(max_p / d_phase)) + 1
+    # static grid geometry: must be concrete; when called under tracing
+    # (shard_map / jit), pass t0_count & d_phase computed from the GLOBAL
+    # grid on the host.
+    if d_phase is None:
+        d_phase = float(np.min(np.asarray(durations))) / oversample
+    if t0_count is None:
+        max_p = float(np.max(np.asarray(periods)))
+        t0_count = int(np.ceil(max_p / d_phase)) + 1
 
     out = _bls_scan(ts, w, wy, periods, durations, jnp.asarray(d_phase),
                     objective == "likelihood", chunk, t0_count)

@@ -110,6 +110,66 @@ def lombscargle_direct(t, y, freqs, dy=None, normalization="standard",
     return _apply_normalization(powers, YY[..., None], normalization, wsum)
 
 
+@partial(jax.jit, static_argnames=("nterms", "normalization", "fit_mean",
+                                   "center_data", "chunk"))
+def lombscargle_chi2(t, y, freqs, dy=None, nterms=1, normalization="standard",
+                     fit_mean=True, center_data=True, chunk=256):
+    """Multi-term (χ²) Lomb-Scargle: astropy's 'chi2'/'fastchi2' semantics.
+
+    Power(f) = weighted model sum-of-squares of the best-fit truncated
+    Fourier series with ``nterms`` harmonics (+ bias column when
+    ``fit_mean``), solved per frequency by normal equations on the MXU.
+    """
+    t = jnp.asarray(t)
+    y = jnp.asarray(y)
+    if dy is None:
+        dy = jnp.ones_like(t)
+    w = 1.0 / jnp.square(dy)
+    ws = jnp.sum(w)
+    if center_data or fit_mean:
+        y = y - jnp.sum(w * y, axis=-1, keepdims=True) / ws
+    yw = y / dy
+    chi2_ref = jnp.sum(yw * yw, axis=-1)
+
+    p = freqs.shape[0]
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    fpad = jnp.pad(freqs, (0, pad), constant_values=1.0)
+
+    k = X_cols = 2 * nterms + (1 if fit_mean else 0)
+
+    def one_freq(f):
+        omega_t = 2 * jnp.pi * f * t                       # (n,)
+        cols = []
+        if fit_mean:
+            cols.append(jnp.ones_like(t))
+        for m in range(1, nterms + 1):
+            cols.append(jnp.sin(m * omega_t))
+            cols.append(jnp.cos(m * omega_t))
+        X = jnp.stack(cols, axis=-1) / dy[:, None]          # (n, k)
+        XTX = X.T @ X
+        XTy = yw @ X                                        # (..., k)
+        beta = jnp.linalg.solve(
+            XTX + 1e-30 * jnp.eye(k, dtype=X.dtype),
+            XTy[..., None])[..., 0]
+        return jnp.sum(XTy * beta, axis=-1)                 # (...,)
+
+    def one_chunk(fc):
+        return jax.vmap(one_freq, out_axes=-1)(fc)          # (..., chunk)
+
+    powers = jax.lax.map(one_chunk, fpad.reshape(n_chunks, chunk))
+    powers = jnp.moveaxis(powers, 0, -2).reshape(y.shape[:-1] + (-1,))[..., :p]
+    if normalization == "psd":
+        return 0.5 * powers
+    if normalization == "standard":
+        return powers / chi2_ref[..., None]
+    if normalization == "model":
+        return powers / (chi2_ref[..., None] - powers)
+    if normalization == "log":
+        return -jnp.log1p(-powers / chi2_ref[..., None])
+    raise ValueError(f"Unknown normalization {normalization!r}")
+
+
 def _bitceil(n):
     return 1 << (int(n) - 1).bit_length()
 

@@ -57,20 +57,25 @@ def iterative_clipped_regression(X, y, flux_err, mask, prior_mu, prior_sigma,
     residual outliers with astropy-style sigma clipping
     (``regressioncorrector.py:245-273``).  Returns (w, final mask, model).
     """
+    k = X.shape[1]
+
     def body(_, carry):
-        m, _ = carry
-        w, _ = solve_regression(X, y, flux_err, m, prior_mu, prior_sigma)
+        m, _, _ = carry
+        # fit on the CURRENT mask, then update the mask — the reference
+        # keeps the coefficients of the final fit made BEFORE the last
+        # outlier update (regressioncorrector.py:245-276)
+        w, sigma_w_inv = solve_regression(X, y, flux_err, m, prior_mu,
+                                          prior_sigma)
         model = X @ w
         resid = y - model
         outlier = sigma_clip_mask(resid, mask=m, sigma=sigma,
                                   maxiters=clip_maxiters)
-        return m & ~outlier, w
+        return m & ~outlier, w, sigma_w_inv
 
-    k = X.shape[1]
-    m, w = jax.lax.fori_loop(0, niters, body,
-                             (mask, jnp.zeros((k,), dtype=X.dtype)))
-    # final solve on the converged mask (reference keeps the last fit's w)
-    w, sigma_w_inv = solve_regression(X, y, flux_err, m, prior_mu, prior_sigma)
+    m, w, sigma_w_inv = jax.lax.fori_loop(
+        0, niters, body,
+        (mask, jnp.zeros((k,), dtype=X.dtype),
+         jnp.zeros((k, k), dtype=X.dtype)))
     return w, m, sigma_w_inv
 
 

@@ -1,0 +1,136 @@
+"""Mesh construction and sharded periodogram searches.
+
+Design (SURVEY.md §7): the device mesh has two axes —
+
+- ``targets``: data parallelism over light curves (each shard holds a
+  slice of the (B, N) stack);
+- ``grid``: the period/frequency axis of the search, sharded so each chip
+  scans its slice of trial periods against its local targets.
+
+Within-shard compute is the single-chip kernel (``ops.bls.bls_power`` /
+``ops.lombscargle``) under ``vmap``; across shards there are no
+collectives until the final per-target argmax, which gathers only
+O(B · n_grid_shards) scalars over ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["make_mesh", "sharded_bls", "sharded_lombscargle",
+           "best_candidates"]
+
+
+def make_mesh(n_targets_axis=None, n_grid_axis=None, devices=None):
+    """Create a (targets, grid) mesh over the available devices.
+
+    Defaults: all devices on the ``grid`` axis (period sharding), since a
+    single chip already batches thousands of targets.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_targets_axis is None and n_grid_axis is None:
+        n_targets_axis, n_grid_axis = 1, n
+    elif n_targets_axis is None:
+        n_targets_axis = n // n_grid_axis
+    elif n_grid_axis is None:
+        n_grid_axis = n // n_targets_axis
+    if n_targets_axis * n_grid_axis != n:
+        raise ValueError(f"mesh {n_targets_axis}x{n_grid_axis} != {n} "
+                         "devices")
+    dev_array = np.asarray(devices).reshape(n_targets_axis, n_grid_axis)
+    return Mesh(dev_array, axis_names=("targets", "grid"))
+
+
+def _pad_to(arr, size, axis, pad_value):
+    pad = size - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths, constant_values=pad_value)
+
+
+def sharded_bls(time, flux, dy, periods, durations, oversample=10,
+                objective="likelihood", mesh=None, chunk=16):
+    """BLS over (B, N) stacks × (P,) periods, sharded over the mesh.
+
+    Targets shard over the ``targets`` axis, the period grid over the
+    ``grid`` axis.  Returns the same dict as ``ops.bls.bls_power`` with
+    (B, P) arrays (padded periods trimmed).
+    """
+    from ..ops.bls import bls_power
+    if mesh is None:
+        mesh = make_mesh()
+    nt = mesh.shape["targets"]
+    ng = mesh.shape["grid"]
+    B, N = flux.shape
+    Pn = periods.shape[0]
+    B_pad = -(-B // nt) * nt
+    P_pad = -(-Pn // ng) * ng
+    time = _pad_to(time, B_pad, 0, 1.0)
+    flux = _pad_to(flux, B_pad, 0, 0.0)
+    dy = _pad_to(dy, B_pad, 0, np.inf)
+    periods_p = _pad_to(periods, P_pad, 0, float(periods[-1]))
+
+    # grid geometry must be static under tracing: compute globally here
+    d_phase = float(np.min(np.asarray(durations))) / oversample
+    t0_count = int(np.ceil(float(np.max(np.asarray(periods))) / d_phase)) + 1
+
+    def local(t, y, d, p):
+        fn = jax.vmap(lambda tt, yy, dd: bls_power(
+            tt, yy, dd, p, durations, oversample=oversample,
+            objective=objective, chunk=chunk, t0_count=t0_count,
+            d_phase=d_phase))
+        return fn(t, y, d)
+
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("targets", None), P("targets", None),
+                  P("targets", None), P("grid")),
+        out_specs={k: P("targets", "grid") for k in
+                   ("power", "depth", "depth_err", "depth_snr",
+                    "log_likelihood", "duration", "transit_time",
+                    "period")},
+    )
+    out = shard(time, flux, dy, periods_p)
+    return {k: v[:B, :Pn] for k, v in out.items()}
+
+
+def sharded_lombscargle(time_row, flux, dy, f0, df, Nf, mesh=None,
+                        normalization="psd"):
+    """Batched fast LS with targets sharded over ALL devices.
+
+    The frequency grid is replicated (the extirpolation FFT is global over
+    the grid); each shard transforms its slice of the target batch.
+    """
+    from ..ops.lombscargle import lombscargle_fast
+    if mesh is None:
+        mesh = make_mesh(n_targets_axis=len(jax.devices()), n_grid_axis=1)
+    nt = mesh.shape["targets"]
+    B = flux.shape[0]
+    B_pad = -(-B // nt) * nt
+    flux = _pad_to(flux, B_pad, 0, 0.0)
+    dy = _pad_to(dy, B_pad, 0, np.inf)
+
+    t_host = np.asarray(time_row, dtype=np.float64)
+
+    def local(y, d):
+        return lombscargle_fast(t_host, y, f0, df, Nf, dy=d,
+                                normalization=normalization)
+
+    shard = jax.shard_map(local, mesh=mesh,
+                          in_specs=(P("targets", None), P("targets", None)),
+                          out_specs=P("targets", None))
+    return shard(flux, dy)[:B]
+
+
+def best_candidates(power, periods, k=1):
+    """Per-target top-k periods from a (B, P) power array (host-side)."""
+    power = np.asarray(power)
+    idx = np.argsort(power, axis=1)[:, ::-1][:, :k]
+    return np.asarray(periods)[idx], np.take_along_axis(power, idx, axis=1)

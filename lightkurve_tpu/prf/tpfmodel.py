@@ -1,0 +1,257 @@
+"""Scene models and PRF photometry.
+
+Re-implements the reference's ``prf/tpfmodel.py`` (851 LoC) TPU-first:
+the scene model (Σ stars × PRF + background, reference ``:529-568``) is a
+pure JAX function of a parameter vector, and ``PRFPhotometry.run`` fits
+ALL cadences simultaneously with a vmapped fixed-iteration
+Levenberg-Marquardt loop on device — replacing the reference's per-cadence
+``scipy``/oktopus fits distributed over a ``multiprocessing`` pool
+(``tpfmodel.py:738-795``), the only multi-core code path in the reference.
+
+Priors mirror the reference's vocabulary (``tpfmodel.py:75-244``):
+UniformPrior (box constraints), GaussianPrior (quadratic penalty),
+FixedValuePrior, and the Star/Background/Focus/Motion bundles.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..lightcurve import LightCurve
+from ..units import Quantity, electron_per_second
+
+log = logging.getLogger(__name__)
+
+__all__ = ["UniformPrior", "GaussianPrior", "FixedValuePrior", "StarPrior",
+           "BackgroundPrior", "FocusPrior", "MotionPrior", "TPFModel",
+           "PRFPhotometry"]
+
+
+# ---------------------------------------------------------------------------
+# Priors (reference tpfmodel.py:75-244)
+# ---------------------------------------------------------------------------
+@dataclass
+class UniformPrior:
+    lb: float
+    ub: float
+
+    @property
+    def mean(self):
+        return 0.5 * (self.lb + self.ub)
+
+    def penalty(self, x):
+        import jax.numpy as jnp
+        # smooth barrier: large quadratic outside the box
+        below = jnp.maximum(self.lb - x, 0.0)
+        above = jnp.maximum(x - self.ub, 0.0)
+        return 1e6 * (below ** 2 + above ** 2)
+
+
+@dataclass
+class GaussianPrior:
+    mean: float
+    var: float
+
+    def penalty(self, x):
+        return (x - self.mean) ** 2 / (2 * self.var)
+
+
+@dataclass
+class FixedValuePrior:
+    value: float
+
+    @property
+    def mean(self):
+        return self.value
+
+    def penalty(self, x):
+        return 1e12 * (x - self.value) ** 2
+
+
+@dataclass
+class StarPrior:
+    """Priors on one star's (col, row, flux) (reference ``:120-170``)."""
+    col: object
+    row: object
+    flux: object
+    targetid: Optional[str] = None
+
+
+@dataclass
+class BackgroundPrior:
+    """Prior on the per-pixel background flux (reference ``:172-200``)."""
+    flux: object = field(default_factory=lambda: UniformPrior(0.0, 1e4))
+
+
+@dataclass
+class FocusPrior:
+    scale_col: object = field(default_factory=lambda: FixedValuePrior(1.0))
+    scale_row: object = field(default_factory=lambda: FixedValuePrior(1.0))
+    rotation_angle: object = field(
+        default_factory=lambda: FixedValuePrior(0.0))
+
+
+@dataclass
+class MotionPrior:
+    shift_col: object = field(default_factory=lambda: GaussianPrior(0.0, 1.0))
+    shift_row: object = field(default_factory=lambda: GaussianPrior(0.0, 1.0))
+
+
+class TPFModel:
+    """Scene model: Σ stars × PRF + constant background
+    (reference ``tpfmodel.py:446-620``).
+
+    Parameter vector per cadence: [flux_1..S, col_1..S, row_1..S, bkg].
+    """
+
+    def __init__(self, star_priors=None, background_prior=None, prf=None,
+                 focus_prior=None, motion_prior=None, fit_background=True):
+        self.star_priors = list(star_priors or [])
+        self.background_prior = background_prior or BackgroundPrior()
+        self.prf = prf
+        self.focus_prior = focus_prior or FocusPrior()
+        self.motion_prior = motion_prior or MotionPrior()
+        self.fit_background = fit_background
+
+    @classmethod
+    def from_tpf(cls, tpf, star_priors=None, prf=None, **kwargs):
+        """Build a model from a TPF: one star at the brightest pixel with
+        flux prior from the median image (reference ``:620-660``)."""
+        from .prfmodel import SimpleKeplerPRF, GaussianPRF
+        med = np.nanmedian(tpf.flux.value, axis=0)
+        if prf is None:
+            if tpf.mission in ("Kepler", "K2") and tpf.meta.get("CHANNEL"):
+                prf = SimpleKeplerPRF(channel=tpf.meta["CHANNEL"],
+                                      shape=tpf.shape[1:],
+                                      column=tpf.column, row=tpf.row)
+            else:
+                prf = GaussianPRF(shape=tpf.shape[1:], column=tpf.column,
+                                  row=tpf.row)
+        if star_priors is None:
+            r, c = np.unravel_index(np.nanargmax(med), med.shape)
+            total = float(np.nansum(med))
+            star_priors = [StarPrior(
+                col=GaussianPrior(tpf.column + c + 0.5, 1.0),
+                row=GaussianPrior(tpf.row + r + 0.5, 1.0),
+                flux=UniformPrior(0.0, max(10 * total, 1.0)),
+                targetid=tpf.targetid)]
+        return cls(star_priors=star_priors, prf=prf, **kwargs)
+
+    # -- parameter packing -------------------------------------------------
+    @property
+    def n_stars(self):
+        return len(self.star_priors)
+
+    def initial_guess(self):
+        p = []
+        for sp in self.star_priors:
+            p.append(getattr(sp.flux, "mean", 1.0))
+        for sp in self.star_priors:
+            p.append(getattr(sp.col, "mean", 0.0))
+        for sp in self.star_priors:
+            p.append(getattr(sp.row, "mean", 0.0))
+        if self.fit_background:
+            p.append(getattr(self.background_prior.flux, "mean", 0.0))
+        return np.asarray(p, dtype=float)
+
+    def predict(self, params):
+        """Scene image for one parameter vector (pure JAX)."""
+        import jax.numpy as jnp
+        S = self.n_stars
+        fluxes = params[:S]
+        cols = params[S:2 * S]
+        rows = params[2 * S:3 * S]
+        img = jnp.zeros(self.prf.shape)
+        for s in range(S):
+            img = img + self.prf.evaluate(cols[s], rows[s], fluxes[s])
+        if self.fit_background:
+            img = img + params[3 * S]
+        return img
+
+    def prior_penalty(self, params):
+        import jax.numpy as jnp
+        S = self.n_stars
+        pen = 0.0
+        for s, sp in enumerate(self.star_priors):
+            pen = pen + sp.flux.penalty(params[s])
+            pen = pen + sp.col.penalty(params[S + s])
+            pen = pen + sp.row.penalty(params[2 * S + s])
+        if self.fit_background:
+            pen = pen + self.background_prior.flux.penalty(params[3 * S])
+        return pen
+
+    def __repr__(self):
+        return (f"TPFModel(n_stars={self.n_stars}, "
+                f"fit_background={self.fit_background})")
+
+
+class PRFPhotometry:
+    """Batched MAP PRF photometry (reference ``tpfmodel.py:700-851``).
+
+    ``run`` fits every cadence at once: a vmapped Levenberg-Marquardt
+    loop (fixed iterations, jitted) on device.
+    """
+
+    def __init__(self, model: TPFModel):
+        self.model = model
+        self.results = None
+        self.opt_params = None
+
+    def run(self, flux_cube, cadences=None, n_iter=20, damping=1e-3):
+        import jax
+        import jax.numpy as jnp
+
+        cube = np.asarray(flux_cube, dtype=float)
+        if cadences is not None:
+            cube = cube[np.asarray(cadences)]
+        data = jnp.asarray(np.nan_to_num(cube))
+        p0 = jnp.asarray(self.model.initial_guess())
+        k = p0.shape[0]
+
+        def residuals(params, img):
+            model = self.model.predict(params)
+            return (model - img).ravel()
+
+        def loss(params, img):
+            r = residuals(params, img)
+            return 0.5 * jnp.sum(r * r) + self.model.prior_penalty(params)
+
+        jac_fn = jax.jacfwd(residuals)
+
+        def fit_one(img):
+            def body(_, p):
+                r = residuals(p, img)
+                J = jac_fn(p, img)                      # (npix, k)
+                g = J.T @ r + jax.grad(
+                    self.model.prior_penalty)(p)
+                H = J.T @ J + damping * jnp.eye(k)
+                delta = jnp.linalg.solve(H, g)
+                return p - delta
+
+            return jax.lax.fori_loop(0, n_iter, body, p0)
+
+        fitted = jax.jit(jax.vmap(fit_one))(data)
+        self.opt_params = np.asarray(fitted)
+        # final loss per cadence (diagnostic)
+        self.losses = np.asarray(jax.jit(jax.vmap(loss))(fitted, data))
+        self.results = self.opt_params
+        return self.opt_params
+
+    def to_lightcurve(self, time=None, star=0):
+        """Fitted flux time series of one star."""
+        if self.opt_params is None:
+            raise ValueError("call run() first")
+        flux = self.opt_params[:, star]
+        if time is None:
+            time = np.arange(len(flux), dtype=float)
+        return LightCurve(time=time,
+                          flux=Quantity(flux, electron_per_second))
+
+    def get_residual_image(self, flux_cube, cadence=0):
+        import jax.numpy as jnp
+        model = np.asarray(self.model.predict(
+            jnp.asarray(self.opt_params[cadence])))
+        return np.asarray(flux_cube)[cadence] - model

@@ -292,6 +292,12 @@ class Quantity(np.ndarray):
     def __rsub__(self, other):
         return Quantity(self._coerce(other) - self.value, self._unit)
 
+    def __getitem__(self, key):
+        out = super().__getitem__(key)
+        if not isinstance(out, Quantity):     # scalar indexing unwraps
+            return Quantity(out, self._unit)
+        return out
+
     def __repr__(self):
         return f"<Quantity {np.asarray(self)!r} {self._unit}>"
 

@@ -1,0 +1,73 @@
+"""Parity tests: JAX BLS kernel vs numpy brute-force oracle."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lightkurve_tpu.ops.bls import bls_power, bls_objective_single
+from oracles import bls_slow, bls_point
+
+
+def _transit_data(rng, n=800, baseline=20.0, period=3.1, duration=0.2,
+                  depth=0.01, t0=1.3):
+    t = np.sort(rng.uniform(0, baseline, n))
+    y = 1.0 + 0.001 * rng.normal(size=n)
+    hp = period / 2
+    y[np.abs(np.mod(t - t0 + hp, period) - hp) < duration / 2] -= depth
+    dy = np.full(n, 0.001)
+    return t, y, dy
+
+
+@pytest.mark.parametrize("objective", ["likelihood", "snr"])
+def test_bls_matches_bruteforce(rng, objective):
+    t, y, dy = _transit_data(rng)
+    periods = np.linspace(2.8, 3.4, 25)
+    durations = np.array([0.1, 0.2])
+    oversample = 5
+    got = {k: np.asarray(v) for k, v in bls_power(
+        jnp.asarray(t), jnp.asarray(y), jnp.asarray(dy),
+        jnp.asarray(periods), jnp.asarray(durations),
+        oversample=oversample, objective=objective).items()}
+    w = 1.0 / dy ** 2
+    d_phase = durations.min() / oversample
+    want = bls_slow(t, y, w, periods, durations, d_phase,
+                    use_likelihood=objective == "likelihood")
+    np.testing.assert_allclose(got["power"], want["power"], rtol=1e-8)
+    np.testing.assert_allclose(got["depth"], want["depth"], rtol=1e-8)
+    np.testing.assert_allclose(got["transit_time"], want["transit_time"],
+                               rtol=1e-10)
+    np.testing.assert_allclose(got["duration"], want["duration"], rtol=1e-12)
+
+
+def test_bls_recovers_injection(rng):
+    t, y, dy = _transit_data(rng, n=3000, period=3.1, depth=0.01)
+    periods = np.linspace(2.0, 5.0, 800)
+    durations = np.array([0.1, 0.2, 0.3])
+    out = bls_power(jnp.asarray(t), jnp.asarray(y), jnp.asarray(dy),
+                    jnp.asarray(periods), jnp.asarray(durations))
+    ib = int(np.argmax(np.asarray(out["power"])))
+    # reference accuracy bar: period within 5% (test_synthetic_data.py:99-116)
+    assert abs(periods[ib] - 3.1) / 3.1 < 0.05
+    assert 0.005 < float(out["depth"][ib]) < 0.02
+
+
+def test_bls_uniform_weights(rng):
+    t, y, _ = _transit_data(rng, n=500)
+    periods = np.linspace(2.9, 3.3, 10)
+    durations = np.array([0.2])
+    out = bls_power(jnp.asarray(t), jnp.asarray(y), None,
+                    jnp.asarray(periods), jnp.asarray(durations))
+    want = bls_slow(t, y, np.ones_like(y), periods, durations,
+                    durations.min() / 10)
+    np.testing.assert_allclose(np.asarray(out["power"]), want["power"],
+                               rtol=1e-8)
+
+
+def test_bls_objective_single(rng):
+    t, y, dy = _transit_data(rng, n=600)
+    w = 1.0 / dy ** 2
+    got = bls_objective_single(jnp.asarray(t), jnp.asarray(y),
+                               jnp.asarray(dy), 3.1, 0.2, 1.3)
+    want = bls_point(t, y, w, 3.1, 0.2, 1.3)
+    assert np.isclose(float(got["depth"]), want["depth"], rtol=1e-10)
+    assert np.isclose(float(got["log_likelihood"]), want["loglike"],
+                      rtol=1e-10)
