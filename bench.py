@@ -26,7 +26,7 @@ NORTH_STAR_RATE = 1e4 * 1e5 / 60.0 / 8.0   # curve-period evals /s /chip
 def main():
     import jax
     import jax.numpy as jnp
-    from lightkurve_tpu.ops.bls import bls_power
+    from lightkurve_tpu.ops.bls import bls_power_binned
 
     B = int(os.environ.get("LK_BENCH_B", 4))
     N = int(os.environ.get("LK_BENCH_N", 8192))
@@ -53,9 +53,9 @@ def main():
 
     @jax.jit
     def step(time, flux, dy):
-        out = jax.vmap(lambda tt, yy, dd: bls_power(
+        out = jax.vmap(lambda tt, yy, dd: bls_power_binned(
             tt, yy, dd, periods_d, durations_d, oversample=10, chunk=16,
-            t0_count=t0_count, d_phase=d_phase))(time, flux, dy)
+            nbins=t0_count, d_phase=d_phase))(time, flux, dy)
         return out["power"], out["period"]
 
     # warmup/compile

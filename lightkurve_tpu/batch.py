@@ -81,6 +81,74 @@ class LightCurveStack:
                    flux_err=jnp.asarray(fe, dtype),
                    mask=jnp.asarray(m), meta=metas, time_format=fmt)
 
+    @classmethod
+    def from_files(cls, paths, time_column="TIME",
+                   flux_column="PDCSAP_FLUX",
+                   flux_err_column="PDCSAP_FLUX_ERR", dtype=None,
+                   nthreads=None):
+        """Bulk-load mission FITS files straight into a stack.
+
+        Uses the native multithreaded column loader
+        (``csrc/fits_reader.cpp``) when a C++ toolchain is present, falling
+        back to the pure-Python FITS reader otherwise.
+        """
+        import jax
+        import jax.numpy as jnp
+        from .io import native
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 \
+                else jnp.float32
+        if native.available():
+            t, _ = native.read_batch(paths, time_column, nthreads=nthreads)
+            f, _ = native.read_batch(paths, flux_column, stride=t.shape[1],
+                                     nthreads=nthreads)
+            try:
+                fe, _ = native.read_batch(paths, flux_err_column,
+                                          stride=t.shape[1],
+                                          nthreads=nthreads)
+            except Exception:
+                fe = np.full_like(f, np.nan)
+        else:
+            from .io.fits import open_fits
+            cols = []
+            for p in paths:
+                hdul = open_fits(p)
+                d = hdul[1].data
+                cols.append((np.asarray(d[time_column], dtype=float),
+                             np.asarray(d[flux_column], dtype=float),
+                             np.asarray(d[flux_err_column], dtype=float)
+                             if flux_err_column in d else None))
+            n_max = max(len(c[0]) for c in cols)
+            t = np.full((len(paths), n_max), np.nan)
+            f = np.full((len(paths), n_max), np.nan)
+            fe = np.full((len(paths), n_max), np.nan)
+            for i, (tv, fv, fev) in enumerate(cols):
+                t[i, : len(tv)] = tv
+                f[i, : len(fv)] = fv
+                if fev is not None:
+                    fe[i, : len(fev)] = fev
+        mask = np.isfinite(t) & np.isfinite(f)
+        length = _bitceil(t.shape[1])
+        pad = length - t.shape[1]
+        if pad:
+            t = np.pad(t, ((0, 0), (0, pad)), constant_values=np.nan)
+            f = np.pad(f, ((0, 0), (0, pad)))
+            fe = np.pad(fe, ((0, 0), (0, pad)))
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        # kernel-safe padded times: continue the median cadence
+        for i in range(t.shape[0]):
+            good = np.where(mask[i])[0]
+            if len(good) < 2:
+                continue
+            dt = np.median(np.diff(t[i, good]))
+            bad = ~np.isfinite(t[i])
+            t[i, bad] = t[i, good[-1]] + dt * np.arange(1, bad.sum() + 1)
+            f[i] = np.nan_to_num(f[i])
+            fe[i] = np.where(np.isfinite(fe[i]) & (fe[i] > 0), fe[i], 1.0)
+        return cls(time=jnp.asarray(t, dtype), flux=jnp.asarray(f, dtype),
+                   flux_err=jnp.asarray(fe, dtype), mask=jnp.asarray(mask),
+                   meta=[{"FILENAME": p} for p in paths])
+
     @property
     def shape(self):
         return self.time.shape

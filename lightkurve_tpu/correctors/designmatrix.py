@@ -362,7 +362,9 @@ def create_spline_matrix(x, n_knots=20, knots=None, degree=3, name="spline",
             raise ValueError("`n_knots` must be an integer.")
         if n_knots - degree <= 0:
             raise ValueError("n_knots must be greater than degree.")
-        n_interior = n_knots - degree - (0 if include_intercept else 1)
+        # basis size = n_interior + degree + 1; we want n_knots columns
+        # (after dropping the first column when include_intercept=False)
+        n_interior = n_knots - degree - (1 if include_intercept else 0)
         if n_interior > 0:
             qs = np.linspace(0, 100, n_interior + 2)[1:-1]
             interior = np.percentile(x, qs)

@@ -151,8 +151,11 @@ class PLDCorrector(RegressionCorrector):
                               niters=niters,
                               propagate_errors=propagate_errors)
         if restore_trend:
+            from ..units import Quantity
             spline_lc = self.diagnostic_lightcurves["spline"]
-            clc = clc + (spline_lc - np.median(spline_lc.flux.value))
+            med = Quantity(np.median(spline_lc.flux.value),
+                           spline_lc.flux.unit)
+            clc = clc + (spline_lc - med)
         return clc
 
     def diagnose(self):

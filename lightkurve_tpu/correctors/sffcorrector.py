@@ -124,7 +124,8 @@ class SFFCorrector(RegressionCorrector):
         clc = super().correct(dm, **kwargs)
         if restore_trend:
             trend = self.diagnostic_lightcurves["spline"].flux
-            clc = clc + (trend - np.nanmedian(trend.value))
+            med = Quantity(np.nanmedian(trend.value), trend.unit)
+            clc = clc + (trend - med)
         clc = clc * np.mean(self.raw_lc.flux.value)
         return clc
 

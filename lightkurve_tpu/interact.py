@@ -1,0 +1,73 @@
+"""Interactive visualization (reference ``interact.py`` + ``interact_bls.py``).
+
+The reference's widgets require ``bokeh`` and a live notebook; bokeh is
+not available in this environment.  This module provides the same entry
+points rendered as STATIC matplotlib panels (the three linked views of
+``interact_bls`` — BLS power, folded curve, full curve — reference
+``interact_bls.py:602-1004``), and raises informative errors for the
+widgets that cannot exist without bokeh (pixel selector, Gaia overlay).
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from .utils import LightkurveError
+
+log = logging.getLogger(__name__)
+
+__all__ = ["show_interact_widget_bls", "show_skyview_widget",
+           "show_interact_widget"]
+
+
+def show_interact_widget_bls(lc, notebook_url=None, minimum_period=None,
+                             maximum_period=None, resolution=2000):
+    """Static three-panel BLS explorer (stand-in for the bokeh widget at
+    reference ``interact_bls.py:602-1004``)."""
+    import matplotlib.pyplot as plt
+    kwargs = {}
+    if minimum_period is not None:
+        kwargs["minimum_period"] = minimum_period
+    if maximum_period is not None:
+        kwargs["maximum_period"] = maximum_period
+    pg = lc.to_periodogram(method="bls", **kwargs)
+    best_p = float(pg.period_at_max_power.value)
+    t0 = pg.transit_time_at_max_power
+    dur = pg.duration_at_max_power
+
+    fig, axs = plt.subplots(3, 1, figsize=(9, 10))
+    pg.plot(ax=axs[0], view="period")
+    axs[0].axvline(best_p, c="r", ls="--", alpha=0.6,
+                   label=f"P = {best_p:.4f} d")
+    axs[0].legend()
+
+    folded = lc.fold(period=best_p, epoch_time=t0)
+    folded.scatter(ax=axs[1], s=1)
+    model = pg.get_transit_model().fold(period=best_p, epoch_time=t0)
+    order = np.argsort(model.time.value)
+    axs[1].plot(model.time.value[order], model.flux.value[order], "r-",
+                lw=1, label="BLS model")
+    axs[1].legend()
+
+    lc.scatter(ax=axs[2], s=1)
+    mask = pg.get_transit_mask()
+    axs[2].scatter(lc.time.value[mask], lc.flux.value[mask], s=2, c="r",
+                   label="in transit")
+    axs[2].legend()
+    fig.tight_layout()
+    return fig
+
+
+def show_interact_widget(tpf, *args, **kwargs):
+    raise LightkurveError(
+        "tpf.interact() requires the optional `bokeh` package and a "
+        "notebook server, neither of which is available in this "
+        "environment. Use `tpf.plot()`, `tpf.plot_pixels()` or "
+        "`tpf.animate()` instead.")
+
+
+def show_skyview_widget(tpf, *args, **kwargs):
+    raise LightkurveError(
+        "tpf.interact_sky() requires `bokeh` and network access to the "
+        "Gaia archive, which are unavailable in this environment.")

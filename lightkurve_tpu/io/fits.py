@@ -340,7 +340,7 @@ def _read_header(buf, offset):
     cards = []
     end = False
     while not end:
-        block = buf[offset: offset + BLOCK]
+        block = bytes(buf[offset: offset + BLOCK])
         if len(block) < BLOCK:
             raise ValueError("Truncated FITS header")
         offset += BLOCK

@@ -400,9 +400,10 @@ class LightCurve:
                 f" a negative number and invert the light curve, which is "
                 f"probablynot what you want", LightkurveWarning)
         lc = self.copy()
-        lc.flux = Quantity(self.flux.value / median_flux, dimensionless)
-        lc.flux_err = Quantity(self.flux_err.value / median_flux,
-                               dimensionless)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lc.flux = Quantity(self.flux.value / median_flux, dimensionless)
+            lc.flux_err = Quantity(self.flux_err.value / median_flux,
+                                   dimensionless)
         if unit == "percent":
             lc.flux = lc.flux.to(percent)
             lc.flux_err = lc.flux_err.to(percent)
@@ -951,8 +952,12 @@ class LightCurve:
         phase = rel - np.floor(rel) - 0.5
         cycle -= cycle.min()
         n_cycles = cycle.max() + 1
-        nb = max(int((maximum_phase - minimum_phase) / (
-            bin_points * np.median(np.diff(t)) / period)), 10)
+        dt_med = np.median(np.diff(t))
+        if not np.isfinite(dt_med) or dt_med <= 0:
+            nb = 100
+        else:
+            nb = max(int((maximum_phase - minimum_phase)
+                         / (bin_points * dt_med / period)), 10)
         pb = np.floor((phase - minimum_phase) /
                       (maximum_phase - minimum_phase) * nb).astype(int)
         ok = (pb >= 0) & (pb < nb) & np.isfinite(f)

@@ -28,7 +28,8 @@ from .lombscargle import (
     extirpolate,
     trig_sum,
 )
-from .bls import bls_power, bls_power_direct, bls_objective_single
+from .bls import (bls_power, bls_power_direct, bls_power_binned,
+                  bls_objective_single)
 from .fft import fft_pair, ifft_pair, rfft_pair
 from .solve import (
     solve_regression,
@@ -52,7 +53,8 @@ __all__ = [
     "fold_phase", "transit_mask_op", "bin_folded", "bin_time_op",
     "lombscargle_direct", "lombscargle_fast", "lombscargle_chi2",
     "extirpolate", "trig_sum",
-    "bls_power", "bls_power_direct", "bls_objective_single",
+    "bls_power", "bls_power_direct", "bls_power_binned",
+    "bls_objective_single",
     "fft_pair", "ifft_pair", "rfft_pair",
     "solve_regression", "iterative_clipped_regression", "randomized_pca",
     "autocorrelate_windows", "acf2d",

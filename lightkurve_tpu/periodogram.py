@@ -491,7 +491,7 @@ class BoxLeastSquaresPeriodogram(Periodogram):
         """
         import jax
         import jax.numpy as jnp
-        from .ops.bls import bls_power
+        from .ops.bls import bls_power, bls_power_binned
 
         lc = lc.remove_nans()
         if np.isfinite(lc.flux_err.value).all():
@@ -555,8 +555,12 @@ class BoxLeastSquaresPeriodogram(Periodogram):
 
         objective = kwargs.pop("objective", "likelihood")
         oversample = kwargs.pop("oversample", 10)
+        # 'fast' = binned fold (astropy's default Cython algorithm family);
+        # 'exact'/'slow' = the exact sorted-phase kernel
+        method = kwargs.pop("method", "fast")
+        kernel = bls_power_binned if method == "fast" else bls_power
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        result = bls_power(jnp.asarray(tv, dtype),
+        result = kernel(jnp.asarray(tv, dtype),
                            jnp.asarray(lc.flux.value, dtype),
                            None if dy is None else jnp.asarray(dy, dtype),
                            jnp.asarray(period, dtype),

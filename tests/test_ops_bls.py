@@ -71,3 +71,24 @@ def test_bls_objective_single(rng):
     assert np.isclose(float(got["depth"]), want["depth"], rtol=1e-10)
     assert np.isclose(float(got["log_likelihood"]), want["loglike"],
                       rtol=1e-10)
+
+
+def test_binned_bls_approximates_exact(rng):
+    from lightkurve_tpu.ops.bls import bls_power_binned
+    t, y, dy = _transit_data(rng, n=1500)
+    periods = np.linspace(2.8, 3.4, 60)
+    durations = np.array([0.1, 0.2])
+    exact = bls_power(jnp.asarray(t), jnp.asarray(y), jnp.asarray(dy),
+                      jnp.asarray(periods), jnp.asarray(durations))
+    binned = bls_power_binned(jnp.asarray(t), jnp.asarray(y),
+                              jnp.asarray(dy), jnp.asarray(periods),
+                              jnp.asarray(durations))
+    pe = np.asarray(exact["power"])
+    pb = np.asarray(binned["power"])
+    assert np.argmax(pe) == np.argmax(pb)
+    assert np.max(np.abs(pe - pb)) / pe.max() < 0.01
+    # same best-fit parameters at the peak
+    i = np.argmax(pe)
+    assert abs(float(binned["depth"][i]) - float(exact["depth"][i])) < 1e-3
+    assert abs(float(binned["transit_time"][i])
+               - float(exact["transit_time"][i])) < 0.05

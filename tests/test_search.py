@@ -1,0 +1,61 @@
+"""Offline search-layer tests."""
+import numpy as np
+import pytest
+
+from lightkurve_tpu.search import (SearchError, SearchResult,
+                                   search_lightcurve,
+                                   search_targetpixelfile, search_tesscut)
+from tests.io.test_fits import make_tess_lc_file
+
+
+@pytest.fixture
+def archive(tmp_path):
+    # SPOC-style filenames: tess…-s0010-<tic16>-0123-s_lc.fits
+    for tic, sector in [(12345678, 10), (12345678, 11), (87654321, 10)]:
+        make_tess_lc_file(str(
+            tmp_path / f"tess2019-s{sector:04d}-{tic:016d}-0123-s_lc.fits"))
+    return str(tmp_path)
+
+
+def test_search_by_tic(archive):
+    res = search_lightcurve("TIC 12345678", archive_dir=archive)
+    assert len(res) == 2
+    assert all("12345678" == t for t in res.target_name)
+    assert "SearchResult containing 2" in repr(res)
+    # row indexing
+    one = res[0]
+    assert len(one) == 1
+
+
+def test_search_download(archive):
+    res = search_lightcurve("12345678", archive_dir=archive)
+    lc = res.download()
+    assert len(lc) > 0
+    assert lc.meta["TARGETID"] == 12345678
+    coll = res.download_all()
+    assert len(coll) == 2
+
+
+def test_search_empty_raises(archive):
+    with pytest.raises(SearchError, match="No local data products"):
+        search_lightcurve("TIC 999999999", archive_dir=archive)
+
+
+def test_search_tpf_filter(archive):
+    with pytest.raises(SearchError):
+        search_targetpixelfile("12345678", archive_dir=archive)
+
+
+def test_search_limit(archive):
+    res = search_lightcurve("12345678", archive_dir=archive, limit=1)
+    assert len(res) == 1
+
+
+def test_tesscut_raises():
+    with pytest.raises(SearchError, match="network"):
+        search_tesscut("TIC 1234")
+
+
+def test_empty_download_raises():
+    with pytest.raises(SearchError):
+        SearchResult([]).download()
