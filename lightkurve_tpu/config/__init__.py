@@ -60,6 +60,8 @@ class Conf:
                 self.default_dtype = sec["default_dtype"]
             if "bls_default_backend" in sec:
                 self.bls_default_backend = sec["bls_default_backend"]
+            if "fft_backend" in sec:
+                self.fft_backend = sec["fft_backend"]
             if "search_result_display_extra_columns" in sec:
                 cols = sec["search_result_display_extra_columns"].strip()
                 self.search_result_display_extra_columns = (
@@ -73,6 +75,7 @@ class Conf:
             "cache_dir": self.cache_dir or "",
             "default_dtype": self.default_dtype,
             "bls_default_backend": self.bls_default_backend,
+            "fft_backend": self.fft_backend,
             "search_result_display_extra_columns": ",".join(
                 self.search_result_display_extra_columns),
         }
