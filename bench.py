@@ -13,6 +13,7 @@ periods).
 """
 import json
 import os
+import signal
 import sys
 import time as _time
 
@@ -21,9 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 NORTH_STAR_RATE = 1e4 * 1e5 / 60.0 / 8.0   # curve-period evals /s /chip
+WATCHDOG_S = int(os.environ.get("LK_BENCH_TIMEOUT", 540))
+
+
+def _watchdog(signum, frame):
+    # The TPU tunnel can wedge (worker crash) and hang device calls
+    # indefinitely — emit a well-formed failure line rather than hang.
+    print(json.dumps({
+        "metric": "bls_curve_period_evals_per_sec_per_chip",
+        "value": 0.0, "unit": "curve-period/s/chip", "vs_baseline": 0.0,
+        "detail": {"error": f"watchdog timeout after {WATCHDOG_S}s "
+                            "(device unreachable or compile hang)"}}))
+    sys.stdout.flush()
+    os._exit(2)
 
 
 def main():
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_S)
     import jax
     import jax.numpy as jnp
     from lightkurve_tpu.ops.bls import bls_power_binned

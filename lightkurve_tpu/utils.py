@@ -32,6 +32,9 @@ __all__ = [
     "centroid_quadratic",
     "channel_to_module_output",
     "module_output_to_channel",
+    "plot_image",
+    "bkjd_to_time",
+    "btjd_to_time",
 ]
 
 
@@ -295,6 +298,61 @@ def module_output_to_channel(module, output):
     if output < 1 or output > 4:
         raise ValueError("Output must be in the range 1-4.")
     return _KEPLER_MODULES.index(module) * 4 + output
+
+
+def plot_image(image, ax=None, scale="linear", origin="lower",
+               xlabel="Pixel Column Number", ylabel="Pixel Row Number",
+               clabel="Flux", title=None, show_colorbar=True,
+               vmin=None, vmax=None, **kwargs):
+    """Plot a 2D image with sensible defaults (reference ``utils.py:444``)."""
+    import matplotlib.pyplot as plt
+    from matplotlib import colors
+    image = _strip_quantity(image)
+    if ax is None:
+        _, ax = plt.subplots()
+    if vmin is None or vmax is None:
+        finite = image[np.isfinite(image)]
+        if len(finite):
+            lo, hi = np.percentile(finite, [1, 99])
+            vmin = lo if vmin is None else vmin
+            vmax = hi if vmax is None else vmax
+    norm = None
+    if scale == "log":
+        norm = colors.LogNorm(vmin=max(vmin, 1e-12) if vmin else None,
+                              vmax=vmax)
+        vmin = vmax = None
+    elif scale == "sqrt":
+        norm = colors.PowerNorm(gamma=0.5, vmin=vmin, vmax=vmax)
+        vmin = vmax = None
+    elif scale != "linear":
+        raise ValueError("scale must be 'linear', 'sqrt', or 'log'")
+    im = ax.imshow(image, origin=origin, norm=norm, vmin=vmin, vmax=vmax,
+                   **kwargs)
+    if show_colorbar:
+        plt.colorbar(im, ax=ax, label=clabel)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    if title:
+        ax.set_title(title)
+    return ax
+
+
+def bkjd_to_time(bkjd):
+    """BKJD floats → :class:`~lightkurve_tpu.time.Time`
+    (reference ``utils.py:391-417``; non-finite values become 0)."""
+    from .time import Time
+    bkjd = np.atleast_1d(np.asarray(bkjd, dtype=float)).copy()
+    bkjd[~np.isfinite(bkjd)] = 0
+    return Time(bkjd, format="bkjd", scale="tdb")
+
+
+def btjd_to_time(btjd):
+    """BTJD floats → :class:`~lightkurve_tpu.time.Time`
+    (reference ``utils.py:420-441``)."""
+    from .time import Time
+    btjd = np.atleast_1d(np.asarray(btjd, dtype=float)).copy()
+    btjd[~np.isfinite(btjd)] = 0
+    return Time(btjd, format="btjd", scale="tdb")
 
 
 def show_citation_instructions():
