@@ -28,6 +28,7 @@ from .utils import (  # noqa: E402
     TessQualityFlags,
 )
 from . import ops  # noqa: E402
+from . import diagnostics  # noqa: E402
 
 # Higher layers are imported lazily as they land; see __getattr__ below.
 _LAZY = {
@@ -59,6 +60,10 @@ _LAZY = {
     "search_tesscut": ".search",
     "SearchResult": ".search",
     "LightCurveStack": ".batch",
+    "TPFStack": ".batch",
+    "plot_image": ".utils",
+    "bkjd_to_time": ".utils",
+    "btjd_to_time": ".utils",
 }
 
 

@@ -758,6 +758,18 @@ class LightCurve:
             mask |= np.abs(np.mod(t - t0 + hp, p) - hp) < 0.5 * d
         return mask
 
+    def append(self, others, inplace=False):
+        """Concatenate one or more light curves after this one
+        (reference ``lightcurve.py:900-941``)."""
+        if inplace:
+            raise ValueError("the `inplace` parameter is no longer "
+                             "supported; `append()` returns a new object")
+        if not hasattr(others, "__iter__"):
+            others = [others]
+        from .collections import LightCurveCollection
+        return LightCurveCollection([self] + list(others)).stitch(
+            corrector_func=None)
+
     def truncate(self, before=None, after=None, column="time"):
         """Truncate to rows where before <= column <= after."""
         vals = self._cols[column]
@@ -847,6 +859,11 @@ class LightCurve:
         return self
 
     def to_stingray(self):  # pragma: no cover - optional dep absent
+        raise ImportError("the `stingray` package is not available in this "
+                          "environment")
+
+    @staticmethod
+    def from_stingray(lc):  # pragma: no cover - optional dep absent
         raise ImportError("the `stingray` package is not available in this "
                           "environment")
 
@@ -1036,6 +1053,22 @@ class FoldedLightCurve(LightCurve):
         binned = super().bin(*args, **kwargs)
         binned.meta = deepcopy(self.meta)
         return binned
+
+    def plot_river(self, period=None, epoch_time=None, **kwargs):
+        """River diagram defaulting to the fold ephemeris
+        (reference ``lightcurve.py:3404-3457``)."""
+        lc = LightCurve(time=self._cols["time_original"].copy(),
+                        flux=self.flux, flux_err=self.flux_err,
+                        meta=deepcopy(self.meta)) \
+            if "time_original" in self._cols else self
+        if period is None:
+            period = self.meta.get("PERIOD")
+        if epoch_time is None:
+            epoch_time = self.meta.get("EPOCH_TIME")
+        if period is None:
+            raise ValueError("`period` must be provided")
+        return LightCurve.plot_river(lc, period=period,
+                                     epoch_time=epoch_time, **kwargs)
 
     def plot(self, **kwargs):
         ax = super().plot(**kwargs)

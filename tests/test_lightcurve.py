@@ -269,3 +269,24 @@ def test_mission_subclasses():
     tlc = lk.TessLightCurve(time=[100.0, 101.0], flux=[1, 2])
     assert tlc.time.format == "btjd"
     assert np.isclose(tlc.time.jd[0], 2457100.0)
+
+
+def test_append():
+    a = simple_lc(10)
+    b = simple_lc(5)
+    out = a.append(b)
+    assert len(out) == 15
+    out2 = a.append([b, b])
+    assert len(out2) == 20
+    with pytest.raises(ValueError):
+        a.append(b, inplace=True)
+
+
+def test_folded_plot_river_defaults(rng):
+    n = 500
+    t = np.arange(n) * 0.02
+    lc = LightCurve(time=t, flux=1 + 0.01 * np.sin(2 * np.pi * t / 1.3))
+    f = lc.fold(period=1.3)
+    ax = f.plot_river()
+    import matplotlib.pyplot as plt
+    plt.close("all")
