@@ -182,3 +182,17 @@ def test_periodogram_validation():
     with pytest.raises(ValueError):
         Periodogram(Quantity([1.0, 2.0], one_per_day),
                     Quantity([1.0], dimensionless))
+
+
+def test_interact_bls_static_figure(rng):
+    """The bokeh-free stand-in renders the three linked panels."""
+    n = 1500
+    t = np.arange(n) * 0.02
+    y = np.ones(n) + 5e-4 * rng.standard_normal(n)
+    ph = np.mod(t - 0.5 + 1.3, 2.6) - 1.3
+    y[np.abs(ph) < 0.06] -= 0.01
+    lc = LightCurve(time=t, flux=y, flux_err=np.full(n, 5e-4))
+    fig = lc.interact_bls()
+    assert len(fig.axes) >= 3
+    import matplotlib.pyplot as plt
+    plt.close("all")

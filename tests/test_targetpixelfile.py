@@ -237,3 +237,13 @@ def test_pld_corrector_on_synthetic():
     cor_std = np.std(corrected.flux.value
                      / np.median(corrected.flux.value))
     assert cor_std < raw_std
+
+
+def test_extract_prf_photometry():
+    tpf = make_synthetic_tpf(n_cadences=12, noise=0.5, star_flux=6000.0,
+                             seed=61)
+    phot = tpf.extract_prf_photometry()
+    assert phot.opt_params.shape[0] == 12
+    lc = phot.to_lightcurve(time=tpf.time.value)
+    # flux within 30% (generic Gaussian PRF vs the synthetic sigma)
+    assert abs(np.median(lc.flux.value) - 6000) / 6000 < 0.3
