@@ -51,3 +51,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip memory-stress tests unless explicitly selected with
+    ``-m memtest`` (mirrors reference conftest.py:28-43)."""
+    if "memtest" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="memtest skipped (run with -m memtest)")
+    for item in items:
+        if "memtest" in item.keywords:
+            item.add_marker(skip)
