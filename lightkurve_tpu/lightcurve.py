@@ -382,7 +382,18 @@ class LightCurve:
         return lc
 
     def normalize(self, unit="unscaled"):
-        """Divide flux and flux_err by the median (reference ``:1216-1298``)."""
+        """Divide flux and flux_err by the median (reference ``:1216-1298``).
+
+        Examples
+        --------
+        >>> import lightkurve_tpu as lk
+        >>> lc = lk.LightCurve(time=[1, 2, 3],
+        ...                    flux=[25945.7, 25901.5, 25931.2],
+        ...                    flux_err=[6.8, 4.6, 6.2])
+        >>> normalized_lc = lc.normalize()
+        >>> print(normalized_lc.flux.value.round(8).tolist())
+        [1.00055917, 0.99885466, 1.0]
+        """
         validate_method(unit, ["unscaled", "percent", "ppt", "ppm"])
         median_flux = np.nanmedian(self.flux.value)
         std_flux = np.nanstd(self.flux.value)
@@ -417,7 +428,16 @@ class LightCurve:
         return lc
 
     def remove_nans(self, column="flux"):
-        """Drop cadences where ``column`` is NaN (reference ``:1300-1327``)."""
+        """Drop cadences where ``column`` is NaN (reference ``:1300-1327``).
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> import lightkurve_tpu as lk
+        >>> lc = lk.LightCurve({'time': [1, 2, 3], 'flux': [1., np.nan, 1.]})
+        >>> len(lc.remove_nans())
+        2
+        """
         col = self._cols[column]
         vals = col.value if isinstance(col, Quantity) else np.asarray(col)
         return self[~np.isnan(vals)]
@@ -981,10 +1001,26 @@ class LightCurve:
         img = np.full((n_cycles, nb), np.nan)
         cnt = np.zeros((n_cycles, nb))
         np.add.at(cnt, (cycle[ok], pb[ok]), 1)
-        tot = np.zeros((n_cycles, nb))
-        np.add.at(tot, (cycle[ok], pb[ok]), f[ok])
         nz = cnt > 0
-        img[nz] = tot[nz] / cnt[nz]
+        if method == "mean":
+            tot = np.zeros((n_cycles, nb))
+            np.add.at(tot, (cycle[ok], pb[ok]), f[ok])
+            img[nz] = tot[nz] / cnt[nz]
+        else:
+            # 'median' and 'sigma' need per-cell collections
+            from collections import defaultdict
+            cells = defaultdict(list)
+            for cy, pbin, val in zip(cycle[ok], pb[ok], f[ok]):
+                cells[(cy, pbin)].append(val)
+            med_all = np.nanmedian(f[ok]) if ok.any() else np.nan
+            std_all = np.nanstd(f[ok]) if ok.any() else np.nan
+            for (cy, pbin), vals in cells.items():
+                med = np.median(vals)
+                if method == "median":
+                    img[cy, pbin] = med
+                else:  # 'sigma': deviation from the global median in σ
+                    img[cy, pbin] = ((med - med_all)
+                                     / (std_all / np.sqrt(len(vals))))
         if ax is None:
             _, ax = plt.subplots(1)
         pc = ax.pcolormesh(

@@ -203,6 +203,14 @@ arcsec = Unit.register(Unit(np.pi / 180.0 / 3600.0, {"angle": 1}, "arcsec"), "ar
 class Quantity(np.ndarray):
     """A numpy array with a :class:`Unit` attached.
 
+    Examples
+    --------
+    >>> from lightkurve_tpu.units import Quantity, ppm, ppt
+    >>> q = Quantity([1000.0, 2000.0], ppm)
+    >>> q.to(ppt).value.tolist()
+    [1.0, 2.0]
+
+
     Mirrors the small subset of ``astropy.units.Quantity`` behaviour the
     reference API exposes to users (``.value``, ``.unit``, ``.to()``,
     arithmetic with unit propagation for * and /, add/sub requiring
