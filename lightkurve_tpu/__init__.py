@@ -61,6 +61,25 @@ _LAZY = {
     "SearchResult": ".search",
     "LightCurveStack": ".batch",
     "TPFStack": ".batch",
+    "Corrector": ".correctors",
+    "SparseDesignMatrix": ".correctors",
+    "SparseDesignMatrixCollection": ".correctors",
+    "CotrendingBasisVectors": ".correctors",
+    "KeplerCotrendingBasisVectors": ".correctors",
+    "TessCotrendingBasisVectors": ".correctors",
+    "load_kepler_cbvs": ".correctors",
+    "load_tess_cbvs": ".correctors",
+    "create_spline_matrix": ".correctors",
+    "create_sparse_spline_matrix": ".correctors",
+    "SeismologyQuantity": ".seismology",
+    "KeplerLightCurveFile": ".lightcurvefile",
+    "TessLightCurveFile": ".lightcurvefile",
+    "validate_method": ".utils",
+    "running_mean": ".utils",
+    "centroid_quadratic": ".utils",
+    "channel_to_module_output": ".utils",
+    "module_output_to_channel": ".utils",
+    "show_citation_instructions": ".utils",
     "plot_image": ".utils",
     "bkjd_to_time": ".utils",
     "btjd_to_time": ".utils",
