@@ -42,36 +42,34 @@ def main():
     signal.alarm(WATCHDOG_S)
     import jax
     import jax.numpy as jnp
-    from lightkurve_tpu.ops.bls import bls_power_binned
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
 
-    B = int(os.environ.get("LK_BENCH_B", 4))
-    N = int(os.environ.get("LK_BENCH_N", 8192))
-    P = int(os.environ.get("LK_BENCH_P", 1024))
+    B = int(os.environ.get("LK_BENCH_B", 256))
+    N = int(os.environ.get("LK_BENCH_N", 4096))
+    P = int(os.environ.get("LK_BENCH_P", 512))
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
     t = np.arange(N) * (2.0 / 60 / 24)          # TESS 2-min cadence
     flux = 1.0 + 2e-4 * rng.standard_normal((B, N))
-    P_true = 3.3
+    # inject a transit inside the searched range [1, baseline/3]
+    P_true = float(np.clip(3.3, 1.1, t[-1] / 3 * 0.9))
     ph = np.mod(t - 1.0 + P_true / 2, P_true) - P_true / 2
     flux[:, np.abs(ph) < 0.06] -= 3e-3
     periods = np.linspace(1.0, float(t[-1] / 3), P)
     durations = np.array([0.05, 0.10, 0.15, 0.20, 0.25, 0.33])
 
-    time_d = jnp.asarray(np.broadcast_to(t, (B, N)), dtype)
+    time_d = jnp.asarray(t, dtype)
     flux_d = jnp.asarray(flux, dtype)
     dy_d = jnp.asarray(np.full((B, N), 2e-4), dtype)
     periods_d = jnp.asarray(periods, dtype)
     durations_d = jnp.asarray(durations, dtype)
 
-    d_phase = float(durations.min()) / 10
-    t0_count = int(np.ceil(periods.max() / d_phase)) + 1
-
-    @jax.jit
+    # shared-time batched kernel: the fold matrix is shared across the
+    # batch, so the histogram is one fat MXU matmul per period chunk
     def step(time, flux, dy):
-        out = jax.vmap(lambda tt, yy, dd: bls_power_binned(
-            tt, yy, dd, periods_d, durations_d, oversample=10, chunk=16,
-            nbins=t0_count, d_phase=d_phase))(time, flux, dy)
+        out = bls_power_shared_batch(time, flux, dy, periods_d,
+                                     durations_d, oversample=10, chunk=8)
         return out["power"], out["period"]
 
     # warmup/compile

@@ -278,6 +278,169 @@ def _bls_scan_binned(ts, w, wy, periods, durations, d_phase, use_likelihood,
     return jax.tree.map(lambda a: a.reshape(-1)[:p], out)
 
 
+# ---------------------------------------------------------------------------
+# Shared-time batched matmul BLS — the sector-scale TPU hot path.
+#
+# When a batch of curves shares one time grid (a TESS sector), the fold
+# matrix (which phase bin each sample lands in at each trial period)
+# is IDENTICAL for every curve.  The per-period histogram then becomes a
+# single dense matmul:  onehot(C·nbins, N) @ [w | w·y](N, 2B)  — fat enough
+# to saturate the MXU, amortizing the fold over the whole batch.  Window
+# sums use static shifts of the bin prefix sums; phase-wrap windows are
+# covered by a second fold shifted by half a period (exactly the Pallas
+# kernel's design), so there are no gathers or scatters anywhere.
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("k_durs", "dur_values", "d_phase",
+                                   "nbins", "use_likelihood", "chunk"))
+def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
+                     use_likelihood, chunk):
+    n = ts.shape[0]
+    B = W.shape[1]
+    nbins_pad = ((nbins + 127) // 128) * 128
+    n_tiles = nbins_pad // 128
+    WWY = jnp.concatenate([W, WY], axis=1)             # (n, 2B)
+    dtype = W.dtype
+    rows_b = jnp.arange(nbins_pad, dtype=jnp.int32)
+
+    def one_chunk(pc):                                  # (chunk,)
+        nbins_p = jnp.ceil(pc / d_phase).astype(jnp.int32)   # (C,)
+
+        def fold_hist(shift_half):
+            base = ts[None, :] + (0.5 * pc[:, None] if shift_half else 0.0)
+            phase = base - jnp.floor(base / pc[:, None]) * pc[:, None]
+            ids = jnp.clip((phase / d_phase).astype(jnp.int32),
+                           0, nbins_pad - 1)            # (C, n)
+            tiles = []
+            for tb in range(n_tiles):
+                rows = tb * 128 + jnp.arange(128, dtype=jnp.int32)
+                onehot = (ids[:, None, :] == rows[None, :, None]
+                          ).astype(dtype)               # (C, 128, n)
+                tiles.append(jax.lax.dot_general(
+                    onehot, WWY, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))  # (C, 128, 2B)
+            hist = jnp.concatenate(tiles, axis=1)       # (C, nbins_pad, 2B)
+            return jnp.cumsum(hist, axis=1)
+
+        best = None
+        total = None
+        for fold in range(2):
+            csum = fold_hist(fold == 1)
+            if fold == 0:
+                total = csum[:, -1:, :]                 # (C, 1, 2B)
+            c_ex = jnp.concatenate(
+                [jnp.zeros_like(csum[:, :1, :]), csum[:, :-1, :]], axis=1)
+            for k, dur_val in zip(k_durs, dur_values):
+                hi = jnp.roll(csum, -(k - 1), axis=1)
+                in_sums = hi - c_ex                     # (C, nbins_pad, 2B)
+                w_in = in_sums[..., :B]
+                wy_in = in_sums[..., B:]
+                w_out = total[..., :B] - w_in
+                wy_out = total[..., B:] - wy_in
+                valid = ((rows_b[None, :] + k) <= nbins_p[:, None]
+                         )[..., None]                   # (C, nbins_pad, 1)
+                ok = valid & (w_in > 0) & (w_out > 0)
+                w_in_s = jnp.where(ok, w_in, 1.0)
+                w_out_s = jnp.where(ok, w_out, 1.0)
+                depth = wy_out / w_out_s - wy_in / w_in_s
+                depth_err = jnp.sqrt(1.0 / w_in_s + 1.0 / w_out_s)
+                snr = depth / depth_err
+                ll = 0.5 * w_in_s * depth * depth
+                obj = jnp.where(ok, ll if use_likelihood else snr,
+                                -jnp.inf)               # (C, nbins_pad, B)
+                v = jnp.max(obj, axis=1)                # (C, B)
+                arg = jnp.argmax(obj, axis=1)           # (C, B)
+                t0 = (arg.astype(dtype) + 0.5 * k) * d_phase
+                if fold == 1:
+                    t0 = t0 - 0.5 * pc[:, None]
+                    t0 = t0 - jnp.floor(t0 / pc[:, None]) * pc[:, None]
+                sel = (jnp.arange(nbins_pad)[None, :, None]
+                       == arg[:, None, :])
+
+                def pick(a):
+                    return jnp.sum(jnp.where(sel, a, 0.0), axis=1)
+
+                cand = dict(power=v, depth=pick(depth),
+                            depth_err=pick(depth_err), depth_snr=pick(snr),
+                            log_likelihood=pick(ll), transit_time=t0,
+                            duration=jnp.full_like(v, dur_val))
+                if best is None:
+                    best = cand
+                else:
+                    upd = cand["power"] > best["power"]
+                    best = {key: jnp.where(upd, cand[key], best[key])
+                            for key in best}
+        return best                                    # dict of (C, B)
+
+    p = periods.shape[0]
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    ppad = jnp.pad(periods, (0, pad), constant_values=periods[-1])
+    out = jax.lax.map(one_chunk, ppad.reshape(n_chunks, chunk))
+    # (n_chunks, C, B) → (B, P)
+    return {k: jnp.moveaxis(v.reshape(-1, B), 0, 1)[:, :p]
+            for k, v in out.items()}
+
+
+def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
+                           objective="likelihood", chunk=16, nbins=None,
+                           d_phase=None):
+    """Batched BLS for curves sharing ONE time grid.
+
+    Parameters
+    ----------
+    t : (n,) shared times.
+    Y : (B, n) fluxes.
+    dy : (B, n) uncertainties, None, or inf-masked padding.
+    Returns the same dict as :func:`bls_power_binned` with (B, P) arrays.
+
+    The duration grid is quantized to ``min(duration)/oversample`` phase
+    bins (as astropy's kernel does); reported durations are
+    ``k·d_phase``.  Weights are internally normalized to mean 1 for f32
+    accuracy; depth/snr/likelihood outputs are exactly equivariant so the
+    rescale is undone on return.
+    """
+    t = jnp.asarray(t)
+    Y = jnp.asarray(Y)
+    dtype = Y.dtype
+    periods_np = np.asarray(periods, dtype=np.float64)
+    durations_np = np.asarray(durations, dtype=np.float64)
+    if dy is None:
+        W = jnp.ones_like(Y)
+    else:
+        W = 1.0 / jnp.square(jnp.asarray(dy, dtype))
+    # normalize weights for f32-safe accumulation; undo on outputs
+    w_scale = jnp.mean(jnp.where(jnp.isfinite(W), W, 0.0))
+    Wn = jnp.where(jnp.isfinite(W), W / w_scale, 0.0)
+    t_min = jnp.min(t)
+    ts = (t - t_min).astype(dtype)
+
+    if d_phase is None:
+        d_phase = float(durations_np.min()) / oversample
+    if nbins is None:
+        nbins = int(np.ceil(periods_np.max() / d_phase))
+    k_durs = tuple(int(max(round(d / d_phase), 1)) for d in durations_np)
+
+    out = _bls_shared_scan(ts, Wn.T, (Wn * Y).T,
+                           jnp.asarray(periods_np, dtype), k_durs,
+                           tuple(float(d) for d in durations_np),
+                           float(d_phase), int(nbins),
+                           objective == "likelihood", chunk)
+    # undo the weight normalization: w → w/s scales Σw by 1/s, so
+    # depth invariant, depth_err × sqrt(s), snr / sqrt(s)... correct:
+    # depth_err' = depth_err_true * sqrt(s) ⇒ true = out/sqrt(s);
+    # ll' = ll_true / s ⇒ true = out*s; snr' = snr_true/sqrt(s)
+    s = w_scale
+    out["depth_err"] = out["depth_err"] / jnp.sqrt(s)
+    out["depth_snr"] = out["depth_snr"] * jnp.sqrt(s)
+    out["log_likelihood"] = out["log_likelihood"] * s
+    out["power"] = out["log_likelihood"] if objective == "likelihood" \
+        else out["depth_snr"]
+    out["transit_time"] = out["transit_time"] + t_min
+    out["period"] = jnp.broadcast_to(jnp.asarray(periods_np, dtype),
+                                     (Y.shape[0], len(periods_np)))
+    return out
+
+
 def bls_power_binned(t, y, dy, periods, durations, oversample=10,
                      objective="likelihood", chunk=64, nbins=None,
                      d_phase=None):
