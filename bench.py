@@ -45,7 +45,7 @@ def main():
     from lightkurve_tpu.ops.bls import bls_power_shared_batch
 
     B = int(os.environ.get("LK_BENCH_B", 256))
-    N = int(os.environ.get("LK_BENCH_N", 4096))
+    N = int(os.environ.get("LK_BENCH_N", 8192))
     P = int(os.environ.get("LK_BENCH_P", 512))
     dtype = jnp.float32
 

@@ -244,12 +244,20 @@ class LightCurveStack:
         return freqs, power
 
     def bls_search(self, periods, durations, oversample=10,
-                   objective="likelihood", sharded=False, mesh=None):
+                   objective="likelihood", sharded=False, mesh=None,
+                   shared_time=None, method="fast"):
         """Batched BLS over the stack; optionally sharded over a device
-        mesh (targets × period-grid), see ``parallel.sharded_bls``."""
+        mesh (targets × period-grid), see ``parallel.sharded_bls``.
+
+        When every curve shares one time grid (auto-detected, or forced
+        via ``shared_time=True``) the search runs through the MXU-matmul
+        kernel (``ops.bls.bls_power_shared_batch``) — orders of magnitude
+        faster than per-curve folding.  ``method='exact'`` forces the
+        sorted-phase exact kernel instead.
+        """
         import jax
         import jax.numpy as jnp
-        from .ops.bls import bls_power
+        from .ops.bls import bls_power, bls_power_shared_batch
         periods = jnp.asarray(periods, self.flux.dtype)
         durations = jnp.asarray(durations, self.flux.dtype)
         dy = jnp.where(self.mask, self.flux_err,
@@ -259,6 +267,12 @@ class LightCurveStack:
             return sharded_bls(self.time, self.flux, dy, periods, durations,
                                oversample=oversample, objective=objective,
                                mesh=mesh)
+        if shared_time is None and method == "fast":
+            shared_time = bool(jnp.all(self.time == self.time[0:1]))
+        if shared_time and method == "fast":
+            return bls_power_shared_batch(
+                self.time[0], self.flux, dy, periods, durations,
+                oversample=oversample, objective=objective)
         fn = jax.vmap(lambda t, y, d: bls_power(
             t, y, d, periods, durations, oversample=oversample,
             objective=objective))

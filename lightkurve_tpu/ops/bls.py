@@ -342,11 +342,14 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
                 w_in_s = jnp.where(ok, w_in, 1.0)
                 w_out_s = jnp.where(ok, w_out, 1.0)
                 depth = wy_out / w_out_s - wy_in / w_in_s
-                depth_err = jnp.sqrt(1.0 / w_in_s + 1.0 / w_out_s)
-                snr = depth / depth_err
-                ll = 0.5 * w_in_s * depth * depth
-                obj = jnp.where(ok, ll if use_likelihood else snr,
-                                -jnp.inf)               # (C, nbins_pad, B)
+                # evaluate ONLY the chosen objective per element; all other
+                # statistics are derived from (w_in, depth) at the winner
+                if use_likelihood:
+                    obj = 0.5 * w_in_s * depth * depth
+                else:
+                    obj = depth * jax.lax.rsqrt(1.0 / w_in_s
+                                                + 1.0 / w_out_s)
+                obj = jnp.where(ok, obj, -jnp.inf)      # (C, nbins_pad, B)
                 v = jnp.max(obj, axis=1)                # (C, B)
                 arg = jnp.argmax(obj, axis=1)           # (C, B)
                 t0 = (arg.astype(dtype) + 0.5 * k) * d_phase
@@ -359,9 +362,8 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
                 def pick(a):
                     return jnp.sum(jnp.where(sel, a, 0.0), axis=1)
 
-                cand = dict(power=v, depth=pick(depth),
-                            depth_err=pick(depth_err), depth_snr=pick(snr),
-                            log_likelihood=pick(ll), transit_time=t0,
+                cand = dict(power=v, depth=pick(depth), w_in=pick(w_in),
+                            transit_time=t0,
                             duration=jnp.full_like(v, dur_val))
                 if best is None:
                     best = cand
@@ -369,6 +371,13 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
                     upd = cand["power"] > best["power"]
                     best = {key: jnp.where(upd, cand[key], best[key])
                             for key in best}
+        # derive the remaining statistics at the winning candidates
+        tw = total[..., :B][:, 0, :]                    # (C, B)
+        w_in_b = best.pop("w_in")
+        w_out_b = tw - w_in_b
+        best["depth_err"] = jnp.sqrt(1.0 / w_in_b + 1.0 / w_out_b)
+        best["depth_snr"] = best["depth"] / best["depth_err"]
+        best["log_likelihood"] = 0.5 * w_in_b * best["depth"] ** 2
         return best                                    # dict of (C, B)
 
     p = periods.shape[0]
@@ -402,7 +411,7 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     t = jnp.asarray(t)
     Y = jnp.asarray(Y)
     dtype = Y.dtype
-    periods_np = np.asarray(periods, dtype=np.float64)
+    periods = jnp.asarray(periods, dtype)
     durations_np = np.asarray(durations, dtype=np.float64)
     if dy is None:
         W = jnp.ones_like(Y)
@@ -417,11 +426,12 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     if d_phase is None:
         d_phase = float(durations_np.min()) / oversample
     if nbins is None:
-        nbins = int(np.ceil(periods_np.max() / d_phase))
+        # requires a concrete period grid; under tracing pass nbins in
+        nbins = int(np.ceil(float(np.max(np.asarray(periods)))
+                            / d_phase))
     k_durs = tuple(int(max(round(d / d_phase), 1)) for d in durations_np)
 
-    out = _bls_shared_scan(ts, Wn.T, (Wn * Y).T,
-                           jnp.asarray(periods_np, dtype), k_durs,
+    out = _bls_shared_scan(ts, Wn.T, (Wn * Y).T, periods, k_durs,
                            tuple(float(d) for d in durations_np),
                            float(d_phase), int(nbins),
                            objective == "likelihood", chunk)
@@ -436,8 +446,8 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     out["power"] = out["log_likelihood"] if objective == "likelihood" \
         else out["depth_snr"]
     out["transit_time"] = out["transit_time"] + t_min
-    out["period"] = jnp.broadcast_to(jnp.asarray(periods_np, dtype),
-                                     (Y.shape[0], len(periods_np)))
+    out["period"] = jnp.broadcast_to(periods[None, :],
+                                     (Y.shape[0], periods.shape[0]))
     return out
 
 

@@ -56,14 +56,16 @@ def _pad_to(arr, size, axis, pad_value):
 
 
 def sharded_bls(time, flux, dy, periods, durations, oversample=10,
-                objective="likelihood", mesh=None, chunk=16):
+                objective="likelihood", mesh=None, chunk=16,
+                shared_time=None):
     """BLS over (B, N) stacks × (P,) periods, sharded over the mesh.
 
     Targets shard over the ``targets`` axis, the period grid over the
     ``grid`` axis.  Returns the same dict as ``ops.bls.bls_power`` with
-    (B, P) arrays (padded periods trimmed).
+    (B, P) arrays (padded periods trimmed).  When the batch shares one
+    time grid each shard runs the MXU-matmul kernel.
     """
-    from ..ops.bls import bls_power
+    from ..ops.bls import bls_power, bls_power_shared_batch
     if mesh is None:
         mesh = make_mesh()
     nt = mesh.shape["targets"]
@@ -79,9 +81,16 @@ def sharded_bls(time, flux, dy, periods, durations, oversample=10,
 
     # grid geometry must be static under tracing: compute globally here
     d_phase = float(np.min(np.asarray(durations))) / oversample
-    t0_count = int(np.ceil(float(np.max(np.asarray(periods))) / d_phase)) + 1
+    nbins = int(np.ceil(float(np.max(np.asarray(periods))) / d_phase))
+    t0_count = nbins + 1
+    if shared_time is None:
+        shared_time = bool(jnp.all(time == time[0:1]))
 
     def local(t, y, d, p):
+        if shared_time:
+            return bls_power_shared_batch(
+                t[0], y, d, p, durations, oversample=oversample,
+                objective=objective, nbins=nbins, d_phase=d_phase)
         fn = jax.vmap(lambda tt, yy, dd: bls_power(
             tt, yy, dd, p, durations, oversample=oversample,
             objective=objective, chunk=chunk, t0_count=t0_count,

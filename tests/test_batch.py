@@ -79,19 +79,30 @@ def test_batched_bls_matches_single(rng):
     stack = LightCurveCollection([lc, lc]).to_stack(pad_to_pow2=False)
     periods = np.linspace(1.8, 2.8, 40)
     durations = np.array([0.1, 0.15])
+    # auto-detected shared time grid → MXU matmul kernel
     out = stack.bls_search(periods, durations, oversample=5)
     power = np.asarray(out["power"])
     assert power.shape == (2, 40)
     np.testing.assert_allclose(power[0], power[1], rtol=1e-10)
-    # compare against the single-curve kernel
     import jax.numpy as jnp
-    from lightkurve_tpu.ops.bls import bls_power
+    from lightkurve_tpu.ops.bls import bls_power, bls_power_shared_batch
+    shared = bls_power_shared_batch(
+        jnp.asarray(t), jnp.asarray(np.stack([y, y])),
+        jnp.asarray(np.full((2, n), 0.001)), jnp.asarray(periods),
+        jnp.asarray(durations), oversample=5)
+    np.testing.assert_allclose(power, np.asarray(shared["power"]),
+                               rtol=1e-8)
+    # method='exact' routes through the sorted-phase kernel
+    out_exact = stack.bls_search(periods, durations, oversample=5,
+                                 method="exact")
     single = bls_power(jnp.asarray(t), jnp.asarray(y),
                        jnp.asarray(np.full(n, 0.001)),
                        jnp.asarray(periods), jnp.asarray(durations),
                        oversample=5)
-    np.testing.assert_allclose(power[0], np.asarray(single["power"]),
-                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_exact["power"])[0],
+                               np.asarray(single["power"]), rtol=1e-6)
+    # both kernels agree on the peak
+    assert np.argmax(power[0]) == np.argmax(np.asarray(single["power"]))
     best_p, best_pow = best_candidates(power, periods, k=1)
     assert abs(best_p[0, 0] - 2.3) < 0.1
 
