@@ -291,15 +291,18 @@ def _bls_scan_binned(ts, w, wy, periods, durations, d_phase, use_likelihood,
 # kernel's design), so there are no gathers or scatters anywhere.
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("k_durs", "dur_values", "d_phase",
-                                   "nbins", "use_likelihood", "chunk"))
+                                   "nbins", "use_likelihood", "chunk",
+                                   "hist_dtype"))
 def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
-                     use_likelihood, chunk):
+                     use_likelihood, chunk, hist_dtype=None):
     n = ts.shape[0]
     B = W.shape[1]
     nbins_pad = ((nbins + 127) // 128) * 128
     n_tiles = nbins_pad // 128
     WWY = jnp.concatenate([W, WY], axis=1)             # (n, 2B)
     dtype = W.dtype
+    if hist_dtype is not None:
+        WWY = WWY.astype(hist_dtype)
     rows_b = jnp.arange(nbins_pad, dtype=jnp.int32)
 
     def one_chunk(pc):                                  # (chunk,)
@@ -314,7 +317,7 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
             for tb in range(n_tiles):
                 rows = tb * 128 + jnp.arange(128, dtype=jnp.int32)
                 onehot = (ids[:, None, :] == rows[None, :, None]
-                          ).astype(dtype)               # (C, 128, n)
+                          ).astype(WWY.dtype)           # (C, 128, n)
                 tiles.append(jax.lax.dot_general(
                     onehot, WWY, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))  # (C, 128, 2B)
@@ -392,7 +395,7 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
 
 def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                            objective="likelihood", chunk=16, nbins=None,
-                           d_phase=None):
+                           d_phase=None, hist_dtype=None):
     """Batched BLS for curves sharing ONE time grid.
 
     Parameters
@@ -431,10 +434,17 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                             / d_phase))
     k_durs = tuple(int(max(round(d / d_phase), 1)) for d in durations_np)
 
+    # hist_dtype='bfloat16' doubles MXU rate; weights are mean-normalized
+    # so bf16 rounding costs ~0.4% per sample, averaging out over the
+    # ~10²-10³ samples per window (validate per-use if depth precision
+    # matters; the peak position is robust)
     out = _bls_shared_scan(ts, Wn.T, (Wn * Y).T, periods, k_durs,
                            tuple(float(d) for d in durations_np),
                            float(d_phase), int(nbins),
-                           objective == "likelihood", chunk)
+                           objective == "likelihood", chunk,
+                           hist_dtype=(jnp.bfloat16
+                                       if hist_dtype in ("bfloat16", "bf16")
+                                       else None))
     # undo the weight normalization: w → w/s scales Σw by 1/s, so
     # depth invariant, depth_err × sqrt(s), snr / sqrt(s)... correct:
     # depth_err' = depth_err_true * sqrt(s) ⇒ true = out/sqrt(s);
