@@ -174,6 +174,39 @@ def _bitceil(n):
     return 1 << (int(n) - 1).bit_length()
 
 
+def extirpolate_batched(xi, frac, Y, N, M=4):
+    """Batched Press-Rybicki extirpolation with SHARED sample positions.
+
+    ``Y`` is (B, n) — every row shares the grid positions (xi, frac), as a
+    stack of light curves on one time grid does.  The scatter then runs as
+    ``M+1`` segment-sums with (n, B) vector payloads — n scatter rows of
+    width B instead of B·n scalar scatters, which is what makes the
+    batched fast-LS path fast on TPU.
+    Returns (B, N).
+    """
+    B, n = Y.shape
+    is_int = frac == 0
+    frac_f = jnp.where(is_int, 0.5, frac)
+    ilo = jnp.clip(xi - M // 2, 0, N - M)
+    offs = (xi - ilo)[:, None] + frac_f[:, None] - jnp.arange(M)  # (n, M)
+    prod = jnp.prod(offs, axis=-1)                                # (n,)
+
+    Yt = Y.T                                                      # (n, B)
+    out = jax.ops.segment_sum(
+        jnp.where(is_int[:, None], Yt, 0.0),
+        jnp.where(is_int, xi, N), num_segments=N + 1)
+    denominator = float(factorial(M - 1))
+    y_f = jnp.where(is_int[:, None], 0.0, Yt)
+    for j in range(M):
+        if j > 0:
+            denominator *= j / (j - M)
+        ind = ilo + (M - 1 - j)
+        coef = (prod / (denominator * ((xi - ind) + frac_f)))[:, None]
+        out = out + jax.ops.segment_sum(y_f * coef, ind,
+                                        num_segments=N + 1)
+    return out[:N].T                                              # (B, N)
+
+
 def extirpolate(xi, frac, y, N, M=4):
     """Press & Rybicki Lagrange extirpolation onto a length-``N`` grid.
 
@@ -236,8 +269,14 @@ def _trig_sum_device(xi, frac, h, ph_hr, ph_hi, ph_fr, ph_fi, Nf, Nfft, Mfft):
     from .fft import ifft_pair
     hr = h * ph_hr
     hi = h * ph_hi
-    gr = extirpolate(xi, frac.astype(h.dtype), hr, Nfft, Mfft)
-    gi = extirpolate(xi, frac.astype(h.dtype), hi, Nfft, Mfft)
+    if h.ndim == 2:
+        # batched curves on one grid: vector-payload scatters
+        fr = frac.astype(h.dtype)
+        gr = extirpolate_batched(xi, fr, hr, Nfft, Mfft)
+        gi = extirpolate_batched(xi, fr, hi, Nfft, Mfft)
+    else:
+        gr = extirpolate(xi, frac.astype(h.dtype), hr, Nfft, Mfft)
+        gi = extirpolate(xi, frac.astype(h.dtype), hi, Nfft, Mfft)
     fr, fi = ifft_pair(gr, gi)
     fr, fi = fr[..., :Nf], fi[..., :Nf]
     out_r = fr * ph_fr - fi * ph_fi
