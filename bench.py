@@ -69,7 +69,7 @@ def main():
     # batch, so the histogram is one fat MXU matmul per period chunk
     def step(time, flux, dy):
         out = bls_power_shared_batch(time, flux, dy, periods_d,
-                                     durations_d, oversample=10, chunk=8)
+                                     durations_d, oversample=10, chunk=16)
         return out["power"], out["period"]
 
     # warmup/compile

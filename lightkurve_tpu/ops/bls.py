@@ -286,9 +286,12 @@ def _bls_scan_binned(ts, w, wy, periods, durations, d_phase, use_likelihood,
 # is IDENTICAL for every curve.  The per-period histogram then becomes a
 # single dense matmul:  onehot(C·nbins, N) @ [w | w·y](N, 2B)  — fat enough
 # to saturate the MXU, amortizing the fold over the whole batch.  Window
-# sums use static shifts of the bin prefix sums; phase-wrap windows are
-# covered by a second fold shifted by half a period (exactly the Pallas
-# kernel's design), so there are no gathers or scatters anywhere.
+# sums are static shifts of the bin prefix sums; phase-wrap windows are
+# handled by depositing every sample TWICE (at bin b and b + nbins_p), so
+# a window starting near the end of the phase range reads its wrapped head
+# from the duplicated extension — one fold, full circular coverage, and no
+# gathers or scatters anywhere.  Σw/Σw·y totals come from direct sums (the
+# duplicated histogram tail would double-count them).
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("k_durs", "dur_values", "d_phase",
                                    "nbins", "use_likelihood", "chunk",
@@ -297,85 +300,85 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
                      use_likelihood, chunk, hist_dtype=None):
     n = ts.shape[0]
     B = W.shape[1]
-    nbins_pad = ((nbins + 127) // 128) * 128
+    k_max = max(k_durs)
+    # rows [0, nbins) hold the fold; rows [nbins, nbins+k_max-1) the
+    # duplicated wrap extension read by windows starting at b < nbins_p
+    nbins_ext = nbins + k_max - 1
+    nbins_pad = ((nbins_ext + 127) // 128) * 128
     n_tiles = nbins_pad // 128
     WWY = jnp.concatenate([W, WY], axis=1)             # (n, 2B)
     dtype = W.dtype
     if hist_dtype is not None:
         WWY = WWY.astype(hist_dtype)
+    total = jnp.sum(jnp.concatenate([W, WY], axis=1), axis=0,
+                    dtype=jnp.float32)[None, None, :]  # (1, 1, 2B)
     rows_b = jnp.arange(nbins_pad, dtype=jnp.int32)
 
     def one_chunk(pc):                                  # (chunk,)
         nbins_p = jnp.ceil(pc / d_phase).astype(jnp.int32)   # (C,)
-
-        def fold_hist(shift_half):
-            base = ts[None, :] + (0.5 * pc[:, None] if shift_half else 0.0)
-            phase = base - jnp.floor(base / pc[:, None]) * pc[:, None]
-            ids = jnp.clip((phase / d_phase).astype(jnp.int32),
-                           0, nbins_pad - 1)            # (C, n)
-            tiles = []
-            for tb in range(n_tiles):
-                rows = tb * 128 + jnp.arange(128, dtype=jnp.int32)
-                onehot = (ids[:, None, :] == rows[None, :, None]
-                          ).astype(WWY.dtype)           # (C, 128, n)
-                tiles.append(jax.lax.dot_general(
-                    onehot, WWY, (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))  # (C, 128, 2B)
-            hist = jnp.concatenate(tiles, axis=1)       # (C, nbins_pad, 2B)
-            return jnp.cumsum(hist, axis=1)
+        phase = ts[None, :] - jnp.floor(ts[None, :] / pc[:, None]) \
+            * pc[:, None]
+        ids = jnp.clip((phase / d_phase).astype(jnp.int32),
+                       0, nbins - 1)                    # (C, n) < nbins_p
+        ids2 = ids + nbins_p[:, None]                   # wrap duplicate
+        tiles = []
+        for tb in range(n_tiles):
+            rows = tb * 128 + jnp.arange(128, dtype=jnp.int32)
+            onehot = ((ids[:, None, :] == rows[None, :, None])
+                      | (ids2[:, None, :] == rows[None, :, None])
+                      ).astype(WWY.dtype)               # (C, 128, n)
+            tiles.append(jax.lax.dot_general(
+                onehot, WWY, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))    # (C, 128, 2B)
+        hist = jnp.concatenate(tiles, axis=1)           # (C, nbins_pad, 2B)
+        csum = jnp.cumsum(hist, axis=1)
+        c_ex = jnp.concatenate(
+            [jnp.zeros_like(csum[:, :1, :]), csum[:, :-1, :]], axis=1)
 
         best = None
-        total = None
-        for fold in range(2):
-            csum = fold_hist(fold == 1)
-            if fold == 0:
-                total = csum[:, -1:, :]                 # (C, 1, 2B)
-            c_ex = jnp.concatenate(
-                [jnp.zeros_like(csum[:, :1, :]), csum[:, :-1, :]], axis=1)
-            for k, dur_val in zip(k_durs, dur_values):
-                hi = jnp.roll(csum, -(k - 1), axis=1)
-                in_sums = hi - c_ex                     # (C, nbins_pad, 2B)
-                w_in = in_sums[..., :B]
-                wy_in = in_sums[..., B:]
-                w_out = total[..., :B] - w_in
-                wy_out = total[..., B:] - wy_in
-                valid = ((rows_b[None, :] + k) <= nbins_p[:, None]
-                         )[..., None]                   # (C, nbins_pad, 1)
-                ok = valid & (w_in > 0) & (w_out > 0)
-                w_in_s = jnp.where(ok, w_in, 1.0)
-                w_out_s = jnp.where(ok, w_out, 1.0)
-                depth = wy_out / w_out_s - wy_in / w_in_s
-                # evaluate ONLY the chosen objective per element; all other
-                # statistics are derived from (w_in, depth) at the winner
-                if use_likelihood:
-                    obj = 0.5 * w_in_s * depth * depth
-                else:
-                    obj = depth * jax.lax.rsqrt(1.0 / w_in_s
-                                                + 1.0 / w_out_s)
-                obj = jnp.where(ok, obj, -jnp.inf)      # (C, nbins_pad, B)
-                v = jnp.max(obj, axis=1)                # (C, B)
-                arg = jnp.argmax(obj, axis=1)           # (C, B)
-                t0 = (arg.astype(dtype) + 0.5 * k) * d_phase
-                if fold == 1:
-                    t0 = t0 - 0.5 * pc[:, None]
-                    t0 = t0 - jnp.floor(t0 / pc[:, None]) * pc[:, None]
-                sel = (jnp.arange(nbins_pad)[None, :, None]
-                       == arg[:, None, :])
+        for k, dur_val in zip(k_durs, dur_values):
+            hi = jnp.roll(csum, -(k - 1), axis=1)
+            in_sums = hi - c_ex                         # (C, nbins_pad, 2B)
+            w_in = in_sums[..., :B]
+            wy_in = in_sums[..., B:]
+            w_out = total[..., :B] - w_in
+            wy_out = total[..., B:] - wy_in
+            # every start bin b < nbins_p is a valid circular window
+            valid = ((rows_b[None, :] < nbins_p[:, None])
+                     & (k <= nbins_p)[:, None])[..., None]
+            ok = valid & (w_in > 0) & (w_out > 0)
+            w_in_s = jnp.where(ok, w_in, 1.0)
+            w_out_s = jnp.where(ok, w_out, 1.0)
+            depth = wy_out / w_out_s - wy_in / w_in_s
+            # evaluate ONLY the chosen objective per element; all other
+            # statistics are derived from (w_in, depth) at the winner
+            if use_likelihood:
+                obj = 0.5 * w_in_s * depth * depth
+            else:
+                obj = depth * jax.lax.rsqrt(1.0 / w_in_s
+                                            + 1.0 / w_out_s)
+            obj = jnp.where(ok, obj, -jnp.inf)          # (C, nbins_pad, B)
+            v = jnp.max(obj, axis=1)                    # (C, B)
+            arg = jnp.argmax(obj, axis=1)               # (C, B)
+            t0 = (arg.astype(dtype) + 0.5 * k) * d_phase
+            t0 = t0 - jnp.floor(t0 / pc[:, None]) * pc[:, None]
+            sel = (jnp.arange(nbins_pad)[None, :, None]
+                   == arg[:, None, :])
 
-                def pick(a):
-                    return jnp.sum(jnp.where(sel, a, 0.0), axis=1)
+            def pick(a):
+                return jnp.sum(jnp.where(sel, a, 0.0), axis=1)
 
-                cand = dict(power=v, depth=pick(depth), w_in=pick(w_in),
-                            transit_time=t0,
-                            duration=jnp.full_like(v, dur_val))
-                if best is None:
-                    best = cand
-                else:
-                    upd = cand["power"] > best["power"]
-                    best = {key: jnp.where(upd, cand[key], best[key])
-                            for key in best}
+            cand = dict(power=v, depth=pick(depth), w_in=pick(w_in),
+                        transit_time=t0,
+                        duration=jnp.full_like(v, dur_val))
+            if best is None:
+                best = cand
+            else:
+                upd = cand["power"] > best["power"]
+                best = {key: jnp.where(upd, cand[key], best[key])
+                        for key in best}
         # derive the remaining statistics at the winning candidates
-        tw = total[..., :B][:, 0, :]                    # (C, B)
+        tw = total[0, :, :B]                            # (1, B)
         w_in_b = best.pop("w_in")
         w_out_b = tw - w_in_b
         best["depth_err"] = jnp.sqrt(1.0 / w_in_b + 1.0 / w_out_b)
@@ -395,7 +398,7 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
 
 def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                            objective="likelihood", chunk=16, nbins=None,
-                           d_phase=None, hist_dtype=None):
+                           d_phase=None, hist_dtype=None, bucket=False):
     """Batched BLS for curves sharing ONE time grid.
 
     Parameters
@@ -403,6 +406,12 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     t : (n,) shared times.
     Y : (B, n) fluxes.
     dy : (B, n) uncertainties, None, or inf-masked padding.
+    bucket : group trial periods by required histogram size (128-row tile
+        granularity) so short periods don't pay for the longest period's
+        bins.  Off by default: measured on this chip the extra dispatches
+        cost more than the saved FLOPs (the kernel is launch/bandwidth
+        limited, not MXU limited); enable for grids whose max period far
+        exceeds the typical one.  Ignored when ``periods`` is traced.
     Returns the same dict as :func:`bls_power_binned` with (B, P) arrays.
 
     The duration grid is quantized to ``min(duration)/oversample`` phase
@@ -438,13 +447,42 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     # so bf16 rounding costs ~0.4% per sample, averaging out over the
     # ~10²-10³ samples per window (validate per-use if depth precision
     # matters; the peak position is robust)
-    out = _bls_shared_scan(ts, Wn.T, (Wn * Y).T, periods, k_durs,
-                           tuple(float(d) for d in durations_np),
-                           float(d_phase), int(nbins),
-                           objective == "likelihood", chunk,
-                           hist_dtype=(jnp.bfloat16
-                                       if hist_dtype in ("bfloat16", "bf16")
-                                       else None))
+    hd = jnp.bfloat16 if hist_dtype in ("bfloat16", "bf16") else None
+    dvals = tuple(float(d) for d in durations_np)
+    k_max = max(k_durs)
+
+    def run(p_sub, nb):
+        return _bls_shared_scan(ts, Wn.T, (Wn * Y).T, p_sub, k_durs, dvals,
+                                float(d_phase), int(nb),
+                                objective == "likelihood", chunk,
+                                hist_dtype=hd)
+
+    if bucket and not isinstance(periods, jax.core.Tracer):
+        p_np = np.asarray(periods, dtype=np.float64)
+        # quantize each period's histogram size up to a 128-row tile
+        # boundary so distinct nbins values (and thus compilations) are
+        # bounded by the tile count, and tiles pad exactly
+        nb_i = np.ceil(p_np / d_phase).astype(np.int64)
+        tiles = np.maximum((nb_i + k_max - 1 + 127) // 128, 1)
+        nb_bucket = tiles * 128 - (k_max - 1)
+        order = np.argsort(tiles, kind="stable")
+        inv = np.argsort(order)
+        outs = []
+        lo = 0
+        while lo < len(order):
+            hi = lo + 1
+            while hi < len(order) and tiles[order[hi]] == tiles[order[lo]]:
+                hi += 1
+            idx = order[lo:hi]
+            outs.append(run(periods[idx], int(nb_bucket[idx[0]])))
+            lo = hi
+        if len(outs) == 1:
+            out = outs[0]
+        else:
+            out = {k: jnp.concatenate([o[k] for o in outs], axis=1)[:, inv]
+                   for k in outs[0]}
+    else:
+        out = run(periods, nbins)
     # undo the weight normalization: w → w/s scales Σw by 1/s, so
     # depth invariant, depth_err × sqrt(s), snr / sqrt(s)... correct:
     # depth_err' = depth_err_true * sqrt(s) ⇒ true = out/sqrt(s);
