@@ -15,6 +15,7 @@ from .readers import (
     read_eleanor_lightcurve, read_k2sc_lightcurve, read_folded_lightcurve)
 from .generic import read_generic_lightcurve
 from .writers import lightcurve_to_fits
+from .pipeline import StreamingStackLoader
 
 __all__ = [
     "Header", "HDU", "PrimaryHDU", "ImageHDU", "BinTableHDU", "HDUList",

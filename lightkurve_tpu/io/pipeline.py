@@ -1,0 +1,239 @@
+"""Double-buffered host→device data pipeline.
+
+The reference has no data-loading pipeline — files are read one at a time
+on the calling thread (``search.py:279-518`` downloads, ``io/read.py``
+parses synchronously).  At TPU scale the host must hide FITS parsing and
+PCIe/ICI transfer behind device compute, so this module provides the
+framework's loader/executor: background workers parse mission FITS into
+padded fixed-shape ``(B, N)`` host arrays (using the multithreaded C++
+column reader in ``csrc/fits_reader.cpp`` when built), stage them in a
+bounded queue, and the consumer issues an asynchronous ``jax.device_put``
+for batch k+1 before batch k's kernels finish — classic double buffering.
+
+Every batch shares ONE static shape (N is scanned from the file headers up
+front and bit-ceiled), so the downstream jitted program compiles exactly
+once for the whole stream.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+
+import numpy as np
+
+__all__ = ["StreamingStackLoader", "assemble_host_stack"]
+
+log = logging.getLogger(__name__)
+
+_SENTINEL = object()
+
+
+def _bitceil(n):
+    return 1 << (int(n) - 1).bit_length()
+
+
+def assemble_host_stack(t, f, fe, length=None):
+    """Pad/repair raw (B, n) host columns into kernel-safe stack arrays.
+
+    Returns float64 numpy ``(time, flux, flux_err, mask)`` with NaNs
+    converted to the device mask convention: padded times continue each
+    curve's median cadence (monotonic, finite), fluxes are zero-filled,
+    errors one-filled where invalid.
+    """
+    t = np.asarray(t, dtype=np.float64)
+    f = np.asarray(f, dtype=np.float64)
+    if fe is None:
+        fe = np.full_like(f, np.nan)
+    fe = np.asarray(fe, dtype=np.float64)
+    mask = np.isfinite(t) & np.isfinite(f)
+    if length is None:
+        length = _bitceil(t.shape[1])
+    pad = length - t.shape[1]
+    if pad < 0:
+        raise ValueError(f"batch has {t.shape[1]} cadences > static "
+                         f"length {length}")
+    if pad:
+        t = np.pad(t, ((0, 0), (0, pad)), constant_values=np.nan)
+        f = np.pad(f, ((0, 0), (0, pad)))
+        fe = np.pad(fe, ((0, 0), (0, pad)))
+        mask = np.pad(mask, ((0, 0), (0, pad)))
+    for i in range(t.shape[0]):
+        good = np.where(mask[i])[0]
+        if len(good) < 2:
+            t[i] = np.arange(t.shape[1], dtype=np.float64)
+            continue
+        dt = np.median(np.diff(t[i, good]))
+        bad = ~np.isfinite(t[i])
+        t[i, bad] = t[i, good[-1]] + dt * np.arange(1, bad.sum() + 1)
+    f = np.nan_to_num(f)
+    fe = np.where(np.isfinite(fe) & (fe > 0), fe, 1.0)
+    return t, f, fe, mask
+
+
+class StreamingStackLoader:
+    """Iterate device-resident :class:`~lightkurve_tpu.batch.LightCurveStack`
+    batches over a list of FITS files with background prefetch.
+
+    Parameters
+    ----------
+    paths : list of FITS light-curve files (one target each).
+    batch_size : targets per yielded stack (the final batch is padded by
+        repeating its last row so every batch keeps the same static B —
+        ``valid`` rows are flagged via the returned stack's ``meta``).
+    prefetch : queue depth; 2 = double buffering (one batch parsing, one
+        staged, one on device).
+    time_column / flux_column / flux_err_column : FITS column names.
+    length : static cadence axis; default scans every file's row count up
+        front (cheap header reads) and bit-ceils the max.
+    nthreads : C++ reader threads per batch.
+
+    Example
+    -------
+    >>> loader = StreamingStackLoader(paths, batch_size=512)   # doctest: +SKIP
+    >>> for stack in loader:                                   # doctest: +SKIP
+    ...     out = stack.bls_search(periods, durations)
+    """
+
+    def __init__(self, paths, batch_size=256, prefetch=2,
+                 time_column="TIME", flux_column="PDCSAP_FLUX",
+                 flux_err_column="PDCSAP_FLUX_ERR", length=None,
+                 dtype=None, nthreads=None):
+        self.paths = [str(p) for p in paths]
+        self.batch_size = int(batch_size)
+        self.prefetch = max(int(prefetch), 1)
+        self.columns = (time_column, flux_column, flux_err_column)
+        self.nthreads = nthreads
+        self.dtype = dtype
+        self._length = length
+
+    # -- host-side parse of one batch ----------------------------------
+    def _parse(self, chunk):
+        from . import native
+        tc, fc, fec = self.columns
+        if native.available():
+            t, _ = native.read_batch(chunk, tc, nthreads=self.nthreads)
+            f, _ = native.read_batch(chunk, fc, stride=t.shape[1],
+                                     nthreads=self.nthreads)
+            try:
+                fe, _ = native.read_batch(chunk, fec, stride=t.shape[1],
+                                          nthreads=self.nthreads)
+            except Exception:
+                fe = None
+        else:
+            from .fits import open_fits
+            rows = []
+            for p in chunk:
+                d = open_fits(p)[1].data
+                rows.append((np.asarray(d[tc], dtype=float),
+                             np.asarray(d[fc], dtype=float),
+                             np.asarray(d[fec], dtype=float)
+                             if fec in d else None))
+            n = max(len(r[0]) for r in rows)
+            t = np.full((len(chunk), n), np.nan)
+            f = np.full((len(chunk), n), np.nan)
+            fe = np.full((len(chunk), n), np.nan)
+            for i, (tv, fv, fev) in enumerate(rows):
+                t[i, :len(tv)] = tv
+                f[i, :len(fv)] = fv
+                if fev is not None:
+                    fe[i, :len(fev)] = fev
+        n_valid = len(chunk)
+        if n_valid < self.batch_size:        # keep B static: repeat last row
+            reps = self.batch_size - n_valid
+            t = np.concatenate([t, np.repeat(t[-1:], reps, axis=0)])
+            f = np.concatenate([f, np.repeat(f[-1:], reps, axis=0)])
+            if fe is not None:
+                fe = np.concatenate([fe, np.repeat(fe[-1:], reps, axis=0)])
+        return assemble_host_stack(t, f, fe, self.length) + (n_valid,)
+
+    @property
+    def length(self):
+        if self._length is None:
+            from . import native
+            if native.available():
+                n_max = max(native.table_rows(p) for p in self.paths)
+            else:
+                from .fits import open_fits
+                n_max = max(len(open_fits(p)[1].data[self.columns[0]])
+                            for p in self.paths)
+            self._length = _bitceil(n_max)
+        return self._length
+
+    def __len__(self):
+        return -(-len(self.paths) // self.batch_size)
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+        from ..batch import LightCurveStack
+        dtype = self.dtype
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 \
+                else jnp.float32
+        _ = self.length                       # header scan before workers
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        chunks = [self.paths[i:i + self.batch_size]
+                  for i in range(0, len(self.paths), self.batch_size)]
+
+        def _put(item):
+            while not stop.is_set():           # never block forever if the
+                try:                            # consumer abandoned us
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
+        def worker():
+            try:
+                for chunk in chunks:
+                    if not _put((chunk, self._parse(chunk))):
+                        return
+            except Exception as exc:           # surface in the consumer
+                _put(exc)
+            _put(_SENTINEL)
+
+        th = threading.Thread(target=worker, daemon=True,
+                              name="lk-stream-loader")
+        th.start()
+        try:
+            staged = None                      # (stack, n_valid) in flight
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                chunk, (t, f, fe, mask, n_valid) = item
+                # async transfer for THIS batch before yielding the last —
+                # device_put returns immediately; kernels on the previous
+                # batch overlap the copy
+                nxt = LightCurveStack(
+                    time=jax.device_put(jnp.asarray(t, dtype)),
+                    flux=jax.device_put(jnp.asarray(f, dtype)),
+                    flux_err=jax.device_put(jnp.asarray(fe, dtype)),
+                    mask=jax.device_put(jnp.asarray(mask)),
+                    meta=[{"FILENAME": p} for p in chunk]
+                    + [{"PADDING": True}] * (self.batch_size - n_valid))
+                if staged is not None:
+                    yield staged
+                staged = nxt
+            if staged is not None:
+                yield staged
+        finally:
+            stop.set()                         # unblock a mid-put worker
+
+    def map(self, fn):
+        """Run ``fn(stack)`` over every batch with loading overlapped;
+        returns the list of (host-materialized) results."""
+        results = []
+        for stack in self:
+            results.append(jax_tree_to_host(fn(stack)))
+        return results
+
+
+def jax_tree_to_host(tree):
+    import jax
+    return jax.tree_util.tree_map(np.asarray, tree)

@@ -432,6 +432,13 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     # normalize weights for f32-safe accumulation; undo on outputs
     w_scale = jnp.mean(jnp.where(jnp.isfinite(W), W, 0.0))
     Wn = jnp.where(jnp.isfinite(W), W / w_scale, 0.0)
+    # mean-shift the flux: depth is shift-invariant, and passing w·(y−μ)
+    # through the histogram matmul keeps the MXU's bf16 input rounding
+    # (TPU DEFAULT f32 precision) RELATIVE to the transit signal instead of
+    # relative to the ~1.0 continuum — without this the signal is destroyed
+    # on TPU (the μ·w part would re-enter depth only to cancel exactly)
+    mu = (jnp.sum(Wn * Y, axis=1) /
+          jnp.maximum(jnp.sum(Wn, axis=1), 1e-30))[:, None]
     t_min = jnp.min(t)
     ts = (t - t_min).astype(dtype)
 
@@ -452,7 +459,8 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     k_max = max(k_durs)
 
     def run(p_sub, nb):
-        return _bls_shared_scan(ts, Wn.T, (Wn * Y).T, p_sub, k_durs, dvals,
+        return _bls_shared_scan(ts, Wn.T, (Wn * (Y - mu)).T, p_sub, k_durs,
+                                dvals,
                                 float(d_phase), int(nb),
                                 objective == "likelihood", chunk,
                                 hist_dtype=hd)

@@ -49,8 +49,12 @@ def _fft_core(xr, xi, sign):
     Mr, Mi = _base_matrices(n_min, sign)
     Mr = jnp.asarray(Mr, dtype)
     Mi = jnp.asarray(Mi, dtype)
-    Yr = Mr @ Xr - Mi @ Xi
-    Yi = Mr @ Xi + Mi @ Xr
+    # HIGHEST: TPU DEFAULT-precision matmuls truncate f32 inputs to bf16 on
+    # the MXU — fatal for O(1)-magnitude DFT twiddles.  The base case is a
+    # tiny (32×32) contraction, so full f32 costs nothing measurable.
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    Yr = mm(Mr, Xr) - mm(Mi, Xi)
+    Yi = mm(Mr, Xi) + mm(Mi, Xr)
     L = n_min
     while L < n:
         half = Yr.shape[-1] // 2

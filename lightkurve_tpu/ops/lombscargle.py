@@ -32,6 +32,18 @@ __all__ = ["lombscargle_direct", "lombscargle_fast", "extirpolate",
            "trig_sum", "fast_precompute"]
 
 
+def _true_f32(fn):
+    """Force full-f32 matmuls (TPU DEFAULT truncates f32 MXU inputs to
+    bf16, corrupting O(1)-magnitude trig sums)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
 def _apply_normalization(power, YY, normalization, wsum):
     if normalization == "standard":
         return power / YY
@@ -44,6 +56,7 @@ def _apply_normalization(power, YY, normalization, wsum):
     raise ValueError(f"Unknown normalization {normalization!r}")
 
 
+@_true_f32
 @partial(jax.jit, static_argnames=("normalization", "fit_mean", "center_data",
                                    "chunk"))
 def lombscargle_direct(t, y, freqs, dy=None, normalization="standard",
@@ -110,6 +123,7 @@ def lombscargle_direct(t, y, freqs, dy=None, normalization="standard",
     return _apply_normalization(powers, YY[..., None], normalization, wsum)
 
 
+@_true_f32
 @partial(jax.jit, static_argnames=("nterms", "normalization", "fit_mean",
                                    "center_data", "chunk"))
 def lombscargle_chi2(t, y, freqs, dy=None, nterms=1, normalization="standard",

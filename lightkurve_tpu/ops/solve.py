@@ -9,6 +9,7 @@ Cholesky.
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -20,6 +21,18 @@ __all__ = ["solve_regression", "iterative_clipped_regression",
            "randomized_pca"]
 
 
+def _true_f32(fn):
+    """Force full-f32 matmuls: TPU DEFAULT precision truncates f32 inputs
+    to bf16 on the MXU, which corrupts normal-equation solves.  Corrector
+    matrices are (n, k≲100) — the 3-pass cost is negligible."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
+@_true_f32
 def solve_regression(X, y, flux_err, mask, prior_mu=None, prior_sigma=None):
     """Weighted ridge solve:  w = (XᵀΣ⁻¹X + Λ)⁻¹ (XᵀΣ⁻¹y + Λμ).
 
@@ -48,6 +61,7 @@ def solve_regression(X, y, flux_err, mask, prior_mu=None, prior_sigma=None):
     return w, sigma_w_inv
 
 
+@_true_f32
 @partial(jax.jit, static_argnames=("niters", "clip_maxiters"))
 def iterative_clipped_regression(X, y, flux_err, mask, prior_mu, prior_sigma,
                                  sigma=5.0, niters=5, clip_maxiters=5):
@@ -79,6 +93,7 @@ def iterative_clipped_regression(X, y, flux_err, mask, prior_mu, prior_sigma,
     return w, m, sigma_w_inv
 
 
+@_true_f32
 def randomized_pca(A, k, n_iter=10, seed=0, oversample=2):
     """Randomized-SVD PCA (Halko et al. 2011), the fbpca.pca equivalent.
 

@@ -204,6 +204,15 @@ class PRFPhotometry:
         import jax
         import jax.numpy as jnp
 
+        # full-f32 matmuls: TPU DEFAULT precision feeds the MXU bf16, which
+        # corrupts the JᵀJ normal equations the LM steps solve
+        with jax.default_matmul_precision("highest"):
+            return self._run(flux_cube, cadences, n_iter, damping)
+
+    def _run(self, flux_cube, cadences, n_iter, damping):
+        import jax
+        import jax.numpy as jnp
+
         cube = np.asarray(flux_cube, dtype=float)
         if cadences is not None:
             cube = cube[np.asarray(cadences)]

@@ -99,3 +99,39 @@ def test_large_stack_memory(rng):
     out = stack.bls_search(np.linspace(1.0, 5.0, 64),
                            np.array([0.1]), oversample=5)
     assert np.isfinite(np.asarray(out["power"])).all()
+
+
+def test_shared_bls_mean_shift_invariance(rng):
+    """The shared-batch kernel mean-shifts flux before the histogram matmul
+    so TPU bf16 MXU input rounding stays relative to the SIGNAL, not the
+    continuum.  Depth is exactly shift-invariant, so un-normalized e-/s
+    fluxes with a large offset must give the same answer as ppm-scale
+    fluxes in f32."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
+
+    n = 600
+    t = np.arange(n) * 0.01
+    P_true = 0.9
+    ph = np.mod(t + P_true / 2, P_true) - P_true / 2
+    base = 1.0 + 1e-4 * rng.standard_normal(n)
+    base[np.abs(ph) < 0.02] -= 2e-3
+    periods = np.linspace(0.5, 1.5, 32)
+    durs = np.array([0.03, 0.05])
+
+    def run(scale):
+        out = bls_power_shared_batch(
+            jnp.asarray(t, jnp.float32),
+            jnp.asarray(scale * base[None], jnp.float32),
+            jnp.asarray(np.full((1, n), scale * 1e-4), jnp.float32),
+            jnp.asarray(periods, jnp.float32), jnp.asarray(durs,
+                                                           jnp.float32))
+        return (np.asarray(out["power"])[0],
+                np.asarray(out["depth"])[0] / scale)
+
+    p1, d1 = run(1.0)
+    p2, d2 = run(12345.0)          # raw e-/s scale
+    assert periods[np.argmax(p1)] == periods[np.argmax(p2)]
+    assert abs(periods[np.argmax(p1)] - P_true) < 0.05
+    np.testing.assert_allclose(p2, p1, rtol=2e-3)
+    np.testing.assert_allclose(d2, d1, rtol=2e-3, atol=1e-7)
