@@ -1,0 +1,157 @@
+"""Fine-grained reference behavioral parity.
+
+Each test pins a specific documented behavior of the reference
+(lightkurve 2.x) that coarser tests don't isolate: fold's
+wrap/epoch-phase conventions (``lightcurve.py:1089-1214``), asymmetric
+outlier clipping (``:1429-1549``), bin argument aliases (``:1558-1762``),
+multi-term periodograms (``periodogram.py:917-958``), BLS stats
+(``periodogram.py:1194-1296``), and stitch defaults
+(``collections.py:173-228``).
+"""
+import warnings
+
+import numpy as np
+import pytest
+
+import matplotlib
+matplotlib.use("Agg")
+
+import lightkurve_tpu as lk
+
+
+@pytest.fixture
+def lc():
+    rng = np.random.default_rng(11)
+    t = np.arange(300) * 0.02
+    f = 1.0 + 4e-3 * np.sin(2 * np.pi * t / 1.3) \
+        + 1e-4 * rng.standard_normal(300)
+    return lk.LightCurve(time=t, flux=f, flux_err=np.full(300, 1e-4))
+
+
+def test_fold_wrap_phase_range(lc):
+    P = 1.3
+    # default wrap: phase in [-P/2, P/2)
+    f = lc.fold(period=P, epoch_time=lc.time.value[0])
+    ph = f.phase.value
+    assert ph.min() >= -P / 2 - 1e-12 and ph.max() < P / 2
+    # custom wrap_phase w: range becomes [w - P, w)
+    f2 = lc.fold(period=P, epoch_time=lc.time.value[0], wrap_phase=0.2)
+    ph2 = f2.phase.value
+    assert ph2.min() >= 0.2 - P - 1e-12 and ph2.max() < 0.2 + 1e-12
+
+
+def test_fold_epoch_phase_shift(lc):
+    P = 1.3
+    base = lc.fold(period=P, epoch_time=lc.time.value[0])
+    shifted = lc.fold(period=P, epoch_time=lc.time.value[0],
+                      epoch_phase=0.1)
+    # folded LCs are sorted by phase (reference behavior) — align samples
+    # through time_original before comparing the +0.1 mod-P shift
+    bo = np.argsort(base.time_original.value)
+    so = np.argsort(shifted.time_original.value)
+    d = np.mod(shifted.phase.value[so] - base.phase.value[bo], P)
+    assert np.allclose(np.minimum(d, P - d), 0.1, atol=1e-9)
+    # and the output really is phase-sorted
+    assert np.all(np.diff(base.phase.value) >= 0)
+
+
+def test_fold_normalize_phase_dimensionless(lc):
+    f = lc.fold(period=1.3, normalize_phase=True)
+    ph = f.phase.value
+    assert ph.min() >= -0.5 - 1e-12 and ph.max() < 0.5
+    # cycle counting still works off time_original
+    assert f.cycle.max() >= 4
+
+
+def test_remove_outliers_asymmetric(lc):
+    f = np.asarray(lc.flux.value).copy()
+    f[10] += 0.05     # upper outlier
+    f[20] -= 0.05     # lower outlier
+    lc2 = lk.LightCurve(time=lc.time.value, flux=f,
+                        flux_err=lc.flux_err.value)
+    up = lc2.remove_outliers(sigma_upper=5, sigma_lower=np.inf)
+    lo = lc2.remove_outliers(sigma_lower=5, sigma_upper=np.inf)
+    assert len(up) == len(lc2) - 1 and 0.05 not in \
+        np.round(np.asarray(up.flux.value) - 1, 3)
+    assert len(lo) == len(lc2) - 1
+    assert np.asarray(lo.flux.value).min() > 0.96
+
+
+def test_bin_aliases(lc):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        b1 = lc.bin(binsize=10)          # legacy alias: 10 cadences/bin
+        b2 = lc.bin(bins=30)             # exactly 30 bins
+    assert len(b1) == len(lc) // 10
+    assert len(b2) == 30
+    with pytest.raises(ValueError):
+        lc.bin(bins=30, binsize=10)
+    # flux_err aggregates as rms / sqrt-ish: smaller than per-point err*3
+    assert np.nanmedian(b1.flux_err.value) < \
+        np.nanmedian(lc.flux_err.value)
+
+
+def test_nterms_dispatches_to_chi2(lc):
+    # sawtooth-ish: fundamental + harmonic
+    t = lc.time.value
+    f = 1.0 + 3e-3 * np.sin(2 * np.pi * t / 1.3) \
+        + 1.5e-3 * np.sin(4 * np.pi * t / 1.3)
+    lc2 = lk.LightCurve(time=t, flux=f, flux_err=lc.flux_err.value)
+    pg = lc2.to_periodogram(nterms=2, ls_method="fastchi2")
+    assert abs(pg.period_at_max_power.value - 1.3) / 1.3 < 0.05
+
+
+def test_bls_compute_stats_contents(lc):
+    t = lc.time.value
+    P, dur, dep = 1.1, 0.08, 5e-3
+    ph = np.mod(t + P / 2, P) - P / 2
+    f = 1.0 - dep * (np.abs(ph) < dur / 2)
+    lc2 = lk.LightCurve(time=t, flux=f, flux_err=np.full_like(t, 1e-4))
+    pg = lc2.to_periodogram(method="bls",
+                            period=np.linspace(0.9, 1.3, 201),
+                            duration=[0.05, 0.08, 0.12])
+    stats = pg.compute_stats()
+    for key in ("depth", "depth_odd", "depth_even", "transit_times",
+                "per_transit_count"):
+        assert key in stats
+    assert abs(float(np.atleast_1d(stats["depth"])[0]) - dep) < 1e-3
+    model = pg.get_transit_model()
+    assert len(model) == len(lc2)
+    tmask = pg.get_transit_mask()
+    frac = tmask.mean()
+    assert 0.3 * dur / P < frac < 3 * dur / P
+
+
+def test_stitch_default_normalizes():
+    t1 = np.arange(50) * 0.02
+    t2 = 2.0 + np.arange(50) * 0.02
+    a = lk.LightCurve(time=t1, flux=np.full(50, 200.0))
+    b = lk.LightCurve(time=t2, flux=np.full(50, 400.0))
+    stitched = lk.LightCurveCollection([a, b]).stitch()
+    # default corrector_func = normalize → both segments near 1
+    assert np.allclose(np.asarray(stitched.flux.value), 1.0)
+    raw = lk.LightCurveCollection([a, b]).stitch(corrector_func=lambda x: x)
+    assert np.asarray(raw.flux.value).max() == 400.0
+
+
+def test_plot_river_sigma_method(lc):
+    folded = lc.fold(period=1.3)
+    ax = folded.plot_river(method="sigma")
+    assert ax is not None
+    matplotlib.pyplot.close("all")
+
+
+def test_tpf_animate_smoke():
+    from tests.synthetic import make_synthetic_tpf
+    tpf = make_synthetic_tpf(n_cadences=8)
+    anim = tpf.animate(interval=10)
+    assert anim is not None
+    matplotlib.pyplot.close("all")
+
+
+def test_sso_query_gated(lc):
+    with pytest.raises(Exception) as e:
+        lc.query_solar_system_objects()
+    assert "network" in str(e.value).lower() or \
+        "offline" in str(e.value).lower() or \
+        "not available" in str(e.value).lower()
