@@ -40,6 +40,8 @@ def _fft_core(xr, xi, sign):
     n = xr.shape[-1]
     if n & (n - 1):
         raise ValueError(f"FFT length must be a power of two, got {n}")
+    if n >= _FOUR_STEP_MIN:
+        return _fft_four_step(xr, xi, sign)
     dtype = xr.dtype
     n_min = min(n, _BASE)
     c = n // n_min
@@ -69,6 +71,65 @@ def _fft_core(xr, xi, sign):
         Yi = jnp.concatenate([Ei + Ti, Ei - Ti], axis=-2)
         L *= 2
     return Yr.reshape(xr.shape), Yi.reshape(xr.shape)
+
+
+# ---------------------------------------------------------------------------
+# Four-step (Bailey) FFT — the TPU path for long transforms.
+#
+# The radix-2 butterfly stages above halve the trailing (lane) dimension
+# every stage, so for large n the final ~7 stages run essentially
+# lane-serial on the VPU (measured ~2 s for a (256, 131072) batch on one
+# v5e).  Factoring n = n1·n2 instead turns the transform into two batched
+# DFT *matmuls* on the MXU with an elementwise twiddle in between:
+#
+#   x[(j1·n2)+j2] → A[j1,j2];  B = F(n1)ᵀA;  B *= T[k1,j2];  X = B·F(n2)
+#   with T = exp(s·2πi·k1·j2/n),  output X[k1,k2] read out as k = k1+n1·k2.
+#
+# All factor matrices are built on the host in float64.  Complex values
+# travel as (re, im) pairs; a complex matmul is 4 real matmuls at HIGHEST
+# precision (TPU DEFAULT would truncate the unit-modulus twiddles to bf16).
+# ---------------------------------------------------------------------------
+_FOUR_STEP_MIN = 1024
+
+
+@lru_cache(maxsize=None)
+def _dft_matrices(m, sign):
+    k = np.arange(m)
+    ang = sign * 2.0 * np.pi * k[:, None] * k[None, :] / m
+    return np.cos(ang), np.sin(ang)
+
+
+@lru_cache(maxsize=None)
+def _four_step_twiddle(n1, n2, sign):
+    k1 = np.arange(n1)[:, None]
+    j2 = np.arange(n2)[None, :]
+    ang = sign * 2.0 * np.pi * (k1 * j2) / (n1 * n2)
+    return np.cos(ang), np.sin(ang)
+
+
+def _fft_four_step(xr, xi, sign):
+    n = xr.shape[-1]
+    n1 = 1 << (n.bit_length() // 2)
+    n2 = n // n1
+    dtype = xr.dtype
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    Ar = xr.reshape(xr.shape[:-1] + (n1, n2))
+    Ai = xi.reshape(xi.shape[:-1] + (n1, n2))
+    F1r, F1i = (jnp.asarray(a, dtype) for a in _dft_matrices(n1, sign))
+    Br = mm(F1r, Ar) - mm(F1i, Ai)                   # (..., n1, n2)
+    Bi = mm(F1r, Ai) + mm(F1i, Ar)
+    Tr, Ti = (jnp.asarray(a, dtype) for a in _four_step_twiddle(n1, n2,
+                                                                sign))
+    Cr = Br * Tr - Bi * Ti
+    Ci = Br * Ti + Bi * Tr
+    F2r, F2i = (jnp.asarray(a, dtype) for a in _dft_matrices(n2, sign))
+    Xr = mm(Cr, F2r) - mm(Ci, F2i)                   # (..., n1, n2) = [k1,k2]
+    Xi = mm(Cr, F2i) + mm(Ci, F2r)
+    # k = k1 + n1·k2 → k2-major layout
+    Xr = jnp.swapaxes(Xr, -1, -2).reshape(xr.shape)
+    Xi = jnp.swapaxes(Xi, -1, -2).reshape(xr.shape)
+    return Xr, Xi
 
 
 @lru_cache(maxsize=1)
