@@ -14,7 +14,6 @@ and weight zero in every kernel.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 import numpy as np
 

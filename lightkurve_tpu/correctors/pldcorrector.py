@@ -10,7 +10,6 @@ the MXU (``ops.solve.randomized_pca``).
 from __future__ import annotations
 
 import logging
-import warnings
 from itertools import combinations_with_replacement
 
 import numpy as np

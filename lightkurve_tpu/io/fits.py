@@ -14,7 +14,6 @@ to round-trip mission light curves/TPFs and to generate test fixtures.
 """
 from __future__ import annotations
 
-import io as _io
 import os
 import re
 from collections import OrderedDict

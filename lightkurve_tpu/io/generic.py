@@ -9,7 +9,6 @@ centroids), and metadata propagation.
 from __future__ import annotations
 
 import logging
-import warnings
 
 import numpy as np
 

@@ -14,8 +14,6 @@ O(B · n_grid_shards) scalars over ICI.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
