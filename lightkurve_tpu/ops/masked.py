@@ -72,9 +72,10 @@ def masked_quantile(x, mask, q, axis=-1):
     frac = pos - lo.astype(xs.dtype)
     v_lo = jnp.take_along_axis(xs, lo[..., None], axis=-1)[..., 0]
     v_hi = jnp.take_along_axis(xs, hi[..., None], axis=-1)[..., 0]
-    # when n-1 < hi (n==lo+1 edge), frac==0 so v_hi contribution vanishes,
-    # but guard the all-invalid case explicitly
-    out = v_lo + frac * (v_hi - v_lo)
+    # at integer ranks (n==1 medians, q==1.0) the hi sample sits in the
+    # +inf invalid padding and frac==0 — but 0*inf is NaN, so select
+    # rather than rely on the frac term vanishing
+    out = jnp.where(frac > 0, v_lo + frac * (v_hi - v_lo), v_lo)
     return jnp.where(n > 0, out, jnp.nan)
 
 

@@ -194,3 +194,39 @@ def test_randomized_pca_spans_column_space(rng):
     np.testing.assert_allclose(proj, A, atol=1e-8)
     # orthonormal columns
     np.testing.assert_allclose(U.T @ U, np.eye(4), atol=1e-10)
+
+
+def test_masked_quantile_integer_rank_edges():
+    """Integer fractional ranks read the +inf invalid padding: n==1 medians
+    and q==1.0 maxima must not produce 0*inf = NaN (regression: isolated
+    one-cadence segments inside flatten's clip loop NaN'd whole curves)."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.masked import masked_median, masked_quantile
+
+    x = jnp.asarray([5.0, 99.0, 99.0, 99.0])
+    one = jnp.asarray([True, False, False, False])
+    assert float(masked_median(x, one)) == 5.0
+    m = jnp.asarray([True, True, True, False])
+    assert float(masked_quantile(x, m, 1.0)) == 99.0
+    assert float(masked_quantile(x, m, 0.0)) == 5.0
+    # odd-count median (integer rank inside the valid prefix) still exact
+    assert float(masked_median(x, m)) == 99.0
+
+
+def test_flatten_isolated_single_point_segment():
+    """A lone cadence between two wide gaps must not NaN the trend."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.detrend import flatten
+    from lightkurve_tpu.ops.savgol import savgol_design_matrix
+
+    rng = np.random.default_rng(5)
+    t = np.concatenate([np.arange(200) * 0.01,
+                        [5.0],                      # isolated point
+                        8.0 + np.arange(200) * 0.01])
+    f = 1.0 + 1e-3 * rng.standard_normal(t.size)
+    H = jnp.asarray(savgol_design_matrix(21, 2))
+    trend, valid = flatten(jnp.asarray(t), jnp.asarray(f),
+                           jnp.ones(t.size, bool), H, jnp.asarray(5.0),
+                           jnp.asarray(3.0), niters=3)
+    assert np.isfinite(np.asarray(trend)).all()
+    assert np.asarray(valid).sum() > 350
