@@ -101,3 +101,29 @@ def test_chi2_multi_term_recovers_harmonic(rng):
                                     jnp.asarray(freqs), nterms=2,
                                     normalization="psd"))
     assert abs(freqs[np.argmax(p)] - 1 / 3.0) < 0.01
+
+
+def test_fast_ls_custom_fft_backend_matches_native(rng):
+    """The TPU always takes the custom split-real FFT; pin on CPU that it
+    gives the same LS power as the native jnp.fft path (guards the
+    four-step factorization inside the full Press-Rybicki pipeline)."""
+    from lightkurve_tpu.config import conf
+    from lightkurve_tpu.ops.lombscargle import lombscargle_fast
+
+    n, Nf = 700, 3000           # Nfft crosses the four-step threshold
+    t = np.sort(rng.uniform(0, 25, n))
+    y = 1.0 + 1e-3 * np.sin(2 * np.pi * t / 1.9) + 1e-4 * rng.normal(size=n)
+    dy = np.full(n, 1e-4)
+    old = conf.fft_backend
+    try:
+        conf.fft_backend = "native"
+        p_native = np.asarray(lombscargle_fast(t, jnp.asarray(y), 0.05,
+                                               0.0005, Nf,
+                                               dy=jnp.asarray(dy)))
+        conf.fft_backend = "custom"
+        p_custom = np.asarray(lombscargle_fast(t, jnp.asarray(y), 0.05,
+                                               0.0005, Nf,
+                                               dy=jnp.asarray(dy)))
+    finally:
+        conf.fft_backend = old
+    np.testing.assert_allclose(p_custom, p_native, rtol=1e-9, atol=1e-12)
