@@ -27,7 +27,7 @@ processed in static chunks via ``lax.map``; batching over targets is a
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -396,6 +396,22 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
             for k, v in out.items()}
 
 
+@lru_cache(maxsize=64)
+def _bucketed_scan(group_shapes, k_durs, dur_values, d_phase,
+                   use_likelihood, chunk, hist_dtype):
+    """One jitted program scanning several (count, nbins) period buckets."""
+    hd = jnp.bfloat16 if hist_dtype in ("bfloat16", "bf16") else None
+
+    @jax.jit
+    def fn(ts, W, WY, *p_subs):
+        return tuple(
+            _bls_shared_scan(ts, W, WY, p, k_durs, dur_values, d_phase,
+                             nb, use_likelihood, chunk, hist_dtype=hd)
+            for p, (_, nb) in zip(p_subs, group_shapes))
+
+    return fn
+
+
 def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                            objective="likelihood", chunk=16, nbins=None,
                            d_phase=None, hist_dtype=None, bucket=False):
@@ -408,10 +424,11 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     dy : (B, n) uncertainties, None, or inf-masked padding.
     bucket : group trial periods by required histogram size (128-row tile
         granularity) so short periods don't pay for the longest period's
-        bins.  Off by default: measured on this chip the extra dispatches
-        cost more than the saved FLOPs (the kernel is launch/bandwidth
-        limited, not MXU limited); enable for grids whose max period far
-        exceeds the typical one.  Ignored when ``periods`` is traced.
+        bins.  Off by default: measured on a v5e the bucketed scan loses
+        (88 → 252 ms at B=256/N=8192/P=512) even as ONE fused program —
+        the uniform-shape chunk pipeline beats the FLOP savings.  Worth
+        retrying only for grids whose max period vastly exceeds the
+        typical one.  Ignored when ``periods`` is traced.
     Returns the same dict as :func:`bls_power_binned` with (B, P) arrays.
 
     The duration grid is quantized to ``min(duration)/oversample`` phase
@@ -475,18 +492,26 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
         nb_bucket = tiles * 128 - (k_max - 1)
         order = np.argsort(tiles, kind="stable")
         inv = np.argsort(order)
-        outs = []
+        groups = []
         lo = 0
         while lo < len(order):
             hi = lo + 1
             while hi < len(order) and tiles[order[hi]] == tiles[order[lo]]:
                 hi += 1
             idx = order[lo:hi]
-            outs.append(run(periods[idx], int(nb_bucket[idx[0]])))
+            groups.append((idx, int(nb_bucket[idx[0]])))
             lo = hi
-        if len(outs) == 1:
-            out = outs[0]
+        if len(groups) == 1:
+            out = run(periods, groups[0][1])
         else:
+            # ALL buckets in ONE jitted program — separate python-level
+            # dispatches cost ~15 ms each through a remote-device tunnel
+            fn = _bucketed_scan(
+                tuple((len(idx), nb) for idx, nb in groups), k_durs, dvals,
+                float(d_phase), objective == "likelihood", chunk,
+                hist_dtype)
+            outs = fn(ts, Wn.T, (Wn * (Y - mu)).T,
+                      *(periods[idx] for idx, _ in groups))
             out = {k: jnp.concatenate([o[k] for o in outs], axis=1)[:, inv]
                    for k in outs[0]}
     else:
