@@ -44,7 +44,7 @@ def main():
     import jax.numpy as jnp
     from lightkurve_tpu.ops.bls import bls_power_shared_batch
 
-    B = int(os.environ.get("LK_BENCH_B", 256))
+    B = int(os.environ.get("LK_BENCH_B", 512))   # measured sweet spot on v5e
     N = int(os.environ.get("LK_BENCH_N", 8192))
     P = int(os.environ.get("LK_BENCH_P", 512))
     dtype = jnp.float32
