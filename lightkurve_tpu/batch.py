@@ -272,6 +272,31 @@ class LightCurveStack:
             return bls_power_shared_batch(
                 self.time[0], self.flux, dy, periods, durations,
                 oversample=oversample, objective=objective)
+        if method == "fast":
+            # mixed time grids: real collections hold a few DISTINCT grids
+            # (one per sector/quarter) — group rows by grid and run the
+            # MXU-matmul kernel per group instead of per-curve folding
+            t_host = np.asarray(self.time)
+            _, gid = np.unique(
+                np.ascontiguousarray(t_host).view(
+                    [("", t_host.dtype)] * t_host.shape[1]).ravel(),
+                return_inverse=True)
+            if gid.max() + 1 < len(self):            # fewer grids than rows
+                out = None
+                for g in range(int(gid.max()) + 1):
+                    rows = np.nonzero(gid == g)[0]
+                    sub = bls_power_shared_batch(
+                        self.time[rows[0]], self.flux[rows], dy[rows],
+                        periods, durations, oversample=oversample,
+                        objective=objective)
+                    if out is None:
+                        out = {k: np.zeros((len(self),) + v.shape[1:],
+                                           dtype=np.asarray(v).dtype)
+                               for k, v in sub.items()}
+                    for k, v in sub.items():
+                        out[k][rows] = np.asarray(v)
+                    del sub
+                return out
         fn = jax.vmap(lambda t, y, d: bls_power(
             t, y, d, periods, durations, oversample=oversample,
             objective=objective))

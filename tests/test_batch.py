@@ -198,3 +198,41 @@ def test_stack_from_files(tmp_path, rng):
     lc = read(paths[0], quality_bitmask="none")
     got = np.asarray(stack.flux[0])[np.asarray(stack.mask[0])]
     np.testing.assert_allclose(got, lc.flux.value, rtol=1e-6)
+
+
+def test_bls_search_groups_mixed_time_grids():
+    """A stack holding a few DISTINCT time grids (multi-sector) routes each
+    grid group through the shared-batch kernel; results must match the
+    all-shared and per-curve paths."""
+    import jax.numpy as jnp
+    import lightkurve_tpu as lk
+    from lightkurve_tpu.batch import LightCurveStack
+
+    rng = np.random.default_rng(9)
+    n = 512
+    grids = [np.arange(n) * 0.01, 2.0 + np.arange(n) * 0.012]
+    lcs = []
+    P_true = 0.8
+    for i in range(6):
+        t = grids[i % 2]
+        ph = np.mod(t + P_true / 2, P_true) - P_true / 2
+        f = 1.0 + 1e-4 * rng.standard_normal(n)
+        f[np.abs(ph) < 0.02] -= 2e-3
+        lcs.append(lk.LightCurve(time=t, flux=f,
+                                 flux_err=np.full(n, 1e-4)))
+    stack = LightCurveStack.from_collection(lk.LightCurveCollection(lcs),
+                                            pad_to_pow2=False)
+    periods = np.linspace(0.5, 1.2, 64)
+    durs = np.array([0.03, 0.05])
+    out = stack.bls_search(periods, durs)
+    pw = np.asarray(out["power"])
+    assert pw.shape == (6, 64)
+    best = periods[np.argmax(pw, axis=1)]
+    assert np.all(np.abs(best - P_true) < 0.03)
+    # parity with a single-grid stack for the rows sharing grid 0
+    sub = LightCurveStack.from_collection(
+        lk.LightCurveCollection([lcs[0], lcs[2], lcs[4]]),
+        pad_to_pow2=False)
+    out0 = sub.bls_search(periods, durs, shared_time=True)
+    np.testing.assert_allclose(pw[[0, 2, 4]], np.asarray(out0["power"]),
+                               rtol=1e-6)
