@@ -216,8 +216,10 @@ class LightCurveStack:
                        sharded=False):
         """Batched fast Lomb-Scargle over a shared frequency grid.
 
-        The grid is derived from the FIRST curve's baseline/cadence (stacks
-        are assumed homogeneous — e.g. one TESS sector).  Returns
+        The frequency grid is derived from the FIRST curve's
+        baseline/cadence; stacks mixing a few DISTINCT time grids
+        (multi-sector collections) are grouped by grid, each group running
+        the batched transform on the same frequency grid.  Returns
         (frequency (Nf,), power (B, Nf)).
         """
         import jax.numpy as jnp
@@ -232,8 +234,21 @@ class LightCurveStack:
         # padded samples get zero weight via dy=inf
         dy = jnp.where(self.mask, self.flux_err,
                        jnp.asarray(np.inf, self.flux.dtype))
-        power = lombscargle_fast(t0, self.flux, f0, fs, Nf, dy=dy,
-                                 normalization=normalization)
+        t_host = np.asarray(self.time)
+        _, gid = np.unique(
+            np.ascontiguousarray(t_host).view(
+                [("", t_host.dtype)] * t_host.shape[1]).ravel(),
+            return_inverse=True)
+        if gid.max() == 0:
+            power = lombscargle_fast(t0, self.flux, f0, fs, Nf, dy=dy,
+                                     normalization=normalization)
+        else:
+            power = np.zeros((len(self), Nf))
+            for g in range(int(gid.max()) + 1):
+                rows = np.nonzero(gid == g)[0]
+                power[rows] = np.asarray(lombscargle_fast(
+                    t_host[rows[0]], self.flux[rows], f0, fs, Nf,
+                    dy=dy[rows], normalization=normalization))
         freqs = f0 + fs * np.arange(Nf)
         if normalization == "psd":
             n = np.asarray(self.mask.sum(axis=1))[:, None]

@@ -236,3 +236,33 @@ def test_bls_search_groups_mixed_time_grids():
     out0 = sub.bls_search(periods, durs, shared_time=True)
     np.testing.assert_allclose(pw[[0, 2, 4]], np.asarray(out0["power"]),
                                rtol=1e-6)
+
+
+def test_ls_periodogram_mixed_time_grids():
+    """Mixed-grid stacks run the batched LS per time-grid group on one
+    shared frequency grid."""
+    import lightkurve_tpu as lk
+    from lightkurve_tpu.batch import LightCurveStack
+
+    rng = np.random.default_rng(4)
+    n = 1024
+    grids = [np.arange(n) * 0.01, 3.0 + np.arange(n) * 0.011]
+    lcs = []
+    for i in range(4):
+        t = grids[i % 2]
+        f = 1.0 + 1e-3 * np.sin(2 * np.pi * t / 1.1) \
+            + 1e-4 * rng.standard_normal(n)
+        lcs.append(lk.LightCurve(time=t, flux=f,
+                                 flux_err=np.full(n, 1e-4)))
+    stack = LightCurveStack.from_collection(lk.LightCurveCollection(lcs),
+                                            pad_to_pow2=False)
+    freqs, power = stack.to_periodogram(normalization="standard",
+                                        oversample_factor=5)
+    best = 1.0 / freqs[np.argmax(power, axis=1)]
+    assert np.all(np.abs(best - 1.1) / 1.1 < 0.02)
+    # parity with the single-grid path for grid-0 rows
+    sub = LightCurveStack.from_collection(
+        lk.LightCurveCollection([lcs[0], lcs[2]]), pad_to_pow2=False)
+    _, p0 = sub.to_periodogram(normalization="standard",
+                               oversample_factor=5)
+    np.testing.assert_allclose(power[[0, 2]], p0, rtol=1e-8)
