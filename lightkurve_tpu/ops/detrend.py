@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .masked import masked_median, masked_std
 from .savgol import savgol_filter_interp
-from .interp import interp_linear_extrap
+from .interp import interp_linear_extrap, interp_linear_ranked
 
 __all__ = ["flatten", "flatten_batch"]
 
@@ -107,14 +107,18 @@ def flatten(time, flux, valid, H, break_tolerance, sigma,
         keep = jnp.abs(resid) < (std * sigma + 1e-14)
         keep = keep & (idx < m)
 
-        # interpolate trend through kept points onto ALL times
+        # interpolate trend through kept points onto ALL times; the kept
+        # points ARE grid points of the (ascending) time vector, so their
+        # searchsorted ranks are an exclusive cumsum of the kept mask —
+        # no per-row binary search
         order2 = _compact(keep)
         m2 = jnp.sum(keep)
         xp = ct[order2]
         fp = trend_c[order2]
-        trend_full = interp_linear_extrap(time, xp, fp, m2)
-
         valid_new = jnp.zeros_like(valid).at[order].set(keep)
+        kept_i = valid_new.astype(jnp.int32)
+        ranks = jnp.cumsum(kept_i) - kept_i
+        trend_full = interp_linear_ranked(time, xp, fp, ranks, m2)
         return valid_new, trend_full
 
     def body(_, carry):

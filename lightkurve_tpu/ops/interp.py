@@ -36,6 +36,20 @@ def interp_linear_extrap(x, xp, fp, n_valid=None):
     xp_s = jnp.where(valid, xp, jnp.inf)
 
     idx = jnp.searchsorted(xp_s, x, side="left")
+    return _interp_at_ranks(x, xp, fp, idx, n_valid)
+
+
+def interp_linear_ranked(x, xp, fp, ranks, n_valid):
+    """:func:`interp_linear_extrap` when the searchsorted result is already
+    known — ``ranks[i]`` = number of valid ``xp`` entries strictly below
+    ``x[i]``.  When the sample positions are a SUBSET of the (sorted)
+    query grid the ranks are an exclusive cumsum of the membership mask,
+    which avoids the per-row binary search (vmapped ``searchsorted`` is
+    ~600 ms for (512, 8192) on a v5e; the cumsum is ~10 ms)."""
+    return _interp_at_ranks(x, xp, fp, ranks, jnp.asarray(n_valid))
+
+
+def _interp_at_ranks(x, xp, fp, idx, n_valid):
     # use segment [idx-1, idx], clamped into the valid range [0, n_valid-1]
     hi = jnp.clip(idx, 1, jnp.maximum(n_valid[..., None], 2) - 1)
     lo = hi - 1
