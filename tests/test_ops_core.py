@@ -230,3 +230,32 @@ def test_flatten_isolated_single_point_segment():
                            jnp.asarray(3.0), niters=3)
     assert np.isfinite(np.asarray(trend)).all()
     assert np.asarray(valid).sum() > 350
+
+
+def test_interp_linear_ranked_matches_searchsorted_path():
+    """interp_linear_ranked with cumsum ranks equals interp_linear_extrap
+    when sample positions are a subset of the sorted query grid."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.interp import (interp_linear_extrap,
+                                           interp_linear_ranked)
+
+    rng = np.random.default_rng(2)
+    n = 200
+    x = np.sort(rng.uniform(0, 10, n))
+    kept = rng.random(n) < 0.6
+    kept[[0, -1]] = True
+    m = int(kept.sum())
+    xp = np.full(n, np.nan)
+    fp = np.full(n, np.nan)
+    xp[:m] = x[kept]
+    fp[:m] = np.sin(x[kept])
+    want = np.asarray(interp_linear_extrap(jnp.asarray(x), jnp.asarray(xp),
+                                           jnp.asarray(fp), m))
+    ki = kept.astype(np.int32)
+    ranks = np.cumsum(ki) - ki
+    got = np.asarray(interp_linear_ranked(jnp.asarray(x), jnp.asarray(xp),
+                                          jnp.asarray(fp),
+                                          jnp.asarray(ranks), m))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # kept points reproduce their values exactly
+    np.testing.assert_allclose(got[kept], np.sin(x[kept]), rtol=1e-12)
