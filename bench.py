@@ -88,14 +88,48 @@ def main():
     ok = abs(rec - P_true) / P_true < 0.05
 
     rate = B * P / dt
+    detail = {"B": B, "N": N, "P": P, "seconds_per_step": round(dt, 3),
+              "recovered_period_ok": bool(ok),
+              "device": str(jax.devices()[0])}
+
+    # companion kernel rates (best-effort; failures never break the
+    # primary metric)
+    try:
+        from lightkurve_tpu.ops.detrend import flatten_batch
+        from lightkurve_tpu.ops.savgol import savgol_design_matrix
+        H = jnp.asarray(savgol_design_matrix(101, 2), dtype)
+        tt = jnp.broadcast_to(time_d, (B, N))
+        m = jnp.ones((B, N), bool)
+        tr, _ = flatten_batch(tt, flux_d, m, H, jnp.asarray(5.0, dtype),
+                              jnp.asarray(3.0, dtype), niters=3)
+        np.asarray(tr)
+        t0 = _time.time()
+        tr, _ = flatten_batch(tt, flux_d, m, H, jnp.asarray(5.0, dtype),
+                              jnp.asarray(3.0, dtype), niters=3)
+        np.asarray(tr)
+        detail["flatten_curves_per_sec"] = round(B / (_time.time() - t0), 1)
+    except Exception as exc:   # pragma: no cover
+        detail["flatten_error"] = str(exc)[:120]
+    try:
+        from lightkurve_tpu.ops.lombscargle import lombscargle_fast
+        Nf = 16384
+        f0, df_ = 0.05, 60.0 / Nf / float(t[-1] - t[0] + 1)
+        pw = lombscargle_fast(t, flux_d, f0, df_, Nf, dy=dy_d)
+        np.asarray(pw)
+        t0 = _time.time()
+        pw = lombscargle_fast(t, flux_d, f0, df_, Nf, dy=dy_d)
+        np.asarray(pw)
+        dt_ls = _time.time() - t0
+        detail["ls_freq_evals_per_sec"] = round(B * Nf / dt_ls, 1)
+    except Exception as exc:   # pragma: no cover
+        detail["ls_error"] = str(exc)[:120]
+
     print(json.dumps({
         "metric": "bls_curve_period_evals_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "curve-period/s/chip",
         "vs_baseline": round(rate / NORTH_STAR_RATE, 5),
-        "detail": {"B": B, "N": N, "P": P, "seconds_per_step": round(dt, 3),
-                   "recovered_period_ok": bool(ok),
-                   "device": str(jax.devices()[0])},
+        "detail": detail,
     }))
 
 
