@@ -259,3 +259,29 @@ def test_interp_linear_ranked_matches_searchsorted_path():
     np.testing.assert_allclose(got, want, rtol=1e-12)
     # kept points reproduce their values exactly
     np.testing.assert_allclose(got[kept], np.sin(x[kept]), rtol=1e-12)
+
+
+def test_acf_large_window_four_step_fft(rng):
+    """Autocorrelation windows above the four-step FFT threshold (n>=1024
+    after pow2 padding) must still match np.correlate — pins the Bailey
+    factorization inside the seismology ACF path with the custom backend
+    the TPU always uses."""
+    from lightkurve_tpu.config import conf
+    from lightkurve_tpu.ops.acf import autocorrelate_windows
+
+    p = rng.normal(size=4000)
+    starts = np.array([0, 1200, 2800])
+    old = conf.fft_backend
+    try:
+        conf.fft_backend = "custom"
+        acf, nv = autocorrelate_windows(jnp.asarray(p),
+                                        jnp.asarray(starts), 1100)
+    finally:
+        conf.fft_backend = old
+    acf = np.asarray(acf)
+    for i, s in enumerate(starts):
+        seg = p[s:s + 1100]
+        seg = seg - seg.mean()
+        want = np.correlate(seg, seg, "full")[len(seg) - 1:]
+        np.testing.assert_allclose(acf[i, :len(want)], want, rtol=1e-8,
+                                   atol=1e-8 * np.abs(want).max())
