@@ -110,8 +110,9 @@ class DesignMatrix:
     def __repr__(self):
         return f"{self.name} DesignMatrix {self.shape}"
 
-    def _get_prior_sample(self):
-        return np.random.normal(self.prior_mu, self.prior_sigma)
+    def _get_prior_sample(self, rng=None):
+        rng = np.random.default_rng() if rng is None else rng
+        return rng.normal(self.prior_mu, self.prior_sigma)
 
     # -- transformations ------------------------------------------------------
     def split(self, row_indices, inplace=False):
@@ -275,8 +276,9 @@ class DesignMatrixCollection:
     def copy(self):
         return deepcopy(self)
 
-    def _get_prior_sample(self):
-        return np.hstack([m._get_prior_sample() for m in self.matrices])
+    def _get_prior_sample(self, rng=None):
+        rng = np.random.default_rng() if rng is None else rng
+        return np.hstack([m._get_prior_sample(rng) for m in self.matrices])
 
     def to_designmatrix(self, name=None):
         """Flatten into a single DesignMatrix."""

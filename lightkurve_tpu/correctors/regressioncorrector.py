@@ -100,9 +100,15 @@ class RegressionCorrector(Corrector):
         return w, w_err
 
     def correct(self, design_matrix_collection, cadence_mask=None, sigma=5,
-                niters=5, propagate_errors=False):
+                niters=5, propagate_errors=False, seed=None):
         """Find and subtract the best-fit noise model
-        (reference ``:191-309``)."""
+        (reference ``:191-309``).
+
+        ``seed`` (extension, SURVEY §7f RNG policy): seeds the
+        coefficient-posterior sampling used when ``propagate_errors=True``
+        (100 multivariate-normal draws, as in the reference); no global
+        ``np.random`` state is touched.
+        """
         import jax.numpy as jnp
         from ..ops.solve import iterative_clipped_regression
 
@@ -140,11 +146,12 @@ class RegressionCorrector(Corrector):
         model_flux = X @ coefficients
         model_flux -= np.median(model_flux)
         if propagate_errors:
+            rng = np.random.default_rng(seed)
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore", RuntimeWarning)
                 samples = np.asarray([
-                    X @ np.random.multivariate_normal(coefficients,
-                                                      self.coefficients_err)
+                    X @ rng.multivariate_normal(coefficients,
+                                                self.coefficients_err)
                     for _ in range(100)]).T
             model_err = np.abs(
                 np.percentile(samples, [16, 84], axis=1)

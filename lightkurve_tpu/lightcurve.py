@@ -679,8 +679,15 @@ class LightCurve:
         object.__setattr__(out, "_cols", new_cols)
         return out
 
-    def fill_gaps(self, method="gaussian_noise"):
-        """Fill gaps in time with Gaussian noise (reference ``:1329-1427``)."""
+    def fill_gaps(self, method="gaussian_noise", seed=None):
+        """Fill gaps in time with Gaussian noise (reference ``:1329-1427``).
+
+        ``seed`` (extension over the reference, SURVEY §7f RNG policy):
+        seeds the noise generator for reproducible fills; the default
+        ``None`` draws fresh entropy.  No global ``np.random`` state is
+        touched either way.
+        """
+        rng = np.random.default_rng(seed)
         lc = self.remove_nans()
         tv = lc.time.value
         newdata = {}
@@ -725,8 +732,8 @@ class LightCurve:
                 std = np.nanstd(lc.flux.value)
             if not np.isfinite(std):
                 std = np.nanstd(lc.flux.value)
-            f[~in_original] = np.random.normal(np.nanmean(lc.flux.value),
-                                               std, (~in_original).sum())
+            f[~in_original] = rng.normal(np.nanmean(lc.flux.value),
+                                         std, (~in_original).sum())
         else:
             raise NotImplementedError(f"No such method as {method}")
         newdata["time"] = Time(ntime, format=lc.time.format,

@@ -206,7 +206,7 @@ bls_power_direct = bls_power
 # approximation astropy's Cython kernel makes).
 # ---------------------------------------------------------------------------
 def _bls_one_period_binned(ts, w, wy, period, durations, d_phase, nbins,
-                           use_likelihood):
+                           use_likelihood, wrap=True):
     phase = jnp.mod(ts, period)
     ids = jnp.clip((phase / d_phase).astype(jnp.int32), 0, nbins - 1)
     Wb = jax.ops.segment_sum(w, ids, num_segments=nbins)
@@ -222,19 +222,27 @@ def _bls_one_period_binned(ts, w, wy, period, durations, d_phase, nbins,
     k_durs = jnp.maximum((durations / d_phase + 0.5).astype(jnp.int32), 1)
     starts = jnp.arange(nbins)                          # (T0,)
     ends = starts[:, None] + k_durs[None, :]            # (T0, D)
-    # wrap past the period edge
-    wraps = ends > nbins_p
-    ends_m = jnp.where(wraps, ends - nbins_p, ends)
-    w_plain = cw[ends_m] - cw[starts][:, None]
-    wy_plain = cwy[ends_m] - cwy[starts][:, None]
-    w_wrap = (total_w - cw[starts][:, None]) + cw[ends_m]
-    wy_wrap = (total_wy - cwy[starts][:, None]) + cwy[ends_m]
-    w_in = jnp.where(wraps, w_wrap, w_plain)
-    wy_in = jnp.where(wraps, wy_wrap, wy_plain)
+    if wrap:
+        # circular: windows past the period edge wrap to the start
+        wraps = ends > nbins_p
+        ends_m = jnp.where(wraps, ends - nbins_p, ends)
+        w_plain = cw[ends_m] - cw[starts][:, None]
+        wy_plain = cwy[ends_m] - cwy[starts][:, None]
+        w_wrap = (total_w - cw[starts][:, None]) + cw[ends_m]
+        wy_wrap = (total_wy - cwy[starts][:, None]) + cwy[ends_m]
+        w_in = jnp.where(wraps, w_wrap, w_plain)
+        wy_in = jnp.where(wraps, wy_wrap, wy_plain)
+    else:
+        # astropy edge convention: windows past the period edge read
+        # empty bins (truncated transits), no wrap-around
+        ends_m = jnp.minimum(ends, nbins)
+        w_in = cw[ends_m] - cw[starts][:, None]
+        wy_in = cwy[ends_m] - cwy[starts][:, None]
     w_out = total_w - w_in
     wy_out = total_wy - wy_in
 
-    ok = (w_in > 0) & (w_out > 0) & (starts[:, None] < nbins_p)
+    ok = ((w_in > 0) & (w_out > 0) & (starts[:, None] < nbins_p)
+          & (k_durs[None, :] <= nbins_p))
     w_in_s = jnp.where(ok, w_in, 1.0)
     w_out_s = jnp.where(ok, w_out, 1.0)
     depth = wy_out / w_out_s - wy_in / w_in_s
@@ -247,6 +255,10 @@ def _bls_one_period_binned(ts, w, wy, period, durations, d_phase, nbins,
     best = jnp.argmax(flat)
     i0, id_ = best // durations.shape[0], best % durations.shape[0]
     take = lambda a: a.reshape(-1)[best]
+    # mid-transit of the binned window, wrapped into [0, period)
+    t0 = (starts[i0].astype(w.dtype)
+          + 0.5 * k_durs[id_].astype(w.dtype)) * d_phase
+    t0 = t0 - jnp.floor(t0 / period) * period
     return dict(
         power=flat[best],
         depth=take(depth),
@@ -254,15 +266,14 @@ def _bls_one_period_binned(ts, w, wy, period, durations, d_phase, nbins,
         depth_snr=take(snr),
         log_likelihood=take(loglike),
         duration=durations[id_],
-        # mid-transit of the binned window
-        transit_time=(starts[i0].astype(w.dtype)
-                      + 0.5 * k_durs[id_].astype(w.dtype)) * d_phase,
+        transit_time=t0,
     )
 
 
-@partial(jax.jit, static_argnames=("use_likelihood", "chunk", "nbins"))
+@partial(jax.jit, static_argnames=("use_likelihood", "chunk", "nbins",
+                                   "wrap"))
 def _bls_scan_binned(ts, w, wy, periods, durations, d_phase, use_likelihood,
-                     chunk, nbins):
+                     chunk, nbins, wrap=True):
     p = periods.shape[0]
     n_chunks = -(-p // chunk)
     pad = n_chunks * chunk - p
@@ -272,7 +283,7 @@ def _bls_scan_binned(ts, w, wy, periods, durations, d_phase, use_likelihood,
         return jax.vmap(
             lambda per: _bls_one_period_binned(ts, w, wy, per, durations,
                                                d_phase, nbins,
-                                               use_likelihood))(pc)
+                                               use_likelihood, wrap=wrap))(pc)
 
     out = jax.lax.map(one_chunk, ppad.reshape(n_chunks, chunk))
     return jax.tree.map(lambda a: a.reshape(-1)[:p], out)
@@ -295,9 +306,10 @@ def _bls_scan_binned(ts, w, wy, periods, durations, d_phase, use_likelihood,
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("k_durs", "dur_values", "d_phase",
                                    "nbins", "use_likelihood", "chunk",
-                                   "hist_dtype"))
+                                   "hist_dtype", "window_impl", "wrap"))
 def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
-                     use_likelihood, chunk, hist_dtype=None):
+                     use_likelihood, chunk, hist_dtype=None,
+                     window_impl="xla", wrap=True):
     n = ts.shape[0]
     B = W.shape[1]
     k_max = max(k_durs)
@@ -316,22 +328,47 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
 
     def one_chunk(pc):                                  # (chunk,)
         nbins_p = jnp.ceil(pc / d_phase).astype(jnp.int32)   # (C,)
-        phase = ts[None, :] - jnp.floor(ts[None, :] / pc[:, None]) \
-            * pc[:, None]
+        # exact fmod (lax.rem), NOT ts - floor(ts/p)*p: the floor form is
+        # off by 1 ulp for samples exactly on bin boundaries, flipping
+        # their fold bin vs the fmod-based oracle/astropy convention
+        # (caught by test_astropy_oracle_parity on a commensurate grid)
+        phase = jnp.mod(ts[None, :], pc[:, None])
         ids = jnp.clip((phase / d_phase).astype(jnp.int32),
                        0, nbins - 1)                    # (C, n) < nbins_p
         ids2 = ids + nbins_p[:, None]                   # wrap duplicate
         tiles = []
         for tb in range(n_tiles):
             rows = tb * 128 + jnp.arange(128, dtype=jnp.int32)
-            onehot = ((ids[:, None, :] == rows[None, :, None])
-                      | (ids2[:, None, :] == rows[None, :, None])
-                      ).astype(WWY.dtype)               # (C, 128, n)
+            onehot = (ids[:, None, :] == rows[None, :, None])
+            if wrap:
+                # circular windows read the duplicated extension rows;
+                # astropy edge mode (wrap=False) leaves them empty so
+                # edge windows truncate against zeros
+                onehot = onehot | (ids2[:, None, :] == rows[None, :, None])
+            onehot = onehot.astype(WWY.dtype)           # (C, 128, n)
             tiles.append(jax.lax.dot_general(
                 onehot, WWY, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))    # (C, 128, 2B)
         hist = jnp.concatenate(tiles, axis=1)           # (C, nbins_pad, 2B)
         csum = jnp.cumsum(hist, axis=1)
+
+        if window_impl in ("pallas", "pallas_interpret"):
+            # fused Pallas window scan: one HBM pass over csum instead of
+            # ~13 rolled/select passes (measured 74 -> ~8 ms per step at
+            # B=512/P=512 on a v5e)
+            from .bls_window_pallas import window_scan_pallas
+            best = window_scan_pallas(
+                csum, nbins_p, pc, total[0, 0], k_durs, dur_values,
+                float(d_phase), use_likelihood=use_likelihood,
+                interpret=(window_impl == "pallas_interpret"))
+            tw = total[0, :, :B]
+            w_in_b = best.pop("w_in")
+            w_out_b = tw - w_in_b
+            best["depth_err"] = jnp.sqrt(1.0 / w_in_b + 1.0 / w_out_b)
+            best["depth_snr"] = best["depth"] / best["depth_err"]
+            best["log_likelihood"] = 0.5 * w_in_b * best["depth"] ** 2
+            return best
+
         c_ex = jnp.concatenate(
             [jnp.zeros_like(csum[:, :1, :]), csum[:, :-1, :]], axis=1)
 
@@ -414,7 +451,8 @@ def _bucketed_scan(group_shapes, k_durs, dur_values, d_phase,
 
 def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                            objective="likelihood", chunk=16, nbins=None,
-                           d_phase=None, hist_dtype=None, bucket=False):
+                           d_phase=None, hist_dtype=None, bucket=False,
+                           window_impl=None, edge_mode="wrap"):
     """Batched BLS for curves sharing ONE time grid.
 
     Parameters
@@ -475,12 +513,22 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     dvals = tuple(float(d) for d in durations_np)
     k_max = max(k_durs)
 
+    if window_impl is None:
+        import os
+        window_impl = os.environ.get("LK_BLS_WINDOW", "auto")
+    if window_impl == "auto":
+        # fused Pallas window scan on TPU when the batch tiles the lanes;
+        # XLA windowing otherwise (CPU parity tests, ragged batches)
+        window_impl = ("pallas" if jax.default_backend() == "tpu"
+                       and Y.shape[0] % 128 == 0 else "xla")
+
     def run(p_sub, nb):
         return _bls_shared_scan(ts, Wn.T, (Wn * (Y - mu)).T, p_sub, k_durs,
                                 dvals,
                                 float(d_phase), int(nb),
                                 objective == "likelihood", chunk,
-                                hist_dtype=hd)
+                                hist_dtype=hd, window_impl=window_impl,
+                                wrap=edge_mode != "astropy")
 
     if bucket and not isinstance(periods, jax.core.Tracer):
         p_np = np.asarray(periods, dtype=np.float64)
@@ -534,10 +582,15 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
 
 def bls_power_binned(t, y, dy, periods, durations, oversample=10,
                      objective="likelihood", chunk=64, nbins=None,
-                     d_phase=None):
+                     d_phase=None, edge_mode="wrap"):
     """Binned BLS periodogram (fast path; same signature/outputs as
     :func:`bls_power`, with transit boundaries quantized to
-    min(duration)/oversample phase bins as in astropy's Cython kernel)."""
+    min(duration)/oversample phase bins as in astropy's Cython kernel).
+
+    ``edge_mode``: 'wrap' (default) evaluates circular windows across the
+    period edge; 'astropy' reproduces the astropy kernel's convention of
+    truncating edge windows against empty padding bins.
+    """
     t = jnp.asarray(t)
     y = jnp.asarray(y)
     periods = jnp.asarray(periods)
@@ -552,7 +605,8 @@ def bls_power_binned(t, y, dy, periods, durations, oversample=10,
         nbins = int(np.ceil(float(np.max(np.asarray(periods))) / d_phase))
     out = _bls_scan_binned(ts, w, wy, periods, durations,
                            jnp.asarray(d_phase, y.dtype),
-                           objective == "likelihood", chunk, nbins)
+                           objective == "likelihood", chunk, nbins,
+                           wrap=edge_mode != "astropy")
     out["transit_time"] = out["transit_time"] + t_min
     out["period"] = periods
     return out

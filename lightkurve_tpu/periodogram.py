@@ -605,52 +605,106 @@ class BoxLeastSquaresPeriodogram(Periodogram):
             np.asarray(transit_time, dtype=float))[0]))
 
     def compute_stats(self, period=None, duration=None, transit_time=None):
-        """Vetting statistics for a transit model (reference ``:1194-1230``;
-        subset of astropy's ``BoxLeastSquares.compute_stats``)."""
-        from .ops.bls import bls_objective_single
-        import jax.numpy as jnp
+        """Vetting statistics for a transit model.
+
+        Full astropy ``BoxLeastSquares.compute_stats`` semantics (the
+        reference delegates to it at ``periodogram.py:1194-1230``):
+        fiducial/odd/even/phased/half-period depths against the fiducial
+        out-of-transit level, per-transit point counts and
+        log-likelihood contributions, and the best-fit sinusoid
+        comparison (``harmonic_amplitude`` /
+        ``harmonic_delta_log_likelihood``).  Host-side numpy — this is a
+        one-shot vetting call, not a hot loop.
+        """
         p, d, t0 = self._best(period, duration, transit_time)
         tv = self.time.value.astype(np.float64)
-        fv = np.asarray(self.flux.value, dtype=np.float64)
+        y = np.asarray(self.flux.value, dtype=np.float64)
         dyv = np.asarray(self.flux_err.value, dtype=np.float64)
-        dy = dyv if np.isfinite(dyv).all() else None
-        out = bls_objective_single(jnp.asarray(tv), jnp.asarray(fv),
-                                   None if dy is None else jnp.asarray(dy),
-                                   p, d, t0)
-        in_t = np.asarray(out["in_transit"])
+        if np.isfinite(dyv).all():
+            ivar = 1.0 / dyv ** 2
+        else:
+            ivar = np.ones_like(y)
         hp = 0.5 * p
-        cycle = np.floor((tv - t0 + hp) / p).astype(int)
-        odd = in_t & (cycle % 2 == 1)
-        even = in_t & (cycle % 2 == 0)
 
-        def _depth(m):
-            if m.sum() == 0:
-                return np.nan, np.nan
-            w = np.ones_like(fv) if dy is None else 1 / dyv ** 2
-            y_out = float(out["y_out"])
-            w_in = w[m].sum()
-            return y_out - (w[m] * fv[m]).sum() / w_in, np.sqrt(1 / w_in)
+        def _depth(m, y_out=None, var_out=None):
+            """(weighted mean, variance) of points in ``m``; with a
+            reference level, (depth, err) against it."""
+            if np.any(m) and (y_out is None or np.isfinite(y_out)):
+                var_m = 1.0 / np.sum(ivar[m])
+                y_m = np.sum(y[m] * ivar[m]) * var_m
+                if y_out is None:
+                    return y_m, var_m
+                return y_out - y_m, np.sqrt(var_m + var_out)
+            return 0.0, np.inf
 
-        d_odd, e_odd = _depth(odd)
-        d_even, e_even = _depth(even)
-        t_first = t0 + np.ceil((tv.min() - t0) / p) * p
-        transit_times = np.arange(t_first, tv.max() + 0.5 * p, p)
-        per_tr = []
-        for tt in transit_times:
-            m = np.abs(tv - tt) < 0.5 * d
-            per_tr.append(int(m.sum()))
+        # fiducial model + the two models at twice the period (odd/even)
+        m_in = np.abs((tv - t0 + hp) % p - hp) < 0.5 * d
+        m_out = ~m_in
+        m_odd = np.abs((tv - t0) % (2 * p) - p) < 0.5 * d
+        m_even = np.abs((tv - t0 + p) % (2 * p) - p) < 0.5 * d
+        y_out, var_out = _depth(m_out)
+        depth = _depth(m_in, y_out, var_out)
+        depth_odd = _depth(m_odd, y_out, var_out)
+        depth_even = _depth(m_even, y_out, var_out)
+        y_in = y_out - depth[0]
+
+        # depth of a putative secondary eclipse at phase 0.5
+        m_phase = np.abs((tv - t0) % p - hp) < 0.5 * d
+        depth_phased = _depth(m_phase, *_depth(~(m_phase | m_in)))
+
+        # depth of a model with half the period (quarter-phase offset)
+        m_half = (np.abs((tv - t0 + 0.25 * p) % (0.5 * p) - 0.25 * p)
+                  < 0.5 * d)
+        depth_half = _depth(m_half, *_depth(~m_half))
+
+        # per-transit counts + log-likelihood contributions
+        if m_in.any():
+            transit_id = np.round((tv[m_in] - t0) / p).astype(int)
+            transit_times = (p * np.arange(transit_id.min(),
+                                           transit_id.max() + 1) + t0)
+            unique_ids, unique_counts = np.unique(transit_id,
+                                                  return_counts=True)
+            unique_ids = unique_ids - transit_id.min()
+            transit_id = transit_id - transit_id.min()
+            counts = np.zeros(len(transit_times), dtype=int)
+            counts[unique_ids] = unique_counts
+            ll = -0.5 * ivar[m_in] * ((y[m_in] - y_in) ** 2
+                                      - (y[m_in] - y_out) ** 2)
+            lls = np.zeros(len(transit_times))
+            for i in unique_ids:
+                lls[i] = np.sum(ll[transit_id == i])
+        else:
+            transit_times = np.empty(0)
+            counts = np.empty(0, dtype=int)
+            lls = np.empty(0)
+        full_ll = -0.5 * np.sum(ivar[m_in] * (y[m_in] - y_in) ** 2)
+        full_ll -= 0.5 * np.sum(ivar[m_out] * (y[m_out] - y_out) ** 2)
+
+        # best-fit sinusoid at the period: amplitude + delta log-like
+        A = np.vstack((np.sin(2 * np.pi * tv / p),
+                       np.cos(2 * np.pi * tv / p),
+                       np.ones_like(tv))).T
+        w_sin = np.linalg.solve(np.dot(A.T, A * ivar[:, None]),
+                                np.dot(A.T, y * ivar))
+        sin_ll = -0.5 * np.sum((y - np.dot(A, w_sin)) ** 2 * ivar)
+
+        depth_err = depth[1]
         return {
-            "depth": (float(out["depth"]), float(out["depth_err"])),
-            "depth_odd": (d_odd, e_odd),
-            "depth_even": (d_even, e_even),
-            "depth_half": (np.nan, np.nan),
-            "harmonic_amplitude": np.nan,
-            "harmonic_delta_log_likelihood": np.nan,
             "transit_times": transit_times,
-            "per_transit_count": np.asarray(per_tr),
-            "per_transit_log_likelihood": None,
-            "log_likelihood": float(out["log_likelihood"]),
-            "snr": float(out["depth_snr"]),
+            "per_transit_count": counts,
+            "per_transit_log_likelihood": lls,
+            "depth": (float(depth[0]), float(depth[1])),
+            "depth_phased": (float(depth_phased[0]),
+                             float(depth_phased[1])),
+            "depth_half": (float(depth_half[0]), float(depth_half[1])),
+            "depth_odd": (float(depth_odd[0]), float(depth_odd[1])),
+            "depth_even": (float(depth_even[0]), float(depth_even[1])),
+            "harmonic_amplitude": float(np.sqrt(np.sum(w_sin[:2] ** 2))),
+            "harmonic_delta_log_likelihood": float(sin_ll - full_ll),
+            # extras kept from the r1 API (not in astropy's dict)
+            "log_likelihood": float(full_ll),
+            "snr": float(depth[0] / depth_err)
+            if np.isfinite(depth_err) and depth_err > 0 else np.nan,
         }
 
     def get_transit_model(self, period=None, duration=None,

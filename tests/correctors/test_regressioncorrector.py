@@ -106,3 +106,24 @@ def test_sff_requires_centroids():
     sff = SFFCorrector(lc)
     with pytest.raises(Exception):
         sff.correct()
+
+
+def test_propagate_errors_seeded_determinism():
+    """SURVEY §7f: seeded posterior sampling is reproducible and leaves
+    the global np.random state untouched."""
+    from lightkurve_tpu import LightCurve
+    from lightkurve_tpu.correctors import (DesignMatrix,
+                                           RegressionCorrector)
+    rng = np.random.default_rng(3)
+    t = np.arange(300) * 0.02
+    sys1 = np.sin(t)
+    flux = 1.0 + 0.01 * sys1 + 1e-4 * rng.standard_normal(300)
+    lc = LightCurve(time=t, flux=flux, flux_err=np.full(300, 1e-4))
+    dm = DesignMatrix({"s": sys1, "const": np.ones_like(t)}, name="sys")
+    state = np.random.get_state()[1].copy()
+    a = RegressionCorrector(lc).correct(dm, propagate_errors=True, seed=7)
+    b = RegressionCorrector(lc).correct(dm, propagate_errors=True, seed=7)
+    c = RegressionCorrector(lc).correct(dm, propagate_errors=True, seed=8)
+    assert np.array_equal(a.flux_err.value, b.flux_err.value)
+    assert not np.array_equal(a.flux_err.value, c.flux_err.value)
+    assert np.array_equal(np.random.get_state()[1], state)

@@ -171,6 +171,100 @@ def bls_slow(t, y, w, periods, durations, d_phase, use_likelihood=True):
 
 
 # ---------------------------------------------------------------------------
+# Binned BLS (the astropy Cython kernel's algorithm family).
+#
+# The reference's hot loop is astropy's compiled ``bls.power``
+# (``/root/reference/src/lightkurve/periodogram.py:1169``).  astropy is not
+# installed in this environment and its ``_impl.pyx`` source is not on
+# disk, so this oracle is an INDEPENDENT numpy reimplementation of the
+# binned algorithm, written with plain per-period python loops (deliberately
+# unlike the JAX kernels' prefix-sum/matmul formulation) so the two cannot
+# share a structural bug.  Conventions (documented in docs/parity.md):
+#
+#   bin width    = min(durations) / oversample
+#   duration     = round(d / bin) bins (>= 1)
+#   fold         = int((t - t_min) mod period / bin); per-period bin count
+#                  nbins_p = ceil(period / bin)
+#   windows      = every start bin b < nbins_p; "wrap=True" closes windows
+#                  circularly past the period edge (the TPU kernels'
+#                  default); "wrap=False" lets edge windows read empty bins
+#                  (truncated windows — the astropy kernel's convention,
+#                  reconstructed: its fold pads the histogram with
+#                  `oversample` empty bins rather than wrapping)
+#   y_in/y_out   = weighted means in/out; depth = y_out - y_in
+#   objective    = 0.5 * w_in * depth^2 ("likelihood") or
+#                  depth / sqrt(1/w_in + 1/w_out) ("snr")
+#   transit_time = t_min + ((b + 0.5*k) * bin  mod period)
+# ---------------------------------------------------------------------------
+def bls_binned_reference(t, y, dy, periods, durations, oversample=10,
+                         use_likelihood=True, wrap=True):
+    t = np.asarray(t, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if dy is None:
+        w = np.ones_like(y)
+    else:
+        w = 1.0 / np.square(np.asarray(dy, dtype=np.float64))
+    periods = np.asarray(periods, dtype=np.float64)
+    durations = np.asarray(durations, dtype=np.float64)
+    bin_d = durations.min() / oversample
+    k_durs = np.maximum(np.round(durations / bin_d).astype(int), 1)
+    t_min = t.min()
+    ts = t - t_min
+    sum_w = w.sum()
+    sum_wy = (w * y).sum()
+
+    out = {k: np.zeros(len(periods)) for k in
+           ("power", "depth", "depth_err", "depth_snr", "log_likelihood",
+            "duration", "transit_time")}
+    for ip, p in enumerate(periods):
+        nbins_p = int(np.ceil(p / bin_d))
+        ind = np.minimum((np.mod(ts, p) / bin_d).astype(int), nbins_p - 1)
+        k_max = int(k_durs.max())
+        hw = np.bincount(ind, weights=w, minlength=nbins_p + k_max)
+        hwy = np.bincount(ind, weights=w * y, minlength=nbins_p + k_max)
+        if wrap:
+            hw[nbins_p:nbins_p + k_max - 1] += hw[:k_max - 1]
+            hwy[nbins_p:nbins_p + k_max - 1] += hwy[:k_max - 1]
+        cw = np.concatenate([[0.0], np.cumsum(hw)])
+        cwy = np.concatenate([[0.0], np.cumsum(hwy)])
+
+        best = -np.inf
+        b_all = np.arange(nbins_p)
+        for k, dur in zip(k_durs, durations):
+            if k > nbins_p:
+                continue
+            w_in = cw[b_all + k] - cw[b_all]
+            wy_in = cwy[b_all + k] - cwy[b_all]
+            w_out = sum_w - w_in
+            wy_out = sum_wy - wy_in
+            ok = (w_in > 0) & (w_out > 0)
+            if not ok.any():
+                continue
+            y_in = np.where(ok, wy_in / np.where(ok, w_in, 1.0), 0.0)
+            y_out = np.where(ok, wy_out / np.where(ok, w_out, 1.0), 0.0)
+            depth = y_out - y_in
+            if use_likelihood:
+                obj = 0.5 * w_in * depth * depth
+            else:
+                obj = depth / np.sqrt(1.0 / np.where(ok, w_in, 1.0)
+                                      + 1.0 / np.where(ok, w_out, 1.0))
+            obj = np.where(ok, obj, -np.inf)
+            b = int(np.argmax(obj))
+            if obj[b] > best:
+                best = obj[b]
+                d_err = np.sqrt(1.0 / w_in[b] + 1.0 / w_out[b])
+                t0 = np.mod((b + 0.5 * k) * bin_d, p)
+                out["power"][ip] = obj[b]
+                out["depth"][ip] = depth[b]
+                out["depth_err"][ip] = d_err
+                out["depth_snr"][ip] = depth[b] / d_err
+                out["log_likelihood"][ip] = 0.5 * w_in[b] * depth[b] ** 2
+                out["duration"][ip] = dur
+                out["transit_time"][ip] = t_min + t0
+    return out
+
+
+# ---------------------------------------------------------------------------
 # flatten (reference lightcurve.py:943-1078 semantics)
 # ---------------------------------------------------------------------------
 def flatten_np(time, flux, window_length=101, polyorder=2,

@@ -179,6 +179,23 @@ def test_fill_gaps():
     assert len(filled) == 5
 
 
+def test_fill_gaps_seeded_rng_determinism():
+    """SURVEY §7f RNG policy: seeded fills are reproducible and the
+    global np.random state is untouched."""
+    t = np.arange(100.0)
+    t[50:] += 3.0  # a 3-cadence gap
+    flux = 1.0 + 0.005 * np.sin(t) + 1e-3 * np.cos(7 * t)
+    lc = LightCurve(time=t, flux=flux, flux_err=np.full(100, 0.1))
+    state = np.random.get_state()[1].copy()
+    a = lc.fill_gaps(seed=123)
+    b = lc.fill_gaps(seed=123)
+    c = lc.fill_gaps(seed=124)
+    assert np.array_equal(a.flux.value, b.flux.value)
+    assert not np.array_equal(a.flux.value, c.flux.value)
+    assert np.array_equal(np.random.get_state()[1], state), \
+        "fill_gaps must not touch the global np.random state"
+
+
 def test_estimate_cdpp(rng):
     n = 3000
     t = np.arange(n) * 0.02
