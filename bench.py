@@ -111,6 +111,36 @@ def main():
     except Exception as exc:   # pragma: no cover
         detail["flatten_error"] = str(exc)[:120]
     try:
+        # BASELINE config 5: aperture photometry + batched PLD over 10^3
+        # targets (reference hot loop targetpixelfile.py:868-932 +
+        # pldcorrector.py:125-287), all on device
+        from lightkurve_tpu.batch import TPFStack
+        Bt, Tt, Hh, Ww = 1000, 1000, 6, 6
+        key = jax.random.PRNGKey(0)
+        cube = 1.0 + 0.01 * jax.random.normal(key, (Bt, Tt, Hh, Ww),
+                                              dtype)
+        trend = 1.0 + 0.02 * jnp.sin(jnp.arange(Tt, dtype=dtype) * 0.06)
+        cube = cube.at[:, :, 2:4, 2:4].add(
+            50.0 * trend[None, :, None, None])
+        ap = jnp.zeros((Bt, Hh, Ww), bool).at[:, 2:4, 2:4].set(True)
+        tstack = TPFStack(
+            flux=cube, flux_err=jnp.full(cube.shape, 0.01, dtype),
+            time=jnp.broadcast_to(jnp.arange(Tt, dtype=dtype) * 0.02,
+                                  (Bt, Tt)), aperture=ap)
+
+        def phot_pld():
+            out = tstack.pld_correct(n_pca_terms=3)
+            return out.flux
+
+        phot_pld().block_until_ready()
+        t0 = _time.time()
+        f_out = phot_pld()
+        float(jnp.sum(f_out))
+        detail["photometry_pld_targets_per_sec"] = round(
+            Bt / (_time.time() - t0), 1)
+    except Exception as exc:   # pragma: no cover
+        detail["photometry_pld_error"] = str(exc)[:120]
+    try:
         from lightkurve_tpu.ops.lombscargle import lombscargle_fast
         Nf = 16384
         f0, df_ = 0.05, 60.0 / Nf / float(t[-1] - t[0] + 1)

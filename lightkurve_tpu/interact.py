@@ -26,12 +26,17 @@ def show_interact_widget_bls(lc, notebook_url=None, minimum_period=None,
     """Static three-panel BLS explorer (stand-in for the bokeh widget at
     reference ``interact_bls.py:602-1004``)."""
     import matplotlib.pyplot as plt
-    kwargs = {}
-    if minimum_period is not None:
-        kwargs["minimum_period"] = minimum_period
-    if maximum_period is not None:
-        kwargs["maximum_period"] = maximum_period
-    pg = lc.to_periodogram(method="bls", **kwargs)
+    # the reference sizes the period grid as
+    # linspace(min_p, max_p, resolution) (interact_bls.py:630-660)
+    tv = lc.time.value.astype(np.float64)
+    dt = float(np.median(np.diff(tv)))
+    if minimum_period is None:
+        minimum_period = max(4 * dt, 0.33 + dt)
+    if maximum_period is None:
+        maximum_period = (tv.max() - tv.min()) / 3.0
+    periods = np.linspace(float(minimum_period), float(maximum_period),
+                          int(resolution))
+    pg = lc.to_periodogram(method="bls", period=periods)
     best_p = float(pg.period_at_max_power.value)
     t0 = pg.transit_time_at_max_power
     dur = pg.duration_at_max_power
@@ -59,12 +64,27 @@ def show_interact_widget_bls(lc, notebook_url=None, minimum_period=None,
     return fig
 
 
-def show_interact_widget(tpf, *args, **kwargs):
-    raise LightkurveError(
-        "tpf.interact() requires the optional `bokeh` package and a "
-        "notebook server, neither of which is available in this "
-        "environment. Use `tpf.plot()`, `tpf.plot_pixels()` or "
-        "`tpf.animate()` instead.")
+def show_interact_widget(tpf, aperture_mask="default", exported_filename=None,
+                         **kwargs):
+    """Static two-panel stand-in for the bokeh pixel-selector widget
+    (reference ``interact.py:999-1318``): the median frame with the
+    selected aperture outlined, linked to the aperture light-curve
+    preview the widget would show live.  Returns the figure; pass
+    ``exported_filename`` to also export the aperture light curve to
+    FITS (the widget's export button)."""
+    import matplotlib.pyplot as plt
+    fig, (ax_img, ax_lc) = plt.subplots(
+        1, 2, figsize=(11, 4), gridspec_kw={"width_ratios": [1, 2]})
+    mask = tpf._parse_aperture_mask(aperture_mask)
+    tpf.plot(ax=ax_img, aperture_mask=mask)
+    lc = tpf.to_lightcurve(aperture_mask=mask)
+    lc.scatter(ax=ax_lc, s=2)
+    ax_lc.set_title(f"aperture SAP preview ({int(mask.sum())} px)")
+    fig.tight_layout()
+    if exported_filename is not None:
+        lc.to_fits(path=exported_filename, overwrite=True,
+                   aperture_mask=mask)
+    return fig
 
 
 def show_skyview_widget(tpf, *args, **kwargs):

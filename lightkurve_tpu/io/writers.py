@@ -18,13 +18,42 @@ from .fits import BinTableHDU, Header, HDUList, ImageHDU, PrimaryHDU, \
 __all__ = ["lightcurve_to_fits"]
 
 
+# MAST archive-style primary-header scaffold (keyword, default, comment)
+# — the mission product layout the reference fills from its
+# data/lc-ext0-header.txt template (reference lightcurve.py:2604-2643).
+# These are public archive format constants, written out here so exported
+# files carry the full mission keyword set with archival comments.
+_PRIMARY_TEMPLATE = (
+    ("NEXTEND", 2, "number of standard extensions"),
+    ("EXTNAME", "PRIMARY", "name of extension"),
+    ("EXTVER", 1, "extension version number (not format version)"),
+    ("ORIGIN", "Unofficial data product",
+     "institution responsible for file"),
+    ("DATE", None, "file creation date."),
+    ("CREATOR", "lightkurve_tpu.LightCurve.to_fits()",
+     "pipeline job and program used to produce this file"),
+    ("TELESCOP", None, "telescope"),
+    ("INSTRUME", None, "detector type"),
+    ("OBJECT", None, "string version of target id"),
+    ("RADESYS", "ICRS", "reference frame of celestial coordinates"),
+    ("RA_OBJ", None, "[deg] right ascension"),
+    ("DEC_OBJ", None, "[deg] declination"),
+    ("EQUINOX", 2000.0, "equinox of celestial coordinate system"),
+    ("PROCVER", None, "SW version"),
+    ("MISSION", None, "mission name"),
+)
+
+
 def _primary_header(lc, **extra):
+    import datetime
     meta = lc.meta
     h = Header()
-    h["ORIGIN"] = "lightkurve_tpu"
-    h["CREATOR"] = "lightkurve.LightCurve.to_fits()"
+    for kw, default, comment in _PRIMARY_TEMPLATE:
+        h[kw] = (default, comment)
+    h["DATE"] = datetime.datetime.now().strftime("%Y-%m-%d")
     h["PROCVER"] = str(__version__)
     h["TELESCOP"] = meta.get("TELESCOP", meta.get("MISSION"))
+    h["INSTRUME"] = meta.get("INSTRUME")
     h["MISSION"] = meta.get("MISSION")
     h["OBJECT"] = meta.get("LABEL") or meta.get("OBJECT")
     for key in ("TARGETID", "KEPLERID", "TICID", "RA", "DEC", "QUARTER",
@@ -103,8 +132,17 @@ def lightcurve_to_fits(lc, path=None, overwrite=False,
         k: v for k, v in extra_data.items()
         if np.isscalar(v) or isinstance(v, str)})), hdu_table])
     if aperture_mask is not None:
+        ap_hdr = Header({
+            "EXTNAME": "APERTURE",
+            "EXTVER": (1, "extension version number"),
+            "INHERIT": (True, "inherit the primary header"),
+        })
+        if lc.meta.get("LABEL") or lc.meta.get("OBJECT"):
+            ap_hdr["OBJECT"] = (lc.meta.get("LABEL")
+                                or lc.meta.get("OBJECT"),
+                                "string version of target id")
         hdus.append(ImageHDU(data=np.asarray(aperture_mask).astype(int),
-                             header=Header({"EXTNAME": "APERTURE"})))
+                             header=ap_hdr))
     if path is not None:
         write_fits(hdus, path, overwrite=overwrite)
     return hdus

@@ -563,13 +563,21 @@ class LightCurve:
         order = np.argsort(phase, kind="stable")
         return lc[order]
 
-    def bin(self, time_bin_size=None, time_bin_start=None, n_bins=None,
-            aggregate_func=None, bins=None, binsize=None):
-        """Bin into equal time intervals (reference ``:1558-1762``).
+    def bin(self, time_bin_size=None, time_bin_start=None,
+            time_bin_end=None, n_bins=None, aggregate_func=None, bins=None,
+            binsize=None):
+        """Bin into time intervals (reference ``:1558-1762``).
 
-        ``flux_err`` is aggregated as root-mean-square if present, else the
-        per-bin standard deviation of the flux.  Other numeric columns are
-        binned with the mean.
+        ``aggregate_func`` (default nanmean) combines flux and the other
+        numeric data columns within each bin; a callable (e.g.
+        ``np.nanmedian``) is applied per bin.  ``flux_err`` is always
+        aggregated as root-mean-square if present, else as the per-bin
+        standard deviation of the flux (reference ``:1727-1750``).
+
+        ``time_bin_start`` may be an array of per-bin start times (with
+        bins then ending at the next start, or at ``time_bin_end`` —
+        scalar for the final edge, array for non-contiguous bins), as in
+        astropy's ``aggregate_downsample``.
         """
         if binsize is not None and bins is not None:
             raise ValueError("Only one of ``bins`` and ``binsize`` can be "
@@ -578,13 +586,41 @@ class LightCurve:
                 (time_bin_size is not None or n_bins is not None):
             raise ValueError("``bins`` or ``binsize`` conflicts with "
                              "``n_bins`` or ``time_bin_size``.")
+        if time_bin_size is not None and time_bin_end is not None:
+            raise ValueError("``time_bin_end`` cannot be given together "
+                             "with ``time_bin_size``.")
         tv = self.time.value.astype(np.float64)
+
+        def _times_value(x):
+            if isinstance(x, Time):
+                return np.asarray(x.to_value(self.time.format),
+                                  dtype=np.float64)
+            return np.asarray(x, dtype=np.float64)
+
+        # array-valued time_bin_start: variable-width bins
+        if time_bin_start is not None and np.ndim(time_bin_start) > 0:
+            starts = _times_value(time_bin_start)
+            if time_bin_size is not None:
+                sizes = np.broadcast_to(
+                    np.atleast_1d(_as_days(time_bin_size)), starts.shape)
+                ends = starts + sizes
+            elif time_bin_end is None:
+                raise ValueError("array-valued ``time_bin_start`` requires "
+                                 "``time_bin_end`` or ``time_bin_size``.")
+            elif np.ndim(time_bin_end) > 0:
+                ends = _times_value(time_bin_end)
+                if len(ends) != len(starts):
+                    raise ValueError("``time_bin_end`` must match "
+                                     "``time_bin_start`` in length.")
+            else:
+                ends = np.append(starts[1:],
+                                 _times_value(time_bin_end))
+            return self._bin_by_times(starts, ends, aggregate_func)
+
         if time_bin_start is None:
             start = tv[0]
-        elif isinstance(time_bin_start, Time):
-            start = time_bin_start.to_value(self.time.format)
         else:
-            start = float(time_bin_start)
+            start = float(_times_value(time_bin_start))
 
         if time_bin_size is not None:
             size = _as_days(time_bin_size)
@@ -596,10 +632,17 @@ class LightCurve:
                 span = tv[-1] - start
                 size = span / int(bins) * (1 + 1e-10)
             else:
-                return self._bin_by_edges(np.asarray(bins, dtype=int))
+                return self._bin_by_edges(np.asarray(bins, dtype=int),
+                                          aggregate_func)
         elif binsize is not None:
             idx = np.arange(0, len(tv), int(binsize))
-            return self._bin_by_edges(np.append(idx, len(tv) - 1))
+            return self._bin_by_edges(np.append(idx, len(tv) - 1),
+                                      aggregate_func)
+        elif time_bin_end is not None:
+            # scalar end with contiguous bins: size from the full span
+            end = float(_times_value(time_bin_end))
+            nb0 = max(int(n_bins) if n_bins is not None else 1, 1)
+            size = (end - start) / nb0
         else:
             size = 0.5  # days (reference default)
 
@@ -611,14 +654,26 @@ class LightCurve:
         return self._bin_core(ids, nb, start + (np.arange(nb) + 0.5) * size,
                               aggregate_func)
 
-    def _bin_by_edges(self, edge_indices):
+    def _bin_by_times(self, starts, ends, aggregate_func=None):
+        """Bin into explicit, possibly non-contiguous [start, end) bins."""
+        tv = self.time.value.astype(np.float64)
+        nb = len(starts)
+        ids = np.searchsorted(starts, tv, side="right") - 1
+        idc = np.clip(ids, 0, nb - 1)
+        # points past their bin's end fall in no bin
+        ids = np.where((ids >= 0) & (tv < ends[idc]), ids, -1)
+        return self._bin_core(ids, nb, 0.5 * (starts + ends),
+                              aggregate_func)
+
+    def _bin_by_edges(self, edge_indices, aggregate_func=None):
         tv = self.time.value.astype(np.float64)
         starts = tv[edge_indices[:-1]]
         ends = tv[edge_indices[1:]]
         nb = len(starts)
         ids = np.searchsorted(starts, tv, side="right") - 1
         ids[tv >= ends[-1]] = nb - 1
-        return self._bin_core(ids, nb, 0.5 * (starts + ends), None)
+        return self._bin_core(ids, nb, 0.5 * (starts + ends),
+                              aggregate_func)
 
     def _bin_core(self, ids, nb, mid_times, aggregate_func):
         tv = self.time.value
@@ -627,6 +682,21 @@ class LightCurve:
 
         def agg(values, how):
             out = np.full(nb, np.nan)
+            if callable(how):
+                # arbitrary per-bin aggregation (e.g. np.nanmedian), as
+                # astropy aggregate_downsample applies a callable
+                sel = in_range
+                order = np.argsort(idc[sel], kind="stable")
+                vals_s = values[sel][order]
+                ids_s = idc[sel][order]
+                bounds = np.searchsorted(ids_s, np.arange(nb + 1))
+                for i in range(nb):
+                    lo, hi = bounds[i], bounds[i + 1]
+                    if hi > lo:
+                        with warnings.catch_warnings():
+                            warnings.simplefilter("ignore", RuntimeWarning)
+                            out[i] = how(vals_s[lo:hi])
+                return out
             valid = in_range & np.isfinite(values)
             if not valid.any():
                 return out
@@ -652,9 +722,11 @@ class LightCurve:
 
         if aggregate_func is None:
             flux_how = "mean"
+        elif isinstance(aggregate_func, str) or callable(aggregate_func):
+            flux_how = aggregate_func
         else:
-            flux_how = aggregate_func if isinstance(aggregate_func, str) \
-                else "mean"
+            raise TypeError("aggregate_func must be a callable or one of "
+                            "'mean', 'rmse', 'std'")
 
         new_cols = OrderedDict()
         new_cols["time"] = Time(mid_times, format=self.time.format,
@@ -671,7 +743,9 @@ class LightCurve:
                 continue
             vals = v.value if isinstance(v, Quantity) else np.asarray(v)
             if vals.dtype.kind in "iuf" and vals.ndim == 1:
-                binned = agg(vals.astype(float), "mean")
+                # aggregate_func applies to every data column, as in
+                # astropy's aggregate_downsample (reference :1714-1725)
+                binned = agg(vals.astype(float), flux_how)
                 new_cols[k] = Quantity(binned, v.unit) \
                     if isinstance(v, Quantity) else binned
         out = self.__class__.__new__(self.__class__)

@@ -86,10 +86,12 @@ def iterative_clipped_regression(X, y, flux_err, mask, prior_mu, prior_sigma,
                                   maxiters=clip_maxiters)
         return m & ~outlier, w, sigma_w_inv
 
+    # initial carry derived from X (not fresh zeros) so that under
+    # shard_map the carry is device-varying like the body's outputs
+    w0 = X[0] * 0.0
+    s0 = jnp.outer(w0, w0)
     m, w, sigma_w_inv = jax.lax.fori_loop(
-        0, niters, body,
-        (mask, jnp.zeros((k,), dtype=X.dtype),
-         jnp.zeros((k, k), dtype=X.dtype)))
+        0, niters, body, (mask, w0, s0))
     return w, m, sigma_w_inv
 
 

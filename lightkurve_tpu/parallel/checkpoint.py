@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 import os
+from functools import lru_cache
 
 import numpy as np
 
@@ -20,6 +21,60 @@ __all__ = ["SweepRunner"]
 
 _FIELDS = ("power", "depth", "depth_err", "depth_snr", "log_likelihood",
            "duration", "transit_time", "period")
+
+
+def _reduce_winner(out, n_valid):
+    """Device-side winner reduction: ONE stacked (F, B) array so the
+    host pulls a single small buffer instead of 8 (B, P_chunk) grids."""
+    import jax.numpy as jnp
+    power = out["power"]
+    cols = jnp.arange(power.shape[1])
+    power = jnp.where(cols[None, :] < n_valid, power, -jnp.inf)
+    idx = jnp.argmax(power, axis=1)
+    return jnp.stack([jnp.take_along_axis(
+        out[f], idx[:, None], axis=1)[:, 0] for f in _FIELDS])
+
+
+@lru_cache(maxsize=16)
+def _shared_step_cached(durs_key, oversample, objective, d_phase, nbins,
+                        dtype_name):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.bls import bls_power_shared_batch
+    durs = jnp.asarray(durs_key, dtype=np.dtype(dtype_name))
+
+    @jax.jit
+    def step(t_row, flux, dy, pvals, n_valid):
+        out = bls_power_shared_batch(
+            t_row, flux, dy, pvals, durs, oversample=oversample,
+            objective=objective, d_phase=d_phase, nbins=nbins)
+        return _reduce_winner(out, n_valid)
+
+    return step
+
+
+@lru_cache(maxsize=16)
+def _percurve_step_cached(method, durs_key, oversample, objective,
+                          d_phase, size_val, dtype_name):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.bls import bls_power, bls_power_binned
+    kernel = bls_power_binned if method == "fast" else bls_power
+    size_kw = "nbins" if method == "fast" else "t0_count"
+    durs = jnp.asarray(durs_key, dtype=np.dtype(dtype_name))
+
+    @jax.jit
+    def step(time, flux, dy, pvals, n_valid):
+        out = jax.vmap(
+            lambda t, y, d: kernel(
+                t, y, d, pvals, durs, oversample=oversample,
+                objective=objective, d_phase=d_phase,
+                **{size_kw: size_val}))(time, flux, dy)
+        out["period"] = jnp.broadcast_to(out["period"][0][None, :],
+                                         out["power"].shape)
+        return _reduce_winner(out, n_valid)
+
+    return step
 
 
 class SweepRunner:
@@ -36,7 +91,7 @@ class SweepRunner:
 
     def __init__(self, stack, periods, durations, checkpoint_path,
                  chunk_periods=4096, oversample=10, objective="likelihood",
-                 method="fast"):
+                 method="fast", save_every=1):
         self.stack = stack
         self.periods = np.asarray(periods, dtype=np.float64)
         self.durations = np.asarray(durations, dtype=np.float64)
@@ -45,6 +100,7 @@ class SweepRunner:
         self.oversample = oversample
         self.objective = objective
         self.method = method
+        self.save_every = max(int(save_every), 1)
         B = len(stack)
         self.state = {f: np.full(B, np.nan) for f in _FIELDS}
         self.state["power"] = np.full(B, -np.inf)
@@ -78,49 +134,79 @@ class SweepRunner:
                  next_chunk=self.next_chunk, **self.state)
         os.replace(tmp, self.checkpoint_path)
 
-    def run(self, max_chunks=None):
-        """Process up to ``max_chunks`` chunks (all remaining by default),
-        checkpointing after each.  Returns the best-so-far dict."""
+    def _make_step(self):
+        """One jitted step: kernel over a period chunk + DEVICE-side
+        winner reduction, so only (B,) winner fields cross the (slow)
+        host link instead of the full (B, P_chunk) grids.
+
+        The jitted function is built by a module-level ``lru_cache``d
+        factory keyed on the STATIC parameters only — successive
+        SweepRunners over new target batches (the sector-scale streaming
+        pattern) reuse one compiled program instead of re-tracing and
+        re-compiling per batch (measured ~25 s/batch of host overhead
+        on the north-star run before this fix)."""
         import jax.numpy as jnp
-        from ..ops.bls import bls_power, bls_power_binned
-        kernel = bls_power_binned if self.method == "fast" else bls_power
-        import jax
-        done = 0
+        import functools
         d_phase = float(self.durations.min()) / self.oversample
-        size_kw = ("nbins" if self.method == "fast" else "t0_count")
+        durs_key = tuple(float(d) for d in self.durations)
+        dtype_name = str(np.dtype(self.stack.flux.dtype))
+        if self.method == "shared":
+            nbins = int(np.ceil(self.periods.max() / d_phase))
+            step = _shared_step_cached(durs_key, self.oversample,
+                                       self.objective, d_phase, nbins,
+                                       dtype_name)
+            t_row = jnp.asarray(np.asarray(self.stack.time)[0],
+                                self.stack.flux.dtype)
+            return functools.partial(step, t_row)
         size_val = int(np.ceil(self.periods.max() / d_phase)) + (
             0 if self.method == "fast" else 1)
+        step = _percurve_step_cached(self.method, durs_key,
+                                     self.oversample, self.objective,
+                                     d_phase, size_val, dtype_name)
+        return functools.partial(step, self.stack.time)
+
+    def _merge(self, stacked):
+        out = {f: stacked[i] for i, f in enumerate(_FIELDS)}
+        better = out["power"] > self.state["power"]
+        for f in _FIELDS:
+            self.state[f] = np.where(better, out[f], self.state[f])
+        self.next_chunk += 1
+        if (self.next_chunk % self.save_every == 0
+                or self.next_chunk >= self.n_chunks):
+            self._save()
+        log.info("Sweep chunk %d/%d done (best power so far: %.3g)",
+                 self.next_chunk, self.n_chunks,
+                 float(np.nanmax(self.state["power"])))
+
+    def run(self, max_chunks=None):
+        """Process up to ``max_chunks`` chunks (all remaining by default),
+        checkpointing every ``save_every`` merged chunks.  Device steps
+        are pipelined two-deep: chunk i+1 is dispatched before chunk i's
+        (B,)-sized winner summary is pulled to host, so the host link
+        and checkpoint IO overlap the TPU compute.  Returns the
+        best-so-far dict."""
+        import jax.numpy as jnp
         dy = jnp.where(self.stack.mask, self.stack.flux_err,
                        jnp.asarray(np.inf, self.stack.flux.dtype))
-        fn = jax.jit(jax.vmap(
-            lambda t, y, d, p: kernel(
-                t, y, d, p, jnp.asarray(self.durations,
-                                        self.stack.flux.dtype),
-                oversample=self.oversample, objective=self.objective,
-                d_phase=d_phase, **{size_kw: size_val}),
-            in_axes=(0, 0, 0, None)))
-        while not self.done and (max_chunks is None or done < max_chunks):
-            i = self.next_chunk
+        step = self._make_step()
+        n_do = self.n_chunks - self.next_chunk
+        if max_chunks is not None:
+            n_do = min(n_do, max_chunks)
+        idxs = list(range(self.next_chunk, self.next_chunk + n_do))
+        pending = None
+        for i in idxs:
             lo = i * self.chunk_periods
             hi = min(lo + self.chunk_periods, len(self.periods))
             pchunk = self.periods[lo:hi]
             # pad the final chunk so compiled shapes stay constant
             pad = self.chunk_periods - len(pchunk)
             pvals = np.pad(pchunk, (0, pad), constant_values=pchunk[-1])
-            out = fn(self.stack.time, self.stack.flux, dy,
-                     jnp.asarray(pvals, self.stack.flux.dtype))
-            out = {k: np.asarray(v)[:, : len(pchunk)]
-                   for k, v in out.items()}
-            best_idx = np.argmax(out["power"], axis=1)
-            rows = np.arange(out["power"].shape[0])
-            better = out["power"][rows, best_idx] > self.state["power"]
-            for f in _FIELDS:
-                vals = out[f][rows, best_idx]
-                self.state[f] = np.where(better, vals, self.state[f])
-            self.next_chunk += 1
-            done += 1
-            self._save()
-            log.info("Sweep chunk %d/%d done (best power so far: %.3g)",
-                     self.next_chunk, self.n_chunks,
-                     float(np.nanmax(self.state["power"])))
+            out_dev = step(self.stack.flux, dy,
+                           jnp.asarray(pvals, self.stack.flux.dtype),
+                           jnp.asarray(len(pchunk), np.int32))
+            if pending is not None:
+                self._merge(np.asarray(pending))
+            pending = out_dev
+        if pending is not None:
+            self._merge(np.asarray(pending))
         return dict(self.state)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["make_mesh", "sharded_bls", "sharded_lombscargle",
-           "best_candidates"]
+           "sharded_pld_photometry", "best_candidates"]
 
 
 def make_mesh(n_targets_axis=None, n_grid_axis=None, devices=None):
@@ -134,6 +134,43 @@ def sharded_lombscargle(time_row, flux, dy, f0, df, Nf, mesh=None,
                           in_specs=(P("targets", None), P("targets", None)),
                           out_specs=P("targets", None))
     return shard(flux, dy)[:B]
+
+
+def sharded_pld_photometry(tpf_stack, pld_order=1, n_pca_terms=3,
+                           sigma=5.0, niters=5, mesh=None):
+    """Aperture photometry + batched PLD, targets sharded over ALL
+    devices (BASELINE config 5 at sector scale).
+
+    Each shard runs the fully-vmapped single-chip pipeline
+    (``TPFStack.extract_aperture_photometry`` + ``pld_correct``) on its
+    slice of targets; there are no cross-shard collectives — target
+    batches are embarrassingly parallel.  Returns (corrected flux,
+    flux_err, mask) as (B, T) arrays.
+    """
+    from ..batch import TPFStack
+    if mesh is None:
+        mesh = make_mesh(n_targets_axis=len(jax.devices()), n_grid_axis=1)
+    nt = mesh.shape["targets"]
+    B = tpf_stack.flux.shape[0]
+    B_pad = -(-B // nt) * nt
+    flux = _pad_to(tpf_stack.flux, B_pad, 0, 1.0)
+    err = _pad_to(tpf_stack.flux_err, B_pad, 0, 1.0)
+    time = _pad_to(tpf_stack.time, B_pad, 0, 1.0)
+    ap = _pad_to(tpf_stack.aperture, B_pad, 0, True)
+
+    def local(f, e, t, a):
+        shard = TPFStack(flux=f, flux_err=e, time=t, aperture=a)
+        out = shard.pld_correct(pld_order=pld_order,
+                                n_pca_terms=n_pca_terms, sigma=sigma,
+                                niters=niters)
+        return out.flux, out.flux_err, out.mask
+
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("targets"), P("targets"), P("targets"), P("targets")),
+        out_specs=(P("targets"), P("targets"), P("targets")))
+    f, e, m = shard(flux, err, time, ap)
+    return f[:B], e[:B], m[:B]
 
 
 def best_candidates(power, periods, k=1):

@@ -219,8 +219,60 @@ class Seismology:
         ax.set_ylabel(f"Frequency [{self.periodogram.frequency.unit}]")
         return ax
 
-    def interact_echelle(self, **kwargs):
-        raise NotImplementedError(
-            "interactive echelle diagrams require the optional `bokeh` "
-            "package, which is not available in this environment; use "
-            "`plot_echelle()` instead.")
+    def interact_echelle(self, notebook_url=None, n_panels=5, **kwargs):
+        """Static-matplotlib echelle explorer.
+
+        The reference renders a live bokeh widget with a Δν slider from
+        0.01 to ``max_frequency/5`` defaulting to the estimated Δν (or
+        ``max_frequency/30``; reference ``seismology/core.py:502-640``).
+        bokeh is unavailable here, so this renders the slider's state
+        space statically: the main echelle at the default Δν plus
+        ``n_panels`` mini-echelles spanning ±25% of it, so the
+        Δν-sensitivity of the ridge structure is visible at a glance.
+        Returns the matplotlib figure.
+        """
+        import matplotlib.pyplot as plt
+        max_f = float(self.periodogram.frequency.max().value)
+        # like the reference widget, default the view to the full
+        # frequency range (so no numax estimate is required)
+        min_f_kw = kwargs.pop("minimum_frequency",
+                              float(self.periodogram.frequency.min().value))
+        max_f_kw = kwargs.pop("maximum_frequency", max_f)
+        if hasattr(self, "deltanu"):
+            dnu = self.deltanu
+        else:
+            dnu = SeismologyQuantity(
+                quantity=self.periodogram.frequency.max() / 30,
+                name="deltanu", method="echelle")
+        dnu_v = float(Quantity(dnu,
+                               self.periodogram.frequency.unit).value)
+        maxdnu = max_f / 5
+        fig = plt.figure(figsize=(8, 7))
+        gs = fig.add_gridspec(2, max(n_panels, 1), height_ratios=[3, 1])
+        ax_main = fig.add_subplot(gs[0, :])
+        self.plot_echelle(deltanu=dnu, ax=ax_main,
+                          minimum_frequency=min_f_kw,
+                          maximum_frequency=max_f_kw, **kwargs)
+        ax_main.set_title(
+            f"Echelle at Δν = {dnu_v:.3f} "
+            f"{self.periodogram.frequency.unit} "
+            f"(slider range 0.01–{maxdnu:.2f})")
+        # mini-panels across ±25% of the default Δν (clipped to the
+        # reference's slider range)
+        span = np.clip(np.linspace(0.75, 1.25, max(n_panels, 1)) * dnu_v,
+                       0.01, maxdnu)
+        for i, d in enumerate(span):
+            ax = fig.add_subplot(gs[1, i])
+            try:
+                ep, _, _ = self._clean_echelle(
+                    deltanu=d, minimum_frequency=min_f_kw,
+                    maximum_frequency=max_f_kw, **kwargs)
+                ax.imshow(ep, aspect="auto", origin="lower",
+                          cmap=kwargs.get("cmap", "Blues"))
+            except ValueError:
+                pass
+            ax.set_xticks([])
+            ax.set_yticks([])
+            ax.set_xlabel(f"{d:.3f}", fontsize=8)
+        fig.tight_layout()
+        return fig

