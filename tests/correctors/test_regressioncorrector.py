@@ -127,3 +127,27 @@ def test_propagate_errors_seeded_determinism():
     assert np.array_equal(a.flux_err.value, b.flux_err.value)
     assert not np.array_equal(a.flux_err.value, c.flux_err.value)
     assert np.array_equal(np.random.get_state()[1], state)
+
+
+def test_nan_input_validation():
+    """Reference test_nan_input: NaN flux or partial-NaN flux_err raise;
+    ALL-NaN flux_err is tolerated (errors commonly missing)."""
+    from lightkurve_tpu import LightCurve
+    from lightkurve_tpu.correctors import RegressionCorrector
+    for flux, fe in ([5, 10], [np.nan, 1]), ([np.nan, 10], [1, 1]):
+        with pytest.raises(ValueError):
+            RegressionCorrector(LightCurve(time=[1.0, 2.0], flux=flux,
+                                           flux_err=fe))
+    RegressionCorrector(LightCurve(time=[1.0, 2.0], flux=[5, 10],
+                                   flux_err=[np.nan, np.nan]))
+
+
+def test_zero_fluxerr_validation():
+    """Reference test_zero_fluxerr (regression #668): non-positive
+    uncertainties raise a graceful ValueError."""
+    from lightkurve_tpu import LightCurve
+    from lightkurve_tpu.correctors import RegressionCorrector
+    for fe in ([1, 0], [1, -10]):
+        with pytest.raises(ValueError):
+            RegressionCorrector(LightCurve(time=[1.0, 2.0], flux=[5, 10],
+                                           flux_err=fe))

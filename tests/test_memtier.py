@@ -114,3 +114,29 @@ def test_periodogram_grid_guard_before_allocation():
                     flux_err=np.full(20000, 1e-4))
     with pytest.raises(ValueError, match="too large"):
         lc.to_periodogram(method="bls", frequency_factor=1e-5)
+
+
+def test_sparse_spline_100_knots_memory(rng):
+    """SparseDesignMatrix is dense-backed by design (TPUs have no sparse
+    matmul); this pins the memory story for the reference's largest
+    advertised use — a 100-knot spline over a long TESS light curve.
+    Dense (N, ~102) f64 at N=120k is ~100 MB; regression solve included."""
+    from lightkurve_tpu import LightCurve
+    from lightkurve_tpu.correctors import (RegressionCorrector,
+                                           create_sparse_spline_matrix)
+    N = 120_000
+    t = np.arange(N) * (2.0 / 60 / 24)
+    trend = 1.0 + 0.01 * np.sin(2 * np.pi * t / 5.0)
+    flux = trend + 2e-4 * rng.standard_normal(N)
+    gc.collect()
+    rss0 = _rss_mb()
+    dm = create_sparse_spline_matrix(t, n_knots=100)
+    assert dm.shape == (N, dm.shape[1])
+    assert dm.shape[1] >= 100
+    lc = LightCurve(time=t, flux=flux, flux_err=np.full(N, 2e-4))
+    corrected = RegressionCorrector(lc).correct(dm.append_constant())
+    resid = np.asarray(corrected.flux.value)
+    assert np.nanstd(resid) < 3 * 2e-4   # spline absorbed the trend
+    if rss0 is not None:
+        growth = _rss_mb() - rss0
+        assert growth < 1200, f"sparse-spline path held +{growth:.0f}MB"

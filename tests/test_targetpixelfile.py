@@ -271,3 +271,54 @@ def test_interact_static_panel(tmp_path, rng):
     hdus = open_fits(out)
     assert any(h.header.get("EXTNAME") == "APERTURE" for h in hdus[1:])
     plt.close("all")
+
+
+def test_fluxmode(tpf):
+    """Reference test_fluxmode: median/mean aperture flux methods."""
+    lc_n = tpf.extract_aperture_photometry(aperture_mask="all")
+    lc_sum = tpf.extract_aperture_photometry(aperture_mask="all",
+                                             flux_method="sum")
+    lc_med = tpf.extract_aperture_photometry(aperture_mask="all",
+                                             flux_method="median")
+    lc_mean = tpf.extract_aperture_photometry(aperture_mask="all",
+                                              flux_method="mean")
+    frame = np.asarray(tpf.flux.value[0])
+    assert np.isclose(float(lc_n.flux.value[0]), np.nansum(frame))
+    assert np.isclose(float(lc_sum.flux.value[0]), np.nansum(frame))
+    assert np.isclose(float(lc_med.flux.value[0]), np.nanmedian(frame))
+    assert np.isclose(float(lc_mean.flux.value[0]), np.nanmean(frame))
+
+
+def test_bkg_lightcurve(tpf):
+    """Reference test_bkg_lightcurve: per-cadence background estimate."""
+    bkg = tpf.get_bkg_lightcurve()
+    assert len(bkg) == len(tpf)
+    assert np.isfinite(np.asarray(bkg.flux.value)).all()
+
+
+def test_get_keyword(tpf):
+    assert tpf.get_keyword("TELESCOP", default="x") in ("TESS", "x")
+    assert tpf.get_keyword("NOT_A_KEY", default=42) == 42
+
+
+def test_animate_smoke(tpf):
+    import matplotlib.pyplot as plt
+    anim = tpf.animate()
+    assert anim is not None
+    plt.close("all")
+
+
+def test_pld_with_zero_flux_cadence(tpf):
+    """Reference regression #873: a cadence of all-zero flux must not
+    break PLDCorrector (division by the pixel-sum normalization)."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.correctors import PLDCorrector
+    flux = np.asarray(tpf.flux.value).copy()
+    flux[3] = 0.0
+    tpf2 = type(tpf)._from_arrays(
+        {**{k: np.asarray(v.value if hasattr(v, "value") else v)
+            for k, v in tpf._columns.items()}, "FLUX": flux},
+        dict(tpf.meta), ext_header=dict(tpf._ext_header),
+        quality_bitmask="none")
+    corrected = PLDCorrector(tpf2).correct()
+    assert np.isfinite(np.asarray(corrected.flux.value)).sum() > 0
