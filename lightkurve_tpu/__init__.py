@@ -83,6 +83,20 @@ _LAZY = {
     "plot_image": ".utils",
     "bkjd_to_time": ".utils",
     "btjd_to_time": ".utils",
+    "bkjd_to_astropy_time": ".utils",
+    "btjd_to_astropy_time": ".utils",
+    "is_notebook": ".utils",
+    "finalize_notebook_url": ".utils",
+    "remote_jupyter_proxy_url": ".utils",
+    "estimate_cdpp": ".convenience",
+    "search_lightcurvefile": ".search",
+    "estimate_numax_acf2d": ".seismology.numax_estimators",
+    "estimate_deltanu_acf2d": ".seismology.deltanu_estimators",
+    "diagnose_numax_acf2d": ".seismology.numax_estimators",
+    "diagnose_deltanu_acf2d": ".seismology.deltanu_estimators",
+    "estimate_radius": ".seismology.stellar_estimators",
+    "estimate_mass": ".seismology.stellar_estimators",
+    "estimate_logg": ".seismology.stellar_estimators",
 }
 
 

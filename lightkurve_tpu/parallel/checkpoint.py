@@ -91,8 +91,9 @@ class SweepRunner:
 
     def __init__(self, stack, periods, durations, checkpoint_path,
                  chunk_periods=4096, oversample=10, objective="likelihood",
-                 method="fast", save_every=1):
+                 method="fast", save_every=1, mesh=None):
         self.stack = stack
+        self.mesh = mesh
         self.periods = np.asarray(periods, dtype=np.float64)
         self.durations = np.asarray(durations, dtype=np.float64)
         self.checkpoint_path = checkpoint_path
@@ -150,6 +151,25 @@ class SweepRunner:
         d_phase = float(self.durations.min()) / self.oversample
         durs_key = tuple(float(d) for d in self.durations)
         dtype_name = str(np.dtype(self.stack.flux.dtype))
+        if self.mesh is not None:
+            # multi-chip: targets data-parallel, the period chunk
+            # sharded over the mesh's grid axis (sharded_bls), with the
+            # winner reduction on the gathered (B, P_chunk) output
+            from .grid import sharded_bls
+            import jax
+            mesh = self.mesh
+            durations = self.durations
+            oversample = self.oversample
+            objective = self.objective
+            time = self.stack.time
+
+            def step(flux, dy, pvals, n_valid):
+                out = sharded_bls(time, flux, dy, pvals,
+                                  jnp.asarray(durations, flux.dtype),
+                                  oversample=oversample,
+                                  objective=objective, mesh=mesh)
+                return jax.jit(_reduce_winner)(out, n_valid)
+            return step
         if self.method == "shared":
             nbins = int(np.ceil(self.periods.max() / d_phase))
             step = _shared_step_cached(durs_key, self.oversample,

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["make_mesh", "sharded_bls", "sharded_lombscargle",
-           "sharded_pld_photometry", "best_candidates"]
+           "sharded_flatten", "sharded_pld_photometry",
+           "best_candidates"]
 
 
 def make_mesh(n_targets_axis=None, n_grid_axis=None, devices=None):
@@ -134,6 +135,41 @@ def sharded_lombscargle(time_row, flux, dy, f0, df, Nf, mesh=None,
                           in_specs=(P("targets", None), P("targets", None)),
                           out_specs=P("targets", None))
     return shard(flux, dy)[:B]
+
+
+def sharded_flatten(time, flux, mask, window_length=101, polyorder=2,
+                    break_tolerance=5, niters=3, sigma=3, mesh=None):
+    """Batched SG flatten with targets sharded over ALL devices.
+
+    Purely data-parallel (no collectives): each shard runs the
+    one-program batched flatten on its slice of the (B, N) stack.
+    Returns (trend, valid) as (B, N) arrays.
+    """
+    from ..ops.detrend import flatten_batch
+    from ..ops.savgol import savgol_design_matrix
+    if mesh is None:
+        mesh = make_mesh(n_targets_axis=len(jax.devices()), n_grid_axis=1)
+    nt = mesh.shape["targets"]
+    B = flux.shape[0]
+    B_pad = -(-B // nt) * nt
+    time = _pad_to(time, B_pad, 0, 1.0)
+    flux_p = _pad_to(flux, B_pad, 0, 1.0)
+    mask_p = _pad_to(mask, B_pad, 0, True)
+    H = jnp.asarray(savgol_design_matrix(
+        window_length, min(polyorder, window_length - 1)), flux.dtype)
+    bt = jnp.asarray(np.nan if break_tolerance is None
+                     else float(break_tolerance), flux.dtype)
+    sg = jnp.asarray(float(sigma), flux.dtype)
+
+    def local(t, y, m):
+        return flatten_batch(t, y, m, H, bt, sg, niters=int(niters))
+
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("targets"), P("targets"), P("targets")),
+        out_specs=(P("targets"), P("targets")))
+    trend, valid = shard(time, flux_p, mask_p)
+    return trend[:B], valid[:B]
 
 
 def sharded_pld_photometry(tpf_stack, pld_order=1, n_pca_terms=3,

@@ -32,8 +32,8 @@ from .utils import LightkurveError, LightkurveWarning
 
 log = logging.getLogger(__name__)
 
-__all__ = ["SearchResult", "search_lightcurve", "search_targetpixelfile",
-           "search_tesscut", "SearchError"]
+__all__ = ["SearchResult", "search_lightcurve", "search_lightcurvefile",
+           "search_targetpixelfile", "search_tesscut", "SearchError"]
 
 
 class SearchError(LightkurveError):
@@ -290,3 +290,14 @@ def search_tesscut(target, sector=None):
         "network access unavailable in this environment. Use "
         "`TargetPixelFileFactory.from_fits_images` on local FFI files "
         "instead.")
+
+
+def search_lightcurvefile(*args, **kwargs):
+    """Deprecated alias of :func:`search_lightcurve` (reference
+    ``search.py:714-721``)."""
+    import warnings
+    from .utils import LightkurveDeprecationWarning
+    warnings.warn("search_lightcurvefile() is deprecated, please use "
+                  "search_lightcurve() instead.",
+                  LightkurveDeprecationWarning)
+    return search_lightcurve(*args, **kwargs)

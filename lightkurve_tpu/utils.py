@@ -35,6 +35,11 @@ __all__ = [
     "plot_image",
     "bkjd_to_time",
     "btjd_to_time",
+    "bkjd_to_astropy_time",
+    "btjd_to_astropy_time",
+    "is_notebook",
+    "finalize_notebook_url",
+    "remote_jupyter_proxy_url",
 ]
 
 
@@ -355,15 +360,64 @@ def btjd_to_time(btjd):
     return Time(btjd, format="btjd", scale="tdb")
 
 
+# reference public names (utils.py:388-441) — aliases of the _to_time
+# helpers above
+def bkjd_to_astropy_time(bkjd):
+    """Alias of :func:`bkjd_to_time` under the reference's public name."""
+    return bkjd_to_time(bkjd)
+
+
+def btjd_to_astropy_time(btjd):
+    """Alias of :func:`btjd_to_time` under the reference's public name."""
+    return btjd_to_time(btjd)
+
+
 def show_citation_instructions():
     print("lightkurve_tpu is a TPU-native re-implementation of the "
           "lightkurve API. Please cite the lightkurve project "
           "(Lightkurve Collaboration, 2018, ascl:1812.013) and this package.")
 
 
-def finalize_notebook_url(url):  # pragma: no cover - env dependent
+def _get_notebook_environment():
+    """'jupyter', 'colab', or 'terminal' (reference ``utils.py:822``)."""
+    try:
+        ipy = str(type(get_ipython())).lower()  # noqa: F821
+        if "zmqshell" in ipy:
+            return "jupyter"
+        if "colab" in ipy:
+            return "colab"
+    except NameError:
+        pass  # not running under IPython
+    return "terminal"
+
+
+def is_notebook():
+    """True when running in a Jupyter/Colab notebook."""
+    return _get_notebook_environment() in ("jupyter", "colab")
+
+
+def remote_jupyter_proxy_url(port):
+    """JupyterHub proxy URL for a local widget server port (reference
+    ``utils.py:849-876``); ``port=None`` returns the origin host."""
     import os
-    ext = os.environ.get("LK_JUPYTERHUB_EXTERNAL_URL")
-    if ext:
-        return ext.rstrip("/") + "/" + url.lstrip("/")
-    return url
+    import urllib.parse
+    base_url = os.environ["LK_JUPYTERHUB_EXTERNAL_URL"]
+    host = urllib.parse.urlparse(base_url).netloc
+    if port is None:
+        return host
+    service_url_path = os.environ["JUPYTERHUB_SERVICE_PREFIX"]
+    proxy_url_path = "proxy/%d" % port
+    user_url = urllib.parse.urljoin(base_url, service_url_path)
+    return urllib.parse.urljoin(user_url, proxy_url_path)
+
+
+def finalize_notebook_url(notebook_url):
+    """Reference ``utils.py:878-906``: pass an explicit URL through;
+    with ``LK_JUPYTERHUB_EXTERNAL_URL`` set, return the proxy-URL
+    callable; otherwise the local default."""
+    import os
+    if notebook_url is not None:
+        return notebook_url
+    if os.environ.get("LK_JUPYTERHUB_EXTERNAL_URL"):
+        return remote_jupyter_proxy_url
+    return "localhost:8888"

@@ -125,3 +125,41 @@ def test_interact_echelle_static_figure():
     fig = Seismology(snr).interact_echelle(n_panels=2)
     assert fig is not None
     plt.close("all")
+
+
+def test_diagnostics_plots_smoke():
+    """Reference test_plot_numax_diagnostics/test_plot_deltanu_diagnostics:
+    the estimator diagnostics render."""
+    import matplotlib.pyplot as plt
+    snr = comb_spectrum(numax=220.0, deltanu=16.97)
+    s = Seismology(snr)
+    numax = s.estimate_numax()
+    from lightkurve_tpu.seismology.numax_estimators import (
+        diagnose_numax_acf2d)
+    ax = diagnose_numax_acf2d(numax, periodogram=snr)
+    assert ax is not None
+    deltanu = s.estimate_deltanu()
+    from lightkurve_tpu.seismology.deltanu_estimators import (
+        diagnose_deltanu_acf2d)
+    ax = diagnose_deltanu_acf2d(deltanu, periodogram=snr)
+    assert ax is not None
+    plt.close("all")
+
+
+def test_corrector_diagnose_smoke(tmp_path):
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from lightkurve_tpu import LightCurve
+    from lightkurve_tpu.correctors import (DesignMatrix,
+                                           RegressionCorrector)
+    rng = np.random.default_rng(1)
+    t = np.arange(300) * 0.02
+    lc = LightCurve(time=t, flux=1.0 + 0.01 * np.sin(t)
+                    + 1e-4 * rng.standard_normal(300),
+                    flux_err=np.full(300, 1e-4))
+    rc = RegressionCorrector(lc)
+    rc.correct(DesignMatrix({"s": np.sin(t), "c": np.ones(300)},
+                            name="sys"))
+    axs = rc.diagnose()
+    assert axs is not None
+    plt.close("all")

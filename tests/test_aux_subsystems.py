@@ -92,3 +92,31 @@ def test_sweep_shared_method_matches_fast(tmp_path, rng):
     np.testing.assert_allclose(shared["power"], fast["power"], rtol=1e-6)
     np.testing.assert_allclose(shared["period"], fast["period"],
                                rtol=1e-12)
+
+
+def test_sweep_mesh_sharded_matches_single(tmp_path, rng):
+    """SweepRunner(mesh=...) shards each period chunk over the device
+    mesh (targets x grid) while keeping host checkpoint/resume — the
+    combined scaling + fault-tolerance path for sector-scale sweeps."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from lightkurve_tpu.parallel.grid import make_mesh
+    stack = _make_stack(rng, B=4)
+    periods = np.linspace(1.5, 3.5, 64)
+    durations = np.array([0.1])
+    ref = SweepRunner(stack, periods, durations,
+                      str(tmp_path / "a.npz"), chunk_periods=16).run()
+    mesh = make_mesh(n_targets_axis=2, n_grid_axis=4)
+    runner = SweepRunner(stack, periods, durations,
+                         str(tmp_path / "b.npz"), chunk_periods=16,
+                         mesh=mesh)
+    out = runner.run(max_chunks=2)
+    assert not runner.done
+    # resume with a fresh runner (checkpoint carries the partial state)
+    runner2 = SweepRunner(stack, periods, durations,
+                          str(tmp_path / "b.npz"), chunk_periods=16,
+                          mesh=mesh)
+    out = runner2.run()
+    np.testing.assert_allclose(out["power"], ref["power"], rtol=1e-6)
+    np.testing.assert_allclose(out["period"], ref["period"], rtol=1e-12)

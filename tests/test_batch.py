@@ -313,3 +313,24 @@ def test_sharded_pld_photometry_matches_unsharded(rng):
     assert f.shape == ref.flux.shape
     np.testing.assert_allclose(np.asarray(f), np.asarray(ref.flux),
                                rtol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_flatten_matches_unsharded(rng):
+    import jax.numpy as jnp
+    from lightkurve_tpu.batch import LightCurveStack
+    from lightkurve_tpu.parallel.grid import sharded_flatten
+    B, N = 6, 400   # B not divisible by 8
+    t = np.arange(N) * 0.02
+    flux = (1.0 + 0.05 * np.sin(2 * np.pi * t / 3.0)[None, :]
+            + 1e-4 * rng.standard_normal((B, N)))
+    stack = LightCurveStack(
+        time=jnp.asarray(np.broadcast_to(t, (B, N))),
+        flux=jnp.asarray(flux),
+        flux_err=jnp.full((B, N), 1e-4),
+        mask=jnp.ones((B, N), bool))
+    _, ref_trend = stack.flatten(window_length=101, return_trend=True)
+    trend, valid = sharded_flatten(stack.time, stack.flux, stack.mask,
+                                   window_length=101)
+    np.testing.assert_allclose(np.asarray(trend),
+                               np.asarray(ref_trend.flux), rtol=1e-10)
