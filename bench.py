@@ -46,7 +46,10 @@ def main():
 
     B = int(os.environ.get("LK_BENCH_B", 512))   # measured sweet spot on v5e
     N = int(os.environ.get("LK_BENCH_N", 8192))
-    P = int(os.environ.get("LK_BENCH_P", 512))
+    # dispatch-sized period slab; the north-star grid is 10^5 points, so a
+    # large per-dispatch P is the realistic shape (SweepRunner chunks
+    # likewise) and amortizes per-dispatch overhead
+    P = int(os.environ.get("LK_BENCH_P", 4096))
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
@@ -66,10 +69,15 @@ def main():
     durations_d = jnp.asarray(durations, dtype)
 
     # shared-time batched kernel: the fold matrix is shared across the
-    # batch, so the histogram is one fat MXU matmul per period chunk
+    # batch, so the histogram is one fat MXU matmul per period chunk.
+    # uniform_weights=True: dy is per-curve constant, which the wrapper
+    # auto-detects on host arrays; the bench pre-stages dy on device for
+    # timing purity, so the (host-side) detection result is passed
+    # explicitly — exactly what SweepRunner does once per runner.
     def step(time, flux, dy):
         out = bls_power_shared_batch(time, flux, dy, periods_d,
-                                     durations_d, oversample=10, chunk=16)
+                                     durations_d, oversample=10, chunk=8,
+                                     uniform_weights=True)
         return out["power"], out["period"]
 
     # warmup/compile

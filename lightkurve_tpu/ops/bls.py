@@ -320,10 +320,11 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
     n_tiles = nbins_pad // 128
     WWY = jnp.concatenate([W, WY], axis=1)             # (n, 2B)
     dtype = W.dtype
+    acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
     if hist_dtype is not None:
         WWY = WWY.astype(hist_dtype)
     total = jnp.sum(jnp.concatenate([W, WY], axis=1), axis=0,
-                    dtype=jnp.float32)[None, None, :]  # (1, 1, 2B)
+                    dtype=acc)[None, None, :]          # (1, 1, 2B)
     rows_b = jnp.arange(nbins_pad, dtype=jnp.int32)
 
     def one_chunk(pc):                                  # (chunk,)
@@ -355,7 +356,7 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
             onehot = onehot.astype(WWY.dtype)           # (C, 128, n)
             tiles.append(jax.lax.dot_general(
                 onehot, WWY, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))    # (C, 128, 2B)
+                preferred_element_type=acc))            # (C, 128, 2B)
         hist = jnp.concatenate(tiles, axis=1)           # (C, npad, 2B)
         csum = jnp.cumsum(hist, axis=1)
 
@@ -440,6 +441,160 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
             for k, v in out.items()}
 
 
+@partial(jax.jit, static_argnames=("k_durs", "dur_values", "d_phase",
+                                   "nbins", "use_likelihood", "chunk",
+                                   "hist_dtype", "window_impl", "wrap",
+                                   "cnt_impl"))
+def _bls_shared_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
+                             d_phase, nbins, use_likelihood, chunk,
+                             hist_dtype=None, window_impl="xla", wrap=True,
+                             cnt_impl="reduce"):
+    """Shared-time scan for batches where every curve has CONSTANT weights.
+
+    With per-curve constant weights w_b (``dy=None`` or per-curve constant
+    ``dy`` — the common sector-search case), the box depth depends only on
+    UNWEIGHTED means::
+
+        depth = Σ_out y / n_out − Σ_in y / n_in
+
+    and every weighted statistic is a per-curve scalar rescale of its
+    count-based form: ``log_likelihood = c_b · (0.5·n_in·depth²)``,
+    ``depth_snr = sqrt(c_b) · depth/sqrt(1/n_in + 1/n_out)``,
+    ``depth_err = sqrt(1/n_in + 1/n_out) / sqrt(c_b)``.  The fold matmul
+    therefore contracts flux plus ONE shared count column — ``(n, B+1)``
+    instead of the general kernel's ``(n, 2B)`` — HALVING the MXU FLOPs,
+    and the window scan reads one count column instead of B weight
+    columns.  ``c_b`` is ``1/dy_b²`` per curve (ones for ``dy=None``).
+
+    ``cnt_impl``: 'reduce' (default) computes the count histogram as a
+    VPU reduction over the recomputed one-hot — XLA duplicates the cheap
+    iota-compare instead of materializing it; 'column' appends a ones
+    column to the fold matmul, which pads the matmul lanes B→B+1 and was
+    measured 30 ms SLOWER at the bench shape (the padded lane tile costs
+    a full extra 128-lane pass).  The XLA window scan also beats the
+    fused Pallas scan here (57 vs 62 ms end-to-end): with one shared
+    count column the per-element window work is a single fma, so the
+    XLA form is bandwidth-lean already and Mosaic's block overhead
+    dominates.
+    """
+    n = ts.shape[0]
+    B = Y0.shape[1]
+    k_max = max(k_durs)
+    nbins_ext = nbins + k_max - 1
+    nbins_pad = ((nbins_ext + 127) // 128) * 128
+    n_tiles = nbins_pad // 128
+    dtype = Y0.dtype
+    acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    Y1 = jnp.concatenate([Y0, jnp.ones((n, 1), dtype)], axis=1) \
+        if cnt_impl == "column" else Y0
+    if hist_dtype is not None:
+        Y1 = Y1.astype(hist_dtype)
+    tot_y = jnp.sum(Y0, axis=0, dtype=acc)[None, None, :]  # (1, 1, B)
+    n_total = float(n)
+    rows_b = jnp.arange(nbins_pad, dtype=jnp.int32)
+
+    def one_chunk(pc):                                  # (chunk,)
+        nbins_p = jnp.ceil(pc / d_phase).astype(jnp.int32)   # (C,)
+        phase = jnp.mod(ts[None, :], pc[:, None])
+        ids = jnp.clip((phase / d_phase).astype(jnp.int32),
+                       0, nbins - 1)                    # (C, n) < nbins_p
+        ids2 = ids + nbins_p[:, None]                   # wrap duplicate
+        tiles = []
+        cnt_tiles = []
+        for tb in range(n_tiles):
+            rows = tb * 128 + jnp.arange(128, dtype=jnp.int32)
+            onehot = (ids[:, None, :] == rows[None, :, None])
+            if wrap:
+                onehot = onehot | (ids2[:, None, :]
+                                   == rows[None, :, None])
+            oh = onehot.astype(Y1.dtype)                # (C, 128, n)
+            tiles.append(jax.lax.dot_general(
+                oh, Y1, (((2,), (0,)), ((), ())),
+                preferred_element_type=acc))            # (C, 128, B[+1])
+            if cnt_impl == "reduce":
+                cnt_tiles.append(jnp.sum(onehot, axis=2, dtype=acc))
+        hist = jnp.concatenate(tiles, axis=1)           # (C, npad, B[+1])
+        if cnt_impl == "column":
+            hist_y, hist_n = hist[..., :B], hist[..., B:]
+        else:
+            hist_y = hist
+            hist_n = jnp.concatenate(cnt_tiles, axis=1)[..., None]
+        cs_y = jnp.cumsum(hist_y, axis=1)               # (C, npad, B)
+        cs_n = jnp.cumsum(hist_n, axis=1)               # (C, npad, 1)
+
+        if window_impl in ("pallas", "pallas_interpret"):
+            from .bls_window_pallas import window_scan_pallas_uniform
+            best = window_scan_pallas_uniform(
+                cs_y, cs_n, nbins_p, pc, tot_y[0, 0], n_total, k_durs,
+                dur_values, float(d_phase), use_likelihood=use_likelihood,
+                interpret=(window_impl == "pallas_interpret"))
+            n_in_b = best.pop("w_in")
+        else:
+            cex_y = jnp.concatenate(
+                [jnp.zeros_like(cs_y[:, :1, :]), cs_y[:, :-1, :]], axis=1)
+            cex_n = jnp.concatenate(
+                [jnp.zeros_like(cs_n[:, :1, :]), cs_n[:, :-1, :]], axis=1)
+
+            best = None
+            for k, dur_val in zip(k_durs, dur_values):
+                n_in = jnp.roll(cs_n, -(k - 1), axis=1) - cex_n  # (C,npad,1)
+                y_in = jnp.roll(cs_y, -(k - 1), axis=1) - cex_y  # (C,npad,B)
+                n_out = n_total - n_in
+                valid = ((rows_b[None, :] < nbins_p[:, None])
+                         & (k <= nbins_p)[:, None])[..., None]
+                okn = valid & (n_in > 0) & (n_out > 0)   # (C, npad, 1)
+                inv_in = 1.0 / jnp.where(okn, n_in, 1.0)
+                inv_out = 1.0 / jnp.where(okn, n_out, 1.0)
+                s = inv_in + inv_out
+                depth = tot_y * inv_out - y_in * s       # (C, npad, B)
+                if use_likelihood:
+                    obj = (0.5 * jnp.where(okn, n_in, 1.0)) * depth * depth
+                else:
+                    obj = depth * jax.lax.rsqrt(s)
+                obj = jnp.where(okn, obj, -jnp.inf)
+                v = jnp.max(obj, axis=1)                 # (C, B)
+                arg = jnp.argmax(obj, axis=1)
+                t0 = (arg.astype(dtype) + 0.5 * k) * d_phase
+                t0 = t0 - jnp.floor(t0 / pc[:, None]) * pc[:, None]
+                sel = (jnp.arange(nbins_pad)[None, :, None]
+                       == arg[:, None, :])
+
+                def pick(a):
+                    return jnp.sum(jnp.where(sel, a, 0.0), axis=1)
+
+                cand = dict(power=v, depth=pick(depth),
+                            w_in=pick(jnp.where(okn, n_in, 1.0)),
+                            transit_time=t0,
+                            duration=jnp.full_like(v, dur_val))
+                if best is None:
+                    best = cand
+                else:
+                    upd = cand["power"] > best["power"]
+                    best = {key: jnp.where(upd, cand[key], best[key])
+                            for key in best}
+            n_in_b = best.pop("w_in")
+
+        # count-based stats → weighted stats via the per-curve scalar c_b
+        n_out_b = n_total - n_in_b
+        err_n = jnp.sqrt(1.0 / n_in_b + 1.0 / n_out_b)
+        sqrt_c = jnp.sqrt(c_b)[None, :]                  # (1, B)
+        best["depth_err"] = err_n / sqrt_c
+        best["depth_snr"] = best["depth"] / err_n * sqrt_c
+        best["log_likelihood"] = (0.5 * n_in_b * best["depth"] ** 2
+                                  * c_b[None, :])
+        best["power"] = (best["log_likelihood"] if use_likelihood
+                         else best["depth_snr"])
+        return best                                    # dict of (C, B)
+
+    p = periods.shape[0]
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    ppad = jnp.pad(periods, (0, pad), constant_values=periods[-1])
+    out = jax.lax.map(one_chunk, ppad.reshape(n_chunks, chunk))
+    return {k: jnp.moveaxis(v.reshape(-1, B), 0, 1)[:, :p]
+            for k, v in out.items()}
+
+
 @lru_cache(maxsize=64)
 def _bucketed_scan(group_shapes, k_durs, dur_values, d_phase,
                    use_likelihood, chunk, hist_dtype):
@@ -456,10 +611,29 @@ def _bucketed_scan(group_shapes, k_durs, dur_values, d_phase,
     return fn
 
 
+def _detect_uniform_weights(dy):
+    """True iff every curve's weights are constant along time (host check).
+
+    Only inspects ``None`` or host (numpy) arrays — device/traced arrays
+    are never pulled; callers that know their weights are row-constant
+    (e.g. the sweep runner) pass ``uniform_weights=True`` explicitly.
+    Rows of all-``inf`` (batch padding) are allowed: they get weight 0.
+    """
+    if dy is None:
+        return True
+    if not isinstance(dy, np.ndarray) or dy.ndim != 2:
+        return False
+    if not np.all(dy == dy[:, :1]):
+        return False
+    col = dy[:, 0]
+    return bool(np.all((col > 0) & (np.isfinite(col) | np.isinf(col))))
+
+
 def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                            objective="likelihood", chunk=16, nbins=None,
                            d_phase=None, hist_dtype=None, bucket=False,
-                           window_impl=None, edge_mode="wrap"):
+                           window_impl=None, edge_mode="wrap",
+                           uniform_weights=None):
     """Batched BLS for curves sharing ONE time grid.
 
     Parameters
@@ -467,6 +641,10 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     t : (n,) shared times.
     Y : (B, n) fluxes.
     dy : (B, n) uncertainties, None, or inf-masked padding.
+    uniform_weights : None (auto-detect on host arrays), True (caller
+        asserts per-curve-constant ``dy`` — required to enable the
+        half-FLOP count-histogram kernel when ``dy`` is a traced/device
+        array), or False (force the general weighted kernel).
     bucket : group trial periods by required histogram size (128-row tile
         granularity) so short periods don't pay for the longest period's
         bins.  Off by default: measured on a v5e the bucketed scan loses
@@ -482,25 +660,38 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     accuracy; depth/snr/likelihood outputs are exactly equivariant so the
     rescale is undone on return.
     """
+    if uniform_weights is None:
+        uniform_weights = _detect_uniform_weights(dy)
     t = jnp.asarray(t)
     Y = jnp.asarray(Y)
     dtype = Y.dtype
     periods = jnp.asarray(periods, dtype)
     durations_np = np.asarray(durations, dtype=np.float64)
-    if dy is None:
-        W = jnp.ones_like(Y)
+    if not uniform_weights:
+        if dy is None:
+            W = jnp.ones_like(Y)
+        else:
+            W = 1.0 / jnp.square(jnp.asarray(dy, dtype))
+        # normalize weights for f32-safe accumulation; undo on outputs
+        w_scale = jnp.mean(jnp.where(jnp.isfinite(W), W, 0.0))
+        Wn = jnp.where(jnp.isfinite(W), W / w_scale, 0.0)
+        # mean-shift the flux: depth is shift-invariant, and passing w·(y−μ)
+        # through the histogram matmul keeps the MXU's bf16 input rounding
+        # (TPU DEFAULT f32 precision) RELATIVE to the transit signal instead
+        # of relative to the ~1.0 continuum — without this the signal is
+        # destroyed on TPU (the μ·w part re-enters depth only to cancel)
+        mu = (jnp.sum(Wn * Y, axis=1) /
+              jnp.maximum(jnp.sum(Wn, axis=1), 1e-30))[:, None]
     else:
-        W = 1.0 / jnp.square(jnp.asarray(dy, dtype))
-    # normalize weights for f32-safe accumulation; undo on outputs
-    w_scale = jnp.mean(jnp.where(jnp.isfinite(W), W, 0.0))
-    Wn = jnp.where(jnp.isfinite(W), W / w_scale, 0.0)
-    # mean-shift the flux: depth is shift-invariant, and passing w·(y−μ)
-    # through the histogram matmul keeps the MXU's bf16 input rounding
-    # (TPU DEFAULT f32 precision) RELATIVE to the transit signal instead of
-    # relative to the ~1.0 continuum — without this the signal is destroyed
-    # on TPU (the μ·w part would re-enter depth only to cancel exactly)
-    mu = (jnp.sum(Wn * Y, axis=1) /
-          jnp.maximum(jnp.sum(Wn, axis=1), 1e-30))[:, None]
+        # per-curve constant weights: the scan works on plain counts; the
+        # per-curve weight re-enters as a scalar rescale inside the scan
+        if dy is None:
+            c_b = jnp.ones((Y.shape[0],), dtype)
+        else:
+            dy0 = jnp.asarray(dy, dtype)[:, 0]
+            c_b = jnp.where(jnp.isfinite(dy0),
+                            1.0 / jnp.square(dy0), 0.0)
+        mu = jnp.mean(Y, axis=1, keepdims=True)
     t_min = jnp.min(t)
     ts = (t - t_min).astype(dtype)
 
@@ -524,10 +715,30 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
         import os
         window_impl = os.environ.get("LK_BLS_WINDOW", "auto")
     if window_impl == "auto":
-        # fused Pallas window scan on TPU when the batch tiles the lanes;
-        # XLA windowing otherwise (CPU parity tests, ragged batches)
-        window_impl = ("pallas" if jax.default_backend() == "tpu"
+        # general path: fused Pallas window scan on TPU when the batch
+        # tiles the lanes (one HBM pass instead of ~13); XLA windowing
+        # otherwise (CPU parity tests, ragged batches).  Uniform path:
+        # XLA windowing always — with one shared count column it is
+        # measured faster than the Pallas scan (and has no B%128
+        # constraint).
+        window_impl = ("pallas" if not uniform_weights
+                       and jax.default_backend() == "tpu"
                        and Y.shape[0] % 128 == 0 else "xla")
+
+    if uniform_weights:
+        # half-FLOP count-histogram kernel; stats are rescaled by c_b
+        # inside the scan, so no w_scale bookkeeping applies.  The bucket
+        # pipeline is general-path only (it is default-off and measured
+        # slower anyway).
+        out = _bls_shared_scan_uniform(
+            ts, (Y - mu).T.astype(dtype), c_b, periods, k_durs, dvals,
+            float(d_phase), int(nbins), objective == "likelihood", chunk,
+            hist_dtype=hd, window_impl=window_impl,
+            wrap=edge_mode != "astropy")
+        out["transit_time"] = out["transit_time"] + t_min
+        out["period"] = jnp.broadcast_to(periods[None, :],
+                                         (Y.shape[0], periods.shape[0]))
+        return out
 
     def run(p_sub, nb):
         return _bls_shared_scan(ts, Wn.T, (Wn * (Y - mu)).T, p_sub, k_durs,

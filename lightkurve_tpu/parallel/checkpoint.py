@@ -37,7 +37,7 @@ def _reduce_winner(out, n_valid):
 
 @lru_cache(maxsize=16)
 def _shared_step_cached(durs_key, oversample, objective, d_phase, nbins,
-                        dtype_name):
+                        dtype_name, uniform_weights=False):
     import jax
     import jax.numpy as jnp
     from ..ops.bls import bls_power_shared_batch
@@ -47,7 +47,8 @@ def _shared_step_cached(durs_key, oversample, objective, d_phase, nbins,
     def step(t_row, flux, dy, pvals, n_valid):
         out = bls_power_shared_batch(
             t_row, flux, dy, pvals, durs, oversample=oversample,
-            objective=objective, d_phase=d_phase, nbins=nbins)
+            objective=objective, d_phase=d_phase, nbins=nbins,
+            uniform_weights=uniform_weights)
         return _reduce_winner(out, n_valid)
 
     return step
@@ -151,6 +152,12 @@ class SweepRunner:
         d_phase = float(self.durations.min()) / self.oversample
         durs_key = tuple(float(d) for d in self.durations)
         dtype_name = str(np.dtype(self.stack.flux.dtype))
+        # per-curve-constant weights (all cadences valid + row-constant
+        # flux_err) enable the half-FLOP count-histogram BLS kernel;
+        # two device reductions once per runner, not per chunk
+        err = self.stack.flux_err
+        uniform = bool(jnp.all(self.stack.mask)) and bool(
+            jnp.all(err == err[:, :1]))
         if self.mesh is not None:
             # multi-chip: targets data-parallel, the period chunk
             # sharded over the mesh's grid axis (sharded_bls), with the
@@ -167,14 +174,15 @@ class SweepRunner:
                 out = sharded_bls(time, flux, dy, pvals,
                                   jnp.asarray(durations, flux.dtype),
                                   oversample=oversample,
-                                  objective=objective, mesh=mesh)
+                                  objective=objective, mesh=mesh,
+                                  uniform_weights=uniform)
                 return jax.jit(_reduce_winner)(out, n_valid)
             return step
         if self.method == "shared":
             nbins = int(np.ceil(self.periods.max() / d_phase))
             step = _shared_step_cached(durs_key, self.oversample,
                                        self.objective, d_phase, nbins,
-                                       dtype_name)
+                                       dtype_name, uniform_weights=uniform)
             t_row = jnp.asarray(np.asarray(self.stack.time)[0],
                                 self.stack.flux.dtype)
             return functools.partial(step, t_row)

@@ -56,7 +56,7 @@ def _pad_to(arr, size, axis, pad_value):
 
 def sharded_bls(time, flux, dy, periods, durations, oversample=10,
                 objective="likelihood", mesh=None, chunk=16,
-                shared_time=None):
+                shared_time=None, uniform_weights=None):
     """BLS over (B, N) stacks × (P,) periods, sharded over the mesh.
 
     Targets shard over the ``targets`` axis, the period grid over the
@@ -64,7 +64,8 @@ def sharded_bls(time, flux, dy, periods, durations, oversample=10,
     (B, P) arrays (padded periods trimmed).  When the batch shares one
     time grid each shard runs the MXU-matmul kernel.
     """
-    from ..ops.bls import bls_power, bls_power_shared_batch
+    from ..ops.bls import (bls_power, bls_power_shared_batch,
+                           _detect_uniform_weights)
     if mesh is None:
         mesh = make_mesh()
     nt = mesh.shape["targets"]
@@ -73,6 +74,13 @@ def sharded_bls(time, flux, dy, periods, durations, oversample=10,
     Pn = periods.shape[0]
     B_pad = -(-B // nt) * nt
     P_pad = -(-Pn // ng) * ng
+    # uniform-weight detection must happen BEFORE shard_map (dy is traced
+    # inside); only host arrays are inspected — pass uniform_weights=True
+    # explicitly for device-resident constant-weight stacks
+    if uniform_weights is None:
+        uniform_weights = (_detect_uniform_weights(dy)
+                           if dy is None or isinstance(dy, np.ndarray)
+                           else False)
     time = _pad_to(time, B_pad, 0, 1.0)
     flux = _pad_to(flux, B_pad, 0, 0.0)
     dy = _pad_to(dy, B_pad, 0, np.inf)
@@ -89,7 +97,8 @@ def sharded_bls(time, flux, dy, periods, durations, oversample=10,
         if shared_time:
             return bls_power_shared_batch(
                 t[0], y, d, p, durations, oversample=oversample,
-                objective=objective, nbins=nbins, d_phase=d_phase)
+                objective=objective, nbins=nbins, d_phase=d_phase,
+                uniform_weights=uniform_weights)
         fn = jax.vmap(lambda tt, yy, dd: bls_power(
             tt, yy, dd, p, durations, oversample=oversample,
             objective=objective, chunk=chunk, t0_count=t0_count,

@@ -195,6 +195,28 @@ def test_shared_kernel_pallas_window_matches_oracle(edge_mode):
                   context=f"shared-pallas/{edge_mode}/row127")
 
 
+@pytest.mark.parametrize("name", ["hotjup", "nody"])
+@pytest.mark.parametrize("edge_mode", ["wrap", "astropy"])
+def test_uniform_kernel_matches_oracle(name, edge_mode):
+    """The half-FLOP count-histogram kernel (per-curve-constant weights,
+    auto-detected on host arrays) must hit the same oracle numbers as the
+    general weighted kernel."""
+    from lightkurve_tpu.ops.bls import _detect_uniform_weights
+    c = CFGS[name]
+    ref = bls_binned_reference(c["t"], c["y"], c["dy"], c["periods"],
+                               c["durations"], oversample=c["oversample"],
+                               wrap=edge_mode == "wrap")
+    Y = np.asarray(c["y"])[None, :]
+    dy = None if c["dy"] is None else np.asarray(c["dy"])[None, :]
+    assert _detect_uniform_weights(dy)
+    out = bls_power_shared_batch(
+        jnp.asarray(c["t"]), Y, dy, jnp.asarray(c["periods"]),
+        jnp.asarray(c["durations"]), oversample=c["oversample"],
+        edge_mode=edge_mode)
+    out = {k: np.asarray(v)[0] for k, v in out.items()}
+    _assert_close(out, ref, context=f"uniform/{name}/{edge_mode}")
+
+
 def test_snr_objective_matches_oracle():
     c = CFGS["nody"]
     ref = bls_binned_reference(c["t"], c["y"], c["dy"], c["periods"],

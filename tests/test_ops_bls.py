@@ -92,3 +92,66 @@ def test_binned_bls_approximates_exact(rng):
     assert abs(float(binned["depth"][i]) - float(exact["depth"][i])) < 1e-3
     assert abs(float(binned["transit_time"][i])
                - float(exact["transit_time"][i])) < 0.05
+
+
+def test_detect_uniform_weights():
+    from lightkurve_tpu.ops.bls import _detect_uniform_weights as det
+    B, N = 3, 40
+    assert det(None)
+    assert det(np.full((B, N), 1e-3))                      # shared constant
+    assert det(np.tile(np.array([[1e-3], [2e-3], [5e-4]]), (1, N)))
+    # inf rows (batch padding) keep per-row constancy with weight 0
+    dy = np.full((B, N), 1e-3)
+    dy[-1] = np.inf
+    assert det(dy)
+    rng = np.random.default_rng(0)
+    assert not det(rng.uniform(1e-4, 1e-3, (B, N)))        # heteroscedastic
+    dy = np.full((B, N), 1e-3)
+    dy[0, 5] = np.inf                                      # masked cadence
+    assert not det(dy)
+    assert not det(np.full(N, 1e-3))                       # wrong ndim
+    import jax.numpy as jnp_
+    assert not det(jnp_.full((B, N), 1e-3))                # device arrays
+    assert not det(-np.full((B, N), 1e-3))                 # non-positive
+
+
+@pytest.mark.parametrize("dy_case", ["none", "percurve"])
+def test_uniform_path_matches_general(rng, dy_case):
+    """Count-histogram kernel ≡ general weighted kernel for per-curve
+    constant weights (both window impls), 1e-9 in float64."""
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
+    B, n = 3, 700
+    t = np.sort(rng.uniform(0, 15, n))
+    Y = 1.0 + 5e-4 * rng.normal(size=(B, n))
+    ph = np.mod(t - 2.0 + 2.77 / 2, 2.77) - 2.77 / 2
+    Y[:, np.abs(ph) < 0.08] -= 4e-3
+    dy = (None if dy_case == "none"
+          else np.tile(rng.uniform(4e-4, 9e-4, (B, 1)), (1, n)))
+    periods = np.linspace(1.2, 4.0, 33)
+    durations = np.array([0.1, 0.2])
+    gen = bls_power_shared_batch(t, Y, dy, periods, durations,
+                                 uniform_weights=False)
+    uni = bls_power_shared_batch(t, Y, dy, periods, durations)  # auto
+    for k in ("power", "depth", "depth_err", "depth_snr",
+              "log_likelihood", "duration", "transit_time"):
+        a, b = np.asarray(gen[k]), np.asarray(uni[k])
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-15,
+                                   err_msg=f"{dy_case}/{k}")
+
+
+def test_uniform_pallas_window_matches_xla(rng):
+    """The uniform-path Pallas window kernel (interpret mode on CPU)
+    agrees with the XLA windowing form."""
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
+    B, n = 128, 400
+    t = np.sort(rng.uniform(0, 12, n))
+    Y = 1.0 + 5e-4 * rng.normal(size=(B, n))
+    periods = np.linspace(1.2, 4.0, 17)
+    durations = np.array([0.1, 0.2])
+    x = bls_power_shared_batch(t, Y, None, periods, durations,
+                               window_impl="xla")
+    p = bls_power_shared_batch(t, Y, None, periods, durations,
+                               window_impl="pallas_interpret")
+    for k in ("power", "depth", "depth_err", "transit_time", "duration"):
+        np.testing.assert_allclose(np.asarray(x[k]), np.asarray(p[k]),
+                                   rtol=1e-9, err_msg=k)
