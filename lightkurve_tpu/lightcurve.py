@@ -61,9 +61,19 @@ class LightCurve:
     _default_time_format = "jd"
 
     def __init__(self, data=None, *, time=None, flux=None, flux_err=None,
-                 meta=None, **extra_columns):
+                 meta=None, flux_unit=None, **extra_columns):
         cols = OrderedDict()
         _meta = {}
+        # ``flux_unit=`` attaches a unit to unitless flux/flux_err inputs
+        # (reference tests construct e.g.
+        # LightCurve(..., flux_unit="electron/second"))
+        if flux_unit is not None:
+            from .units import Unit
+            funit = Unit.parse(flux_unit)
+            if flux is not None and not isinstance(flux, Quantity):
+                flux = Quantity(np.asarray(flux, dtype=float), funit)
+            if flux_err is not None and not isinstance(flux_err, Quantity):
+                flux_err = Quantity(np.asarray(flux_err, dtype=float), funit)
         if isinstance(data, LightCurve):
             cols.update({k: _copy_col(v) for k, v in data._cols.items()})
             _meta.update(deepcopy(data.meta))

@@ -41,12 +41,21 @@ class Periodogram:
 
     def __init__(self, frequency, power, nyquist=None, targetid=None,
                  label=None, default_view="frequency", meta=None):
+        # constructor validation mirrors reference periodogram.py:58-86
         if not isinstance(frequency, Quantity):
-            frequency = Quantity(frequency, one_per_day)
+            raise ValueError(
+                "frequency must be an `astropy.units.Quantity` object.")
         if not isinstance(power, Quantity):
-            power = Quantity(power, dimensionless)
+            raise ValueError(
+                "power must be an `astropy.units.Quantity` object.")
         if frequency.shape != power.shape:
-            raise ValueError("frequency and power must have the same length")
+            raise ValueError(
+                "frequency and power must have the same length.")
+        if np.size(frequency) <= 1:
+            raise ValueError(
+                "frequency and power must have a length greater than 1.")
+        if frequency.unit.bases != {"time": -1}:
+            raise ValueError("Frequency must be in units of 1/time.")
         self.frequency = frequency
         self.power = power
         self.nyquist = nyquist
@@ -103,7 +112,12 @@ class Periodogram:
         method = validate_method(method, ["boxkernel", "logmedian"])
         if method == "boxkernel":
             if isinstance(filter_width, Quantity):
-                filter_width = float(filter_width.to(self.frequency.unit).value)
+                try:
+                    filter_width = float(
+                        filter_width.to(self.frequency.unit).value)
+                except ValueError:
+                    raise ValueError("the `filter_width` parameter must "
+                                     "have frequency units.")
             if filter_width <= 0.0:
                 raise ValueError("the `filter_width` parameter must be "
                                  "larger than 0 for the 'boxkernel' method.")
@@ -252,7 +266,7 @@ class Periodogram:
         ax.set_yscale(scale)
         ax.set_xscale(scale)
         ax.set_title(title)
-        if kwargs.get("label") is not None:
+        if kwargs.get("label"):  # empty labels draw no legend entry
             ax.legend(loc="best")
         return ax
 

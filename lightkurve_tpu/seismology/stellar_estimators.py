@@ -9,19 +9,25 @@ relations are pure power laws, so this is exact in log space).
 """
 from __future__ import annotations
 
+from collections import namedtuple
+
 import numpy as np
 
-from ..units import Quantity, uHz, K, solRad, solMass, dex
+from ..units import Quantity, uHz, K, solRad, solMass, dex, cm_per_s2
 from .utils import SeismologyQuantity
 
 __all__ = ["estimate_radius", "estimate_mass", "estimate_logg",
            "NUMAX_SOL", "DELTANU_SOL", "TEFF_SOL", "G_SOL"]
 
-NUMAX_SOL = (3090.0, 30.0)       # microhertz | Huber et al. 2011
-DELTANU_SOL = (135.1, 0.1)       # microhertz | Huber et al. 2011
-TEFF_SOL = (5772.0, 0.8)         # Kelvin     | Prsa et al. 2016
-# G·Msun/Rsun² in cm/s²
-G_SOL = 27420.011165737313
+# (value, 1σ) pairs with ufloat-style .n/.s access (the reference stores
+# these as `uncertainties.ufloat`; a namedtuple keeps tuple unpacking AND
+# the .n/.s attribute API its tests rely on)
+UFloat = namedtuple("UFloat", "n s")
+NUMAX_SOL = UFloat(3090.0, 30.0)     # microhertz | Huber et al. 2011
+DELTANU_SOL = UFloat(135.1, 0.1)     # microhertz | Huber et al. 2011
+TEFF_SOL = UFloat(5772.0, 0.8)       # Kelvin     | Prsa et al. 2016
+# G·Msun/Rsun² (solar surface gravity)
+G_SOL = Quantity(27420.011165737313, cm_per_s2)
 
 
 def _uval(x, unit):
@@ -43,46 +49,47 @@ def _power_law(terms):
 
 
 def _prepare(numax, deltanu, teff, numax_err, deltanu_err, teff_err):
+    """Reference semantics (``stellar_estimators.py:77-91``): input errors
+    are used only when ALL are provided, otherwise treated as zero — but
+    the solar reference uncertainties always propagate, so the returned
+    error is never None."""
     numax = _uval(numax, uHz)
     deltanu = _uval(deltanu, uHz)
     teff = _uval(teff, K)
-    have_err = all(e is not None for e in (numax_err, deltanu_err, teff_err))
-    if have_err:
+    if all(e is not None for e in (numax_err, deltanu_err, teff_err)):
         numax_err = _uval(numax_err, uHz)
         deltanu_err = _uval(deltanu_err, uHz)
         teff_err = _uval(teff_err, K)
     else:
         numax_err = deltanu_err = teff_err = 0.0
-    return numax, deltanu, teff, numax_err, deltanu_err, teff_err, have_err
+    return numax, deltanu, teff, numax_err, deltanu_err, teff_err
 
 
 def estimate_radius(numax, deltanu, teff, numax_err=None, deltanu_err=None,
                     teff_err=None):
     """R/R☉ = (ν/ν☉)(Δν/Δν☉)⁻²(T/T☉)^0.5 (reference ``:21-104``)."""
-    nu, dn, t, nue, dne, te, have_err = _prepare(
+    nu, dn, t, nue, dne, te = _prepare(
         numax, deltanu, teff, numax_err, deltanu_err, teff_err)
     val, err = _power_law([
         (nu, nue, *NUMAX_SOL, 1.0),
         (dn, dne, *DELTANU_SOL, -2.0),
         (t, te, *TEFF_SOL, 0.5)])
     return SeismologyQuantity(Quantity(val, solRad), name="radius",
-                              error=Quantity(err, solRad) if have_err
-                              else None,
+                              error=Quantity(err, solRad),
                               method="Uncorrected Scaling Relations")
 
 
 def estimate_mass(numax, deltanu, teff, numax_err=None, deltanu_err=None,
                   teff_err=None):
     """M/M☉ = (ν/ν☉)³(Δν/Δν☉)⁻⁴(T/T☉)^1.5 (reference ``:107-190``)."""
-    nu, dn, t, nue, dne, te, have_err = _prepare(
+    nu, dn, t, nue, dne, te = _prepare(
         numax, deltanu, teff, numax_err, deltanu_err, teff_err)
     val, err = _power_law([
         (nu, nue, *NUMAX_SOL, 3.0),
         (dn, dne, *DELTANU_SOL, -4.0),
         (t, te, *TEFF_SOL, 1.5)])
     return SeismologyQuantity(Quantity(val, solMass), name="mass",
-                              error=Quantity(err, solMass) if have_err
-                              else None,
+                              error=Quantity(err, solMass),
                               method="Uncorrected Scaling Relations")
 
 
@@ -96,10 +103,11 @@ def estimate_logg(numax, teff, numax_err=None, teff_err=None):
     g, g_err = _power_law([
         (numax, nue, *NUMAX_SOL, 1.0),
         (teff, te, *TEFF_SOL, 0.5)])
-    g = g * G_SOL
-    g_err = g_err * G_SOL
+    g_sol = float(G_SOL.value)
+    g = g * g_sol
+    g_err = g_err * g_sol
     val = np.log10(g)
     err = g_err / (g * np.log(10))
     return SeismologyQuantity(Quantity(val, dex), name="logg",
-                              error=Quantity(err, dex) if have_err else None,
+                              error=Quantity(err, dex),
                               method="Uncorrected Scaling Relations")

@@ -65,6 +65,16 @@ class Unit:
         self.name = name
 
     # -- algebra ---------------------------------------------------------
+    @staticmethod
+    def _canonical_name(scale, bases, fallback):
+        """Prefer a registered unit's name when the algebra lands exactly
+        on one (e.g. (1/d)**-1 displays as 'd', not '1 / d-1')."""
+        bases = {k: v for k, v in bases.items() if v != 0}
+        for u in Unit._registry.values():
+            if u.bases == bases and np.isclose(u.scale, scale):
+                return u.name
+        return fallback
+
     def _combine(self, other, sign):
         bases = dict(self.bases)
         for k, v in other.bases.items():
@@ -74,7 +84,7 @@ class Unit:
             name = f"{self.name} {other.name}".strip()
         else:
             name = f"{self.name} / {other.name}".strip(" /")
-        return Unit(scale, bases, name)
+        return Unit(scale, bases, self._canonical_name(scale, bases, name))
 
     def __mul__(self, other):
         if isinstance(other, Unit):
@@ -92,8 +102,10 @@ class Unit:
         return Quantity(np.asarray(other), self ** -1)
 
     def __pow__(self, p):
-        return Unit(self.scale ** p, {k: v * p for k, v in self.bases.items()},
-                    f"{self.name}{p}" if self.name else "")
+        scale = self.scale ** p
+        bases = {k: v * p for k, v in self.bases.items()}
+        return Unit(scale, bases, self._canonical_name(
+            scale, bases, f"{self.name}{p}" if self.name else ""))
 
     # -- comparison / conversion ----------------------------------------
     def is_equivalent(self, other):
@@ -196,6 +208,8 @@ solRad = Unit.register(Unit(1.0, {"solrad": 1}, "solRad"), "solRad", "Rsun")
 solMass = Unit.register(Unit(1.0, {"solmass": 1}, "solMass"), "solMass", "Msun")
 dex = Unit.register(Unit(1.0, {"dex": 1}, "dex"), "dex")
 K = Unit.register(Unit(1.0, {"temperature": 1}, "K"), "K", "Kelvin")
+cm_per_s2 = Unit.register(Unit(1.0, {"length": 1, "time": -2}, "cm / s2"),
+                          "cm / s2", "cm/s2", "cm / s**2")
 deg = Unit.register(Unit(np.pi / 180.0, {"angle": 1}, "deg"), "deg", "degree")
 arcsec = Unit.register(Unit(np.pi / 180.0 / 3600.0, {"angle": 1}, "arcsec"), "arcsec")
 

@@ -252,3 +252,228 @@ def test_bls_period_recovery_binary_eclipse(rng):
                            period=np.linspace(0.8, 2.0, 400),
                            duration=[0.05, 0.1])
     assert abs(float(pg.period_at_max_power.value) - P_true) < 0.02
+
+
+# --------------------------------------------------------------------------
+# Mirrors of reference tests/test_periodogram.py behaviors not covered above
+# --------------------------------------------------------------------------
+
+def _noisy_lc(rng, n=1000):
+    return LightCurve(time=np.arange(n),
+                      flux=1 + 0.1 * rng.standard_normal(n),
+                      flux_err=np.full(n, 0.1))
+
+
+def test_periodogram_normalization_units(rng):
+    """Amplitude power carries the flux unit; PSD carries unit²/freq_unit
+    (reference test_periodogram_normalization)."""
+    lc = LightCurve(time=np.arange(1000),
+                    flux=1 + 0.1 * rng.standard_normal(1000),
+                    flux_err=np.full(1000, 0.1), flux_unit="electron/second")
+    pg = lc.to_periodogram(normalization="amplitude")
+    assert str(pg.power.unit) == "electron / s"
+    pg = lc.normalize(unit="ppm").to_periodogram(normalization="amplitude")
+    assert str(pg.power.unit) == "ppm"
+    pg = lc.to_periodogram(freq_unit=uHz, normalization="psd")
+    assert str(pg.power.unit) in ("electron2 / (s2 uHz)",
+                                  "(electron / s)2 / uHz",
+                                  "electron / s2 / uHz",
+                                  str((lc.flux.unit ** 2) / uHz))
+    pg2 = lc.normalize(unit="ppm").to_periodogram(freq_unit=uHz,
+                                                  normalization="psd")
+    assert str(pg2.power.unit) == str((Quantity(1, "ppm").unit ** 2) / uHz)
+
+
+def test_periodogram_units(rng):
+    """Reference test_periodogram_units: unit-carrying properties."""
+    lc = LightCurve(time=np.arange(1000),
+                    flux=1 + 0.1 * rng.standard_normal(1000),
+                    flux_err=np.full(1000, 0.1), flux_unit="electron/second")
+    p = lc.to_periodogram(normalization="amplitude")
+    assert hasattr(p.frequency, "unit")
+    assert str(p.frequency.unit) == "1 / d"
+    assert str(p.power.unit) == "electron / s"
+    assert str(p.period.unit) == "d"
+    assert str(p.frequency_at_max_power.unit) == "1 / d"
+    assert str(p.max_power.unit) == "electron / s"
+
+
+def test_periodogram_can_find_periods(rng):
+    """A 100-day sinusoid peaks at 100 d (reference name preserved)."""
+    lc = _noisy_lc(rng)
+    lc = LightCurve(time=lc.time.value,
+                    flux=lc.flux.value + np.sin(
+                        lc.time.value / lc.time.value.max() * 20 * np.pi),
+                    flux_err=np.full(1000, 0.1)).normalize()
+    p = lc.to_periodogram(normalization="amplitude")
+    assert np.isclose(float(p.period_at_max_power.value), 100, rtol=1e-3)
+
+
+def test_index(rng):
+    """Boolean-mask indexing of a periodogram."""
+    p = _noisy_lc(rng).normalize().to_periodogram()
+    fval = p.frequency.value
+    mask = (fval > 0.1) & (fval < 0.2)
+    assert len(p[mask].frequency) == mask.sum()
+
+
+def test_error_messages(rng):
+    """Reference test_error_messages: constructor + grid guard strings."""
+    lc = _noisy_lc(rng)
+    with pytest.raises(ValueError):
+        lc.to_periodogram(maximum_frequency=0.1, minimum_period=10)
+    with pytest.raises(ValueError) as err:
+        lc.to_periodogram(maximum_frequency=0.1, minimum_frequency=10)
+    assert err.value.args[0] == ("minimum_frequency cannot be larger than "
+                                 "maximum_frequency")
+    with pytest.raises(ValueError) as err:
+        lc.to_periodogram(maximum_period=0.1, minimum_period=10)
+    assert err.value.args[0] == ("minimum_period cannot be larger than "
+                                 "maximum_period")
+    with pytest.raises(ValueError):
+        lc.to_periodogram(frequency=np.arange(10), period=np.arange(10))
+    with pytest.raises(ValueError) as err:
+        Periodogram([0], [1])
+    assert err.value.args[0] == \
+        "frequency must be an `astropy.units.Quantity` object."
+    with pytest.raises(ValueError) as err:
+        Periodogram(Quantity([0], "Hz"), [1])
+    assert err.value.args[0] == \
+        "power must be an `astropy.units.Quantity` object."
+    with pytest.raises(ValueError) as err:
+        Periodogram(Quantity([0], "Hz"), Quantity([1], "K"))
+    assert err.value.args[0] == \
+        "frequency and power must have a length greater than 1."
+    with pytest.raises(ValueError) as err:
+        Periodogram(Quantity([0, 1, 2, 3], "Hz"), Quantity([1, 1], "K"))
+    assert err.value.args[0] == \
+        "frequency and power must have the same length."
+    with pytest.raises(ValueError) as err:
+        Periodogram(Quantity([0, 1, 2], "K"), Quantity([1, 1, 1], "K"))
+    assert err.value.args[0] == "Frequency must be in units of 1/time."
+    with pytest.raises(ValueError) as err:
+        Periodogram(Quantity([0, 1, 2], "Hz"),
+                    Quantity([1, 1, 1], "K")).bin(binsize=-2)
+    assert err.value.args[0] == "binsize must be larger than or equal to 1"
+    with pytest.raises(ValueError) as err:
+        Periodogram(Quantity([0, 1, 2], "Hz"),
+                    Quantity([1, 1, 1], "K")).bin(method="not-implemented")
+    assert "method 'not-implemented' is not supported" in err.value.args[0]
+    with pytest.raises(ValueError) as err:
+        Periodogram(Quantity([0, 1, 2], "Hz"),
+                    Quantity([1, 1, 1], "K")).smooth(method="not-implemented")
+    assert "method 'not-implemented' is not supported" in err.value.args[0]
+
+
+def test_smooth_pitfalls(rng):
+    """Reference test_smooth error branches + logmedian consistency."""
+    np.random.seed(42)
+    lc = LightCurve(time=np.arange(1000),
+                    flux=np.random.normal(1, 0.1, 1000),
+                    flux_err=np.full(1000, 0.1)).normalize()
+    p = lc.to_periodogram(normalization="psd", freq_unit=uHz)
+    assert np.all(p.smooth(method="boxkernel").frequency.value
+                  == p.frequency.value)
+    assert np.all(p.smooth(method="logmedian").frequency.value
+                  == p.frequency.value)
+    assert str(p.smooth().power.unit) == str(p.power.unit)
+    # logmedian-smoothed mean tracks the raw mean
+    assert np.isclose(np.mean(p.smooth(method="logmedian").power.value),
+                      np.mean(p.power.value),
+                      atol=0.05 * np.mean(p.power.value))
+    with pytest.raises(ValueError):
+        p.smooth(method="boxkernel", filter_width=-5.0)
+    with pytest.raises(ValueError) as err:
+        p.smooth(method="boxkernel", filter_width=Quantity(5.0, "d"))
+    assert err.value.args[0] == \
+        "the `filter_width` parameter must have frequency units."
+    # non-evenly-spaced frequencies can't be box-smoothed
+    with pytest.raises(ValueError):
+        lc.to_periodogram(period=np.arange(1, 100)).smooth()
+    # logmedian rejects unit-carrying widths
+    with pytest.raises(ValueError):
+        p.smooth(method="logmedian", filter_width=Quantity(5.0, "d"))
+
+
+def test_bls_warnings_and_types(rng, caplog):
+    """Reference test_bls: no-arg compute_stats/get_transit_model warn and
+    fall back to max-power parameters; typed at-max-power properties."""
+    import logging
+    from lightkurve_tpu.time import Time
+    lc = LightCurve(time=np.linspace(0, 10, 200),
+                    flux=np.random.normal(100, 0.1, 200),
+                    flux_err=np.full(200, 0.1))
+    p = lc.to_periodogram(method="bls")
+    for key in ["period", "power", "duration", "transit_time", "depth",
+                "snr"]:
+        assert key in dir(p)
+    lc.to_periodogram(method="bls", minimum_period=0.2, duration=0.1,
+                      maximum_period=0.5)
+    with pytest.raises(ValueError):
+        lc.to_periodogram(method="bls", frequency_factor=0.00001)
+    with caplog.at_level(logging.WARNING):
+        p.compute_stats()
+    assert "No period specified." in caplog.text
+    n_before = len(caplog.records)
+    stats = p.compute_stats(1, 0.1, 0)
+    assert len(caplog.records) == n_before
+    assert isinstance(stats, dict)
+    model = p.get_transit_model(1, 0.1, 0)
+    assert isinstance(model, LightCurve)
+    assert np.isin(model.time.value, lc.time.value).all()
+    mask = p.get_transit_mask(1, 0.1, 0)
+    assert isinstance(mask, np.ndarray)
+    assert mask.dtype == bool
+    assert mask.sum() < (~mask).sum()
+    assert isinstance(p.period_at_max_power, Quantity)
+    assert isinstance(p.duration_at_max_power, Quantity)
+    assert isinstance(p.transit_time_at_max_power, Time)
+    assert isinstance(p.depth_at_max_power, (Quantity, float))
+
+
+def test_bls_period_regression_514():
+    """Reference regression #514: explicit period grids round-trip, and
+    NaN periods raise a message naming `period`."""
+    lc = LightCurve(time=[1, 2, 3], flux=[4, 5, 6])
+    period = [1, 2, 3, 4, 5]
+    pg = lc.to_periodogram(method="bls", period=period)
+    np.testing.assert_array_equal(pg.period.value, period)
+    with pytest.raises(ValueError) as err:
+        lc.to_periodogram(method="bls", period=[1, 2, 3, np.nan, 4])
+    assert "period" in err.value.args[0]
+
+
+def test_masked_flux_nans():
+    """Reference regression #1162: NaN flux rows drop out and a constant
+    remainder yields zero power."""
+    lc = LightCurve(time=[1, 2, 3, 4], flux=[1.0, np.nan, 1.0, 1.0])
+    pg = lc.to_periodogram()
+    pw = np.asarray(pg.power.value)
+    assert not np.isnan(pw).all()
+    np.testing.assert_allclose(pw, 0.0, atol=1e-20)
+
+
+def _beta_lyr_lc():
+    t = np.arange(0, 30, 0.1)
+    f = np.sin(t * 2 + np.pi / 2) + np.sin(t) + 1
+    return LightCurve(time=t, flux=f).normalize()
+
+
+@pytest.mark.parametrize("ls_method, nterms, expected_period, downgraded", [
+    ("fast", 1, np.pi, "slow"),
+    ("fastchi2", 2, 2 * np.pi, "chi2"),
+    ("fastnifty", 1, np.pi, "slow"),
+    ("fastnifty_chi2", 2, 2 * np.pi, "chi2"),
+])
+def test_ls_method_uneven_freq_grid(ls_method, nterms, expected_period,
+                                    downgraded):
+    """Reference test_ls_method_uneven_freq_grid: uneven grids downgrade
+    fast methods, and pg.nterms / pg.ls_method record the result."""
+    lc = _beta_lyr_lc()
+    freq_grid = 1.0 / np.arange(1, 10, 0.01)
+    pg = lc.to_periodogram(method="ls", ls_method=ls_method, nterms=nterms,
+                           frequency=freq_grid)
+    assert np.isclose(float(pg.period_at_max_power.value), expected_period,
+                      atol=0.05)
+    assert pg.nterms == nterms
+    assert pg.ls_method == downgraded
