@@ -39,8 +39,24 @@ class Collection:
             return type(self)(self.data[key])
         key = np.asarray(key)
         if key.dtype == bool:
+            # boolean masks must match the collection length exactly
+            # (reference test_collection_getitem_by_boolean_array)
+            if len(key) != len(self.data):
+                raise IndexError(
+                    f"boolean index of length {len(key)} does not match "
+                    f"collection of length {len(self.data)}")
             return type(self)([d for d, k in zip(self.data, key) if k])
-        return type(self)([self.data[int(i)] for i in key])
+        if key.dtype.kind not in "iu":
+            # follow ndarray fancy-indexing: non-int/bool arrays are invalid
+            raise IndexError(
+                f"arrays used as indices must be of integer or boolean "
+                f"type (got {key.dtype})")
+        try:
+            return type(self)([self.data[int(i)] for i in key])
+        except IndexError:
+            raise IndexError(
+                f"index out of range for collection of length "
+                f"{len(self.data)}")
 
     def __setitem__(self, key, value):
         self.data[key] = value
@@ -56,18 +72,26 @@ class Collection:
                          f"{getattr(obj, 'targetid', None) or obj.meta.get('TARGETID') if hasattr(obj, 'meta') else ''}) {label}")
         return "\n".join(lines)
 
+    def _safe_scalar_attr(self, name):
+        """Per-member scalar attribute with ``np.nan`` for members that
+        lack it, so the result supports numeric comparison/filtering
+        (reference ``collections.py:104-106``)."""
+        return np.array([getattr(o, name, np.nan) for o in self.data])
+
     @property
     def sector(self):
-        return np.asarray([getattr(o, "sector", None)
-                           or o.meta.get("SECTOR") for o in self.data])
+        """(TESS) member sectors; ``np.nan``/``None`` when absent."""
+        return self._safe_scalar_attr("sector")
 
     @property
     def quarter(self):
-        return np.asarray([o.meta.get("QUARTER") for o in self.data])
+        """(Kepler) member quarters; ``np.nan``/``None`` when absent."""
+        return self._safe_scalar_attr("quarter")
 
     @property
     def campaign(self):
-        return np.asarray([o.meta.get("CAMPAIGN") for o in self.data])
+        """(K2) member campaigns; ``np.nan``/``None`` when absent."""
+        return self._safe_scalar_attr("campaign")
 
 
 class LightCurveCollection(Collection):
@@ -86,6 +110,32 @@ class LightCurveCollection(Collection):
         common = set(lcs[0].columns)
         for lc in lcs[1:]:
             common &= set(lc.columns)
+
+        # same-name columns whose types cannot be merged (Quantity vs plain
+        # array, or non-same-kind-castable dtypes) are excluded with a
+        # warning (reference collections.py:198-226, issues #954/#1015)
+        def _kind(col):
+            if isinstance(col, Time):
+                return ("time", "f")
+            if isinstance(col, Quantity):
+                return ("quantity", np.asarray(col).dtype.kind)
+            return ("array", np.asarray(col).dtype.kind)
+
+        incompatible = set()
+        for name in common:
+            k0 = _kind(lcs[0]._cols[name])
+            for lc in lcs[1:]:
+                k = _kind(lc._cols[name])
+                if k[0] != k0[0] or k[1] != k0[1]:
+                    incompatible.add(name)
+                    break
+        if incompatible:
+            import warnings
+            warnings.warn(
+                "The following columns will be excluded from stitching "
+                "because the column types are incompatible: "
+                f"{incompatible}", LightkurveWarning)
+            common -= incompatible
         ordered = [c for c in lcs[0].columns if c in common]
 
         fmt = lcs[0].time.format

@@ -242,6 +242,24 @@ class SparseDesignMatrix(DesignMatrix):
     def validate(self, rank=False):
         super().validate(rank=rank)
 
+    def standardize(self, inplace=False):
+        """Mean-subtract and sigma-divide the non-zero entries of each
+        column.  NOTE: unlike the dense class (which median-subtracts),
+        the reference's sparse variant subtracts the MEAN
+        (reference ``designmatrix.py:683-720``)."""
+        ar = self.values_.astype(float).copy()
+        ar[ar == 0] = np.nan
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            is_const = np.nanstd(ar, axis=0) == 0
+            mean = np.nanmean(ar[:, ~is_const], axis=0)
+            std = np.nanstd(ar[:, ~is_const], axis=0)
+        ar[:, ~is_const] = (ar[:, ~is_const] - mean) / std
+        ar[np.isnan(ar)] = 0
+        dm = self if inplace else self.copy()
+        dm.values_ = ar
+        return dm
+
     def __repr__(self):
         return f"{self.name} SparseDesignMatrix {self.shape}"
 

@@ -68,18 +68,22 @@ class PLDCorrector(RegressionCorrector):
                                if hasattr(self.tpf.flux, "value")
                                else self.tpf.flux, float)
         nt = flux_cube.shape[0]
-        bkg_pixels = flux_cube[:, background_aperture_mask].reshape(nt, -1)
-        if normalize_background_pixels:
-            bkg_flux = np.nansum(bkg_pixels, -1)
-            bkg_pixels = bkg_pixels / bkg_flux[:, None]
-        # drop pixels with NaNs (reference keeps only finite entries per row;
-        # with NaN-free cadences this equals dropping all-NaN pixel columns)
-        good = np.isfinite(bkg_pixels).all(axis=0)
-        bkg_pixels = bkg_pixels[:, good]
-
-        dm_bkg = DesignMatrix(bkg_pixels, name="background")
-        dm_bkg = dm_bkg.pca(pca_components)
-        dm_bkg.prior_sigma = np.ones(dm_bkg.shape[1]) * prior_sigma
+        dm_bkg = None
+        if np.sum(background_aperture_mask) > 0:
+            bkg_pixels = flux_cube[:, background_aperture_mask].reshape(
+                nt, -1)
+            if normalize_background_pixels:
+                bkg_flux = np.nansum(bkg_pixels, -1)
+                bkg_pixels = bkg_pixels / bkg_flux[:, None]
+            # drop pixels with NaNs (reference keeps only finite entries per
+            # row; with NaN-free cadences this equals dropping all-NaN pixel
+            # columns)
+            good = np.isfinite(bkg_pixels).all(axis=0)
+            bkg_pixels = bkg_pixels[:, good]
+            if bkg_pixels.shape[1] > 0:
+                dm_bkg = DesignMatrix(bkg_pixels, name="background")
+                dm_bkg = dm_bkg.pca(pca_components)
+                dm_bkg.prior_sigma = np.ones(dm_bkg.shape[1]) * prior_sigma
 
         dm_spline = spline(self.lc.time.value, n_knots=spline_n_knots,
                            degree=spline_degree).append_constant()
@@ -116,8 +120,10 @@ class PLDCorrector(RegressionCorrector):
 
             dm_pixels = DesignMatrixCollection(all_pld).to_designmatrix(
                 name="pixel_series")
-            return DMC([dm_pixels, dm_bkg, dm_spline])
-        return DMC([dm_bkg, dm_spline])
+            dms = [dm_pixels, dm_bkg, dm_spline]
+        else:
+            dms = [dm_bkg, dm_spline]
+        return DMC([d for d in dms if d is not None])
 
     def correct(self, pld_order=None, pca_components=None,
                 pld_aperture_mask=None,

@@ -197,8 +197,9 @@ class RegressionCorrector(Corrector):
         _, axs = plt.subplots(2, figsize=(10, 6), sharex=True)
         ax = axs[0]
         self.lc.plot(ax=ax, normalize=False, label="original", alpha=0.4)
+        med = Quantity(np.median(self.lc.flux.value), self.lc.flux.unit)
         for key, lc in self.diagnostic_lightcurves.items():
-            (lc + np.median(self.lc.flux.value)).plot(ax=ax)
+            (lc + med).plot(ax=ax)
         ax = axs[1]
         self.corrected_lc.plot(ax=ax, normalize=False, label="corrected",
                                alpha=0.4)

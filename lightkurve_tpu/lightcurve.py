@@ -25,6 +25,7 @@ from .units import Quantity, Unit, dimensionless, percent, ppm, ppt
 from .utils import (
     LightkurveError,
     LightkurveWarning,
+    LightkurveDeprecationWarning,
     KeplerQualityFlags,
     TessQualityFlags,
     running_mean,
@@ -61,7 +62,8 @@ class LightCurve:
     _default_time_format = "jd"
 
     def __init__(self, data=None, *, time=None, flux=None, flux_err=None,
-                 meta=None, flux_unit=None, **extra_columns):
+                 meta=None, flux_unit=None, names=None, time_format=None,
+                 time_scale=None, **extra_columns):
         cols = OrderedDict()
         _meta = {}
         # ``flux_unit=`` attaches a unit to unitless flux/flux_err inputs
@@ -74,12 +76,33 @@ class LightCurve:
                 flux = Quantity(np.asarray(flux, dtype=float), funit)
             if flux_err is not None and not isinstance(flux_err, Quantity):
                 flux_err = Quantity(np.asarray(flux_err, dtype=float), funit)
+        # v1.x-style scalar keywords route to meta, as in the reference's
+        # deprecated-keyword handling (reference lightcurve.py:326-333)
+        if "targetid" in extra_columns:
+            _meta["TARGETID"] = extra_columns.pop("targetid")
+        if "label" in extra_columns:
+            _meta["LABEL"] = extra_columns.pop("label")
         if isinstance(data, LightCurve):
             cols.update({k: _copy_col(v) for k, v in data._cols.items()})
             _meta.update(deepcopy(data.meta))
         elif data is not None:
-            for k, v in dict(data).items():
-                cols[k] = v
+            if isinstance(data, np.ndarray) and data.dtype.names:
+                # structured array: one column per field
+                # (reference test_initialization_with_ndarray)
+                for k in data.dtype.names:
+                    cols[k] = np.asarray(data[k])
+            elif isinstance(data, (list, tuple)):
+                # list of column arrays + names
+                # (reference test_initialization_with_data)
+                if names is None:
+                    raise ValueError(
+                        "`names` must be provided when `data` is a "
+                        "list of columns")
+                for k, v in zip(names, data):
+                    cols[k] = v
+            else:
+                for k, v in dict(data).items():
+                    cols[k] = v
         if meta:
             _meta.update(meta)
 
@@ -105,7 +128,10 @@ class LightCurve:
             # Time does; reference tests/test_lightcurve.py:73-77)
             if not np.all(np.isfinite(t)):
                 raise ValueError("Time values cannot be NaN or inf")
-            t = Time(t, format=self._default_time_format, scale="tdb")
+            # v1.x-style ``time_format=``/``time_scale=`` keywords
+            # (reference test_astropy_time_initialization)
+            t = Time(t, format=time_format or self._default_time_format,
+                     scale=time_scale or "tdb")
         cols["time"] = t
         n = len(t)
 
@@ -136,7 +162,12 @@ class LightCurve:
         n = len(self._cols["time"]) if "time" in self._cols else None
         if name == "time":
             if not isinstance(values, Time):
-                values = Time(np.atleast_1d(np.asarray(values, dtype=float)),
+                arr = np.atleast_1d(np.asarray(values, dtype=float))
+                if arr.size == 1 and n is not None and n > 1:
+                    # scalar assignment broadcasts to the existing length
+                    # (reference test_assignment_time: ``lc.time = 21``)
+                    arr = np.broadcast_to(arr, (n,)).copy()
+                values = Time(arr,
                               format=self.time.format if "time" in self._cols
                               else self._default_time_format,
                               scale="tdb")
@@ -144,7 +175,10 @@ class LightCurve:
             return
         if isinstance(values, Quantity):
             arr = values
-        elif isinstance(values, np.ndarray) and values.dtype.kind in "iub":
+        elif (isinstance(values, np.ndarray) and values.dtype.kind in "iub"
+              and name not in ("flux", "flux_err")):
+            # int/bool auxiliary columns (quality, cadenceno, masks) keep
+            # their dtype; flux/flux_err always become unitful floats
             arr = np.atleast_1d(values)
         else:
             v = np.atleast_1d(np.asarray(values))
@@ -194,6 +228,50 @@ class LightCurve:
     def flux_err(self, v):
         self._set_column("flux_err", _to_unitful(v))
 
+    @property
+    def targetid(self):
+        return self.meta.get("TARGETID")
+
+    @targetid.setter
+    def targetid(self, value):
+        self.meta["TARGETID"] = value
+
+    @property
+    def label(self):
+        return self.meta.get("LABEL")
+
+    @label.setter
+    def label(self, value):
+        self.meta["LABEL"] = value
+
+    @property
+    def astropy_time(self):
+        """Deprecated v1.x accessor for the time column
+        (reference test_astropy_time_initialization)."""
+        warnings.warn("`astropy_time` is deprecated, use `time` instead.",
+                      LightkurveDeprecationWarning)
+        return self.time
+
+    @property
+    def flux_quantity(self):
+        """Deprecated v1.x accessor for the flux column as a Quantity
+        (reference test_flux_unit)."""
+        warnings.warn("`flux_quantity` is deprecated, use `flux` instead.",
+                      LightkurveDeprecationWarning)
+        return self.flux
+
+    def show_properties(self):
+        """Print a description of the meta keywords
+        (reference ``lightcurve.py`` show_properties)."""
+        rows = [("Attribute", "Value")]
+        for k, v in self.meta.items():
+            rows.append((str(k).lower(), str(v)))
+        rows.extend([("length", str(len(self))),
+                     ("time format", str(self.time.format)),
+                     ("flux unit", str(self.flux.unit))])
+        width = max(len(r[0]) for r in rows) + 2
+        print("\n".join(f"{k:<{width}}{v}" for k, v in rows))
+
     # -- attribute protocol ----------------------------------------------
     def __getattr__(self, name):
         if name.startswith("_"):
@@ -209,16 +287,39 @@ class LightCurve:
         raise AttributeError(f"object has no attribute {name!r}")
 
     def __setattr__(self, name, value):
-        if name in ("meta",):
+        """Attribute assignment dispatches, in priority order, to: an
+        existing instance attribute, a class property, an existing column,
+        an existing meta key (exact case, then uppercase), and finally a
+        plain new attribute — with a warning, since new attributes are not
+        carried over by ``copy()`` (reference ``lightcurve.py:505-539``)."""
+        if name == "meta" or name.startswith("_"):
+            object.__setattr__(self, name, value)
+            return
+        if name in self.__dict__:
             object.__setattr__(self, name, value)
             return
         cls_attr = getattr(type(self), name, None)
         if isinstance(cls_attr, property):
             cls_attr.fset(self, value)
             return
-        if name in self._cols:
+        if name in self.__dict__.get("_cols", ()):
             self._set_column(name, value)
             return
+        meta = self.__dict__.get("meta", None)
+        if meta is None:
+            object.__setattr__(self, name, value)
+            return
+        if name in meta:
+            meta[name] = value
+            return
+        if name.upper() in meta:
+            meta[name.upper()] = value
+            return
+        warnings.warn(
+            "Lightkurve doesn't allow columns or meta values to be created "
+            "via a new attribute name. A new attribute is created. It will "
+            "not be carried over when the object is copied.",
+            UserWarning, stacklevel=2)
         object.__setattr__(self, name, value)
 
     # -- item protocol ------------------------------------------------------
@@ -227,10 +328,20 @@ class LightCurve:
             return self._cols[key]
         if isinstance(key, (list, tuple)) and key and \
                 all(isinstance(k, str) for k in key):
+            # column subset: required columns are always present, but the
+            # ones NOT requested come back NaN-filled rather than copied
+            # (reference test_select_columns_as_lightcurve, #1194)
             out = self.copy()
-            out._cols = OrderedDict((k, self._cols[k]) for k in
-                                    dict.fromkeys(list(self._required_columns)
-                                                  + list(key)))
+            cols = OrderedDict()
+            for k in dict.fromkeys(list(self._required_columns) + list(key)):
+                if k in key or k == "time":
+                    cols[k] = self._cols[k]
+                else:
+                    src = self._cols[k]
+                    unit = src.unit if isinstance(src, Quantity) \
+                        else dimensionless
+                    cols[k] = Quantity(np.full(len(self), np.nan), unit)
+            out._cols = cols
             return out
         # row selection returns a sliced copy
         out = self.__class__.__new__(self.__class__)
@@ -252,13 +363,72 @@ class LightCurve:
     def __contains__(self, name):
         return name in self._cols
 
+    # Opt out of numpy's ufunc protocol: a LightCurve is a column container,
+    # not an array.  Without this, ``np.float64(3) * lc`` tries to iterate
+    # the (sized, indexable) LightCurve into a nested object array and never
+    # terminates; with it numpy returns NotImplemented and Python falls back
+    # to our ``__rmul__`` (reference regression #925 semantics).
+    __array_ufunc__ = None
+
     def __len__(self):
         return len(self.time)
+
+    def __eq__(self, other):
+        """Elementwise row equality over shared columns, like astropy
+        ``Table.__eq__`` (used by reference test_collection_getitem:
+        ``(lcc[0] == lc).all()``).  Returns a boolean array of length n."""
+        if not isinstance(other, LightCurve):
+            return NotImplemented
+        if len(self) != len(other):
+            raise ValueError(
+                f"cannot compare LightCurves of different lengths "
+                f"({len(self)} vs {len(other)})")
+        out = np.ones(len(self), dtype=bool)
+        for name in set(self.columns) | set(other.columns):
+            if name not in self._cols or name not in other._cols:
+                out[:] = False
+                break
+            a, b = self._cols[name], other._cols[name]
+            av = a.value if isinstance(a, (Quantity, Time)) else np.asarray(a)
+            bv = b.value if isinstance(b, (Quantity, Time)) else np.asarray(b)
+            try:
+                out &= np.asarray(av == bv).reshape(len(self))
+            except (TypeError, ValueError):
+                out[:] = False
+                break
+        return out
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else ~eq
+
+    # identity hash (like ``id``-based default): rows are mutable, so
+    # value-hashing is impossible, but collections/dedup still work
+    __hash__ = object.__hash__
 
     def __repr__(self):
         cols = ", ".join(self.columns)
         return (f"<{type(self).__name__} length={len(self)} "
                 f"columns=[{cols}]>")
+
+    def _repr_html_(self):
+        """Notebook HTML repr; must work for any length incl. single rows
+        (reference regression #830)."""
+        head = "".join(f"<th>{c}</th>" for c in self.columns)
+        rows = []
+        for i in range(min(len(self), 10)):
+            cells = []
+            for c in self.columns:
+                v = self._cols[c]
+                vv = v.value if isinstance(v, (Quantity, Time)) \
+                    else np.asarray(v)
+                cells.append(f"<td>{vv[i]}</td>")
+            rows.append("<tr>" + "".join(cells) + "</tr>")
+        more = (f"<tr><td colspan={len(self.columns)}>… "
+                f"({len(self)} rows total)</td></tr>"
+                if len(self) > 10 else "")
+        return (f"<table><thead><tr>{head}</tr></thead>"
+                f"<tbody>{''.join(rows)}{more}</tbody></table>")
 
     def copy(self):
         out = self.__class__.__new__(self.__class__)
@@ -571,6 +741,7 @@ class LightCurve:
                                      scale=self.time.scale)
         lc.meta["EPOCH_PHASE"] = epoch_phase
         lc.meta["WRAP_PHASE"] = wrap
+        lc.meta["NORMALIZE_PHASE"] = bool(normalize_phase)
         lc.meta["NORMALIZE_PHASE"] = normalize_phase
         order = np.argsort(phase, kind="stable")
         return lc[order]
@@ -638,13 +809,21 @@ class LightCurve:
             size = _as_days(time_bin_size)
         elif bins is not None:
             if isinstance(bins, str):
-                raise NotImplementedError(
-                    f"automatic binning method {bins!r} is not supported")
+                if bins in ("blocks", "knuth", "scott", "freedman"):
+                    raise NotImplementedError(
+                        f"automatic binning method {bins!r} is not "
+                        "supported")
+                raise TypeError("``bins`` must have integer type.")
             if np.size(bins) == 1:
+                if not isinstance(bins, (int, np.integer)):
+                    raise TypeError("``bins`` must have integer type.")
                 span = tv[-1] - start
                 size = span / int(bins) * (1 + 1e-10)
             else:
-                return self._bin_by_edges(np.asarray(bins, dtype=int),
+                # a sequence gives explicit time bin EDGES: N fenceposts
+                # make N-1 bins (reference test_bins_kwarg)
+                edges = np.asarray(bins, dtype=np.float64)
+                return self._bin_by_times(edges[:-1], edges[1:],
                                           aggregate_func)
         elif binsize is not None:
             idx = np.arange(0, len(tv), int(binsize))
@@ -754,7 +933,13 @@ class LightCurve:
             if k in ("time", "flux", "flux_err"):
                 continue
             vals = v.value if isinstance(v, Quantity) else np.asarray(v)
-            if vals.dtype.kind in "iuf" and vals.ndim == 1:
+            if k == "quality" and vals.dtype.kind in "iu":
+                # quality bitmasks combine by bitwise OR (reference
+                # test_binned_quality)
+                q = np.zeros(nb, dtype=vals.dtype)
+                np.bitwise_or.at(q, idc[in_range], vals[in_range])
+                new_cols[k] = q
+            elif vals.dtype.kind in "iuf" and vals.ndim == 1:
                 # aggregate_func applies to every data column, as in
                 # astropy's aggregate_downsample (reference :1714-1725)
                 binned = agg(vals.astype(float), flux_how)
@@ -1159,7 +1344,12 @@ class FoldedLightCurve(LightCurve):
 
     @property
     def phase(self):
-        return self.time
+        """Phase values: a `TimeDelta` in days, or a dimensionless
+        `Quantity` when the fold used ``normalize_phase=True``
+        (reference test_fold_v2 type contract)."""
+        if self.meta.get("NORMALIZE_PHASE"):
+            return Quantity(self.time.value, dimensionless)
+        return TimeDelta(self.time.value)
 
     @property
     def cycle(self):

@@ -127,6 +127,11 @@ class TargetPixelFile:
             arr = np.full_like(self._columns["FLUX"], np.nan)
         return Quantity(np.asarray(arr, dtype=float), electron_per_second)
 
+    @flux_err.setter
+    def flux_err(self, v):
+        self._columns["FLUX_ERR"] = np.asarray(
+            v.value if isinstance(v, Quantity) else v, dtype=float)
+
     @property
     def flux_bkg(self):
         arr = self._columns.get("FLUX_BKG")
@@ -731,6 +736,22 @@ class KeplerTargetPixelFile(TargetPixelFile):
         lc.meta.update({"QUARTER": self.quarter, "CAMPAIGN": self.campaign,
                         "CHANNEL": self.channel, "MISSION": self.mission})
         return lc
+
+    def get_prf_model(self, prf_dir=None):
+        """A PRF model configured from this TPF's channel/column/row
+        (reference ``targetpixelfile.py`` get_prf_model).  Returns a
+        calibration-file :class:`~lightkurve_tpu.prf.KeplerPRF` when a
+        local calibration directory is supplied, else the analytic
+        :class:`~lightkurve_tpu.prf.SimpleKeplerPRF` (this environment
+        cannot download the MAST calibration files)."""
+        from .prf import KeplerPRF, SimpleKeplerPRF
+        shape = self.shape[1:]
+        if prf_dir is not None:
+            return KeplerPRF(channel=self.channel, shape=shape,
+                             column=self.column, row=self.row,
+                             prf_dir=prf_dir)
+        return SimpleKeplerPRF(channel=self.channel, shape=shape,
+                               column=self.column, row=self.row)
 
     @staticmethod
     def from_fits_images(images, position=None, size=(11, 11),

@@ -173,14 +173,15 @@ class Unit:
                     return cls.parse(num.strip()) / cls.parse(den.strip())
                 except Exception:
                     pass
-        raise UnitConversionError(f"Unknown unit string: {s!r}")
+        raise UnitConversionError(
+            f"{s!r} is not a valid unit (unknown unit string)")
 
 
 # ---------------------------------------------------------------------------
 # Canonical units
 # ---------------------------------------------------------------------------
 dimensionless = Unit.register(Unit(1.0, {}, ""), "dimensionless")
-percent = Unit.register(Unit(1e-2, {}, "%"), "percent", "pct")
+percent = Unit.register(Unit(1e-2, {}, "percent"), "%", "pct")
 # Reference defines these via u.def_unit (units.py:6-8)
 ppt = Unit.register(Unit(1e-3, {}, "ppt"), "ppt")
 ppm = Unit.register(Unit(1e-6, {}, "ppm"), "ppm", "Part per Million", "PPM")
@@ -269,11 +270,23 @@ class Quantity(np.ndarray):
                         Unit(1.0, self._unit.bases))
 
     # -- arithmetic with unit propagation --------------------------------
+    @staticmethod
+    def _defers(other):
+        """True when ``other`` opts out of the array protocol (e.g. a
+        LightCurve container sets ``__array_ufunc__ = None``); binary ops
+        must then return NotImplemented so Python dispatches to ``other``'s
+        reflected operator instead of ``np.asarray``-ing it (which would
+        recurse forever on a sized, indexable container)."""
+        return (getattr(other, "__array_ufunc__", True) is None
+                and not isinstance(other, (Unit, Quantity)))
+
     def __mul__(self, other):
         if isinstance(other, Unit):
             return Quantity(self.value, self._unit * other)
         if isinstance(other, Quantity):
             return Quantity(self.value * other.value, self._unit * other._unit)
+        if self._defers(other):
+            return NotImplemented
         return Quantity(self.value * np.asarray(other), self._unit)
 
     __rmul__ = __mul__
@@ -283,12 +296,16 @@ class Quantity(np.ndarray):
             return Quantity(self.value, self._unit / other)
         if isinstance(other, Quantity):
             return Quantity(self.value / other.value, self._unit / other._unit)
+        if self._defers(other):
+            return NotImplemented
         return Quantity(self.value / np.asarray(other), self._unit)
 
     def __rtruediv__(self, other):
         if isinstance(other, Quantity):
             return Quantity(np.asarray(other.value) / self.value,
                             other._unit / self._unit)
+        if self._defers(other):
+            return NotImplemented
         return Quantity(np.asarray(other) / self.value, self._unit ** -1)
 
     def __pow__(self, p):
@@ -304,14 +321,20 @@ class Quantity(np.ndarray):
         return other / self._unit.scale if self._unit.scale != 1 else other
 
     def __add__(self, other):
+        if self._defers(other):
+            return NotImplemented
         return Quantity(self.value + self._coerce(other), self._unit)
 
     __radd__ = __add__
 
     def __sub__(self, other):
+        if self._defers(other):
+            return NotImplemented
         return Quantity(self.value - self._coerce(other), self._unit)
 
     def __rsub__(self, other):
+        if self._defers(other):
+            return NotImplemented
         return Quantity(self._coerce(other) - self.value, self._unit)
 
     def __getitem__(self, key):

@@ -1,0 +1,98 @@
+"""Mirrors of reference tests/prf/test_prfmodel.py.
+
+The reference tests are remote-data gated on the MAST calibration files;
+here the analytic :class:`SimpleKeplerPRF`/:class:`GaussianPRF` stand in
+(our :class:`KeplerPRF` needs a local ``prf_dir``), so each behavioral
+assertion — normalization, concentric consistency, gradient-vs-calculus —
+runs offline.
+"""
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from lightkurve_tpu.prf import GaussianPRF, KeplerPRF, SimpleKeplerPRF
+
+import sys
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from synthetic import make_synthetic_tpf
+
+
+def test_prf_normalization():
+    """Does the PRF model integrate to the requested flux?"""
+    for col in [123, 678]:
+        for row in [234, 789]:
+            shape = (18, 14)
+            flux = 100
+            prf = SimpleKeplerPRF(channel=1, column=col, row=row,
+                                  shape=shape)
+            prf_sum = np.asarray(prf.evaluate(
+                col + shape[1] / 2, row + shape[0] / 2, flux, 1, 1, 0)).sum()
+            assert np.isclose(prf_sum, flux, rtol=0.1)
+
+
+def test_simple_kepler_prf():
+    """Concentric PRFs have the same values."""
+    prf_1 = SimpleKeplerPRF(channel=16, shape=[20, 20], column=0, row=0)
+    prf_2 = SimpleKeplerPRF(channel=16, shape=[10, 10], column=5, row=5)
+    for c in [10, 8, 7]:
+        for r in [10, 7]:
+            assert_allclose(
+                np.asarray(prf_2(center_col=c, center_row=r, flux=1)),
+                np.asarray(prf_1(center_col=c, center_row=r,
+                                 flux=1))[5:15, 5:15],
+                rtol=1e-5, atol=1e-10)
+
+
+def test_get_model_prf():
+    """tpf.get_prf_model() is configured from the TPF's geometry."""
+    tpf = make_synthetic_tpf(n_cadences=5, shape=(9, 9), mission="Kepler")
+    prf = SimpleKeplerPRF(channel=tpf.channel or 1, shape=tpf.shape[1:],
+                          column=tpf.column, row=tpf.row)
+    prf_from_tpf = tpf.get_prf_model()
+    assert type(prf) is type(prf_from_tpf)
+    assert prf.shape == prf_from_tpf.shape
+    assert prf.column == prf_from_tpf.column
+    assert prf.row == prf_from_tpf.row
+
+
+def test_keplerprf_missing_calibration():
+    """Without a local calibration dir, KeplerPRF raises informatively."""
+    with pytest.raises(Exception, match="[Cc]alibration|prf"):
+        KeplerPRF(channel=56, shape=(15, 15), column=0, row=0,
+                  prf_dir="/nonexistent")
+
+
+@pytest.mark.parametrize("param_to_test", [
+    "center_col", "center_row", "flux", "scale_col", "scale_row",
+    "rotation_angle",
+])
+def test_prf_gradient_against_calculus(param_to_test):
+    """Is the autodiff gradient consistent with finite differences?"""
+    params = OrderedDict([
+        ("center_col", 7.0), ("center_row", 7.0), ("flux", 1000.0),
+        ("scale_col", 1.0), ("scale_row", 1.0), ("rotation_angle", 0.0)])
+    param_order = OrderedDict(zip(params.keys(), range(6)))
+    prf = GaussianPRF(shape=(15, 15), column=0, row=0, sigma=1.0)
+    h = 1e-6
+    f = prf.evaluate
+    inc_params = params.copy()
+    inc_params[param_to_test] += h
+    diff_prf = (np.asarray(f(**inc_params), float)
+                - np.asarray(f(**params), float)) / h
+    prf_grad = prf.gradient(**params)
+    err = np.max(np.abs(prf_grad[param_order[param_to_test]] - diff_prf)
+                 / (1.0 + np.abs(diff_prf)))
+    assert err < 1e-3
+
+
+def test_gradient_shapes():
+    """gradient() returns one image per parameter."""
+    prf = SimpleKeplerPRF(channel=1, shape=(11, 13), column=0, row=0)
+    grads = prf.gradient(center_col=6.0, center_row=5.0, flux=10.0)
+    assert len(grads) == 6
+    for g in grads:
+        assert g.shape == (11, 13)

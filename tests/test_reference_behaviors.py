@@ -94,9 +94,12 @@ def test_bin_folded(lc):
 def test_bin_quality_column(lc):
     lc["quality"] = np.arange(20)
     b = lc.bin(time_bin_size=5.0)
-    # numeric extra columns are aggregated (mean), not dropped
+    # quality bitmasks combine by bitwise OR — the reference's *intended*
+    # semantics (its mean behavior is upstream bug #663; reference
+    # test_binned_quality is xfail'd pending the fix we implement here)
     assert "quality" in b.colnames
-    np.testing.assert_allclose(np.asarray(b["quality"])[0], 2.0)
+    np.testing.assert_allclose(np.asarray(b["quality"])[0],
+                               np.bitwise_or.reduce(np.arange(5)))
 
 
 def test_non_numeric_columns_survive_ops(lc):
