@@ -2,15 +2,20 @@
 
 Re-implements the reference's ``prf/tpfmodel.py`` (851 LoC) TPU-first:
 the scene model (Σ stars × PRF + background, reference ``:529-568``) is a
-pure JAX function of a parameter vector, and ``PRFPhotometry.run`` fits
-ALL cadences simultaneously with a vmapped fixed-iteration
+pure JAX function of a free-parameter vector, and ``PRFPhotometry.run``
+fits ALL cadences simultaneously with a vmapped fixed-iteration
 Levenberg-Marquardt loop on device — replacing the reference's per-cadence
 ``scipy``/oktopus fits distributed over a ``multiprocessing`` pool
 (``tpfmodel.py:738-795``), the only multi-core code path in the reference.
 
-Priors mirror the reference's vocabulary (``tpfmodel.py:75-244``):
-UniformPrior (box constraints), GaussianPrior (quadratic penalty),
-FixedValuePrior, and the Star/Background/Focus/Motion bundles.
+Priors mirror the reference's vocabulary and calling convention
+(``tpfmodel.py:75-244``): priors are callable, returning a negative
+log-probability penalty that is 0 at a Gaussian prior's mean; parameter
+results come back in the reference's container classes
+(``StarParameters``/``BackgroundParameters``/``FocusParameters``/
+``MotionParameters``/``TPFModelParameters``, reference ``:246-430``)
+with ``to_array``/``from_array`` using the reference's free-parameter
+ordering: [col, row, flux] per star, then background, focus, motion.
 """
 from __future__ import annotations
 
@@ -26,7 +31,9 @@ from ..units import Quantity, electron_per_second
 log = logging.getLogger(__name__)
 
 __all__ = ["UniformPrior", "GaussianPrior", "FixedValuePrior", "StarPrior",
-           "BackgroundPrior", "FocusPrior", "MotionPrior", "TPFModel",
+           "BackgroundPrior", "FocusPrior", "MotionPrior",
+           "StarParameters", "BackgroundParameters", "FocusParameters",
+           "MotionParameters", "TPFModelParameters", "TPFModel",
            "PRFPhotometry"]
 
 
@@ -44,10 +51,14 @@ class UniformPrior:
 
     def penalty(self, x):
         import jax.numpy as jnp
-        # smooth barrier: large quadratic outside the box
+        # smooth barrier: large quadratic outside the box (differentiable,
+        # unlike the reference's hard -inf logpdf, so LM steps stay finite)
         below = jnp.maximum(self.lb - x, 0.0)
         above = jnp.maximum(x - self.ub, 0.0)
         return 1e6 * (below ** 2 + above ** 2)
+
+    evaluate = penalty
+    __call__ = penalty
 
 
 @dataclass
@@ -57,6 +68,9 @@ class GaussianPrior:
 
     def penalty(self, x):
         return (x - self.mean) ** 2 / (2 * self.var)
+
+    evaluate = penalty
+    __call__ = penalty
 
 
 @dataclass
@@ -68,53 +82,220 @@ class FixedValuePrior:
         return self.value
 
     def penalty(self, x):
-        return 1e12 * (x - self.value) ** 2
+        """0 at the fixed value, +inf elsewhere (reference ``:113-121``).
+        Non-fitted parameter groups never reach the free vector, so this
+        is not differentiated for background/focus/motion defaults."""
+        import jax.numpy as jnp
+        return jnp.where(jnp.asarray(x) == self.value, 0.0, jnp.inf)
+
+    evaluate = penalty
+    __call__ = penalty
+
+
+def _parse_prior(prior):
+    """Scalars become FixedValuePrior (reference ``PriorContainer``)."""
+    if isinstance(prior, (int, float, np.integer, np.floating)):
+        return FixedValuePrior(float(prior))
+    return prior
+
+
+class _PriorContainer:
+    def __call__(self, *params):
+        return self.evaluate(*params)
 
 
 @dataclass
-class StarPrior:
-    """Priors on one star's (col, row, flux) (reference ``:120-170``)."""
+class StarPrior(_PriorContainer):
+    """Priors on one star's (col, row, flux) (reference ``:136-165``)."""
     col: object
     row: object
-    flux: object
+    flux: object = field(default_factory=lambda: UniformPrior(0.0, 1e10))
     targetid: Optional[str] = None
 
+    def __post_init__(self):
+        self.col = _parse_prior(self.col)
+        self.row = _parse_prior(self.row)
+        self.flux = _parse_prior(self.flux)
+
+    def evaluate(self, col, row, flux):
+        return (self.col.penalty(col) + self.row.penalty(row)
+                + self.flux.penalty(flux))
+
 
 @dataclass
-class BackgroundPrior:
-    """Prior on the per-pixel background flux (reference ``:172-200``)."""
-    flux: object = field(default_factory=lambda: UniformPrior(0.0, 1e4))
+class BackgroundPrior(_PriorContainer):
+    """Prior on the per-pixel background flux (reference ``:167-185``)."""
+    flux: object = field(default_factory=lambda: FixedValuePrior(0.0))
+
+    def __post_init__(self):
+        self.flux = _parse_prior(self.flux)
+
+    def evaluate(self, flux):
+        return self.flux.penalty(flux)
 
 
 @dataclass
-class FocusPrior:
-    scale_col: object = field(default_factory=lambda: FixedValuePrior(1.0))
-    scale_row: object = field(default_factory=lambda: FixedValuePrior(1.0))
+class FocusPrior(_PriorContainer):
+    """Priors on the focus parameters (reference ``:187-222``)."""
+    scale_col: object = field(default_factory=lambda: GaussianPrior(1, 1e-4))
+    scale_row: object = field(default_factory=lambda: GaussianPrior(1, 1e-4))
     rotation_angle: object = field(
-        default_factory=lambda: FixedValuePrior(0.0))
+        default_factory=lambda: UniformPrior(-3.1415, 3.1415))
+
+    def __post_init__(self):
+        self.scale_col = _parse_prior(self.scale_col)
+        self.scale_row = _parse_prior(self.scale_row)
+        self.rotation_angle = _parse_prior(self.rotation_angle)
+
+    def evaluate(self, scale_col, scale_row, rotation_angle):
+        return (self.scale_col.penalty(scale_col)
+                + self.scale_row.penalty(scale_row)
+                + self.rotation_angle.penalty(rotation_angle))
 
 
 @dataclass
-class MotionPrior:
+class MotionPrior(_PriorContainer):
+    """Priors on pointing shifts (reference ``:224-244``)."""
     shift_col: object = field(default_factory=lambda: GaussianPrior(0.0, 1.0))
     shift_row: object = field(default_factory=lambda: GaussianPrior(0.0, 1.0))
 
+    def __post_init__(self):
+        self.shift_col = _parse_prior(self.shift_col)
+        self.shift_row = _parse_prior(self.shift_row)
+
+    def evaluate(self, shift_col, shift_row):
+        return (self.shift_col.penalty(shift_col)
+                + self.shift_row.penalty(shift_row))
+
+
+# ---------------------------------------------------------------------------
+# Parameter containers (reference tpfmodel.py:246-430)
+# ---------------------------------------------------------------------------
+@dataclass
+class StarParameters:
+    col: float
+    row: float
+    flux: float
+    err_col: Optional[float] = None
+    err_row: Optional[float] = None
+    err_flux: Optional[float] = None
+    fitted: bool = True
+
+
+@dataclass
+class BackgroundParameters:
+    flux: float = 0.0
+    err_flux: Optional[float] = None
+    fitted: bool = True
+
+
+@dataclass
+class FocusParameters:
+    scale_col: float = 1.0
+    scale_row: float = 1.0
+    rotation_angle: float = 0.0
+    fitted: bool = False
+
+
+@dataclass
+class MotionParameters:
+    shift_col: float = 0.0
+    shift_row: float = 0.0
+    fitted: bool = False
+
+
+class TPFModelParameters:
+    """All parameters of a TPFModel (reference ``:312-430``)."""
+
+    def __init__(self, stars=None, background=None, focus=None, motion=None):
+        self.stars = list(stars or [])
+        self.background = background or BackgroundParameters()
+        self.focus = focus or FocusParameters()
+        self.motion = motion or MotionParameters()
+
+    def __repr__(self):
+        out = [f"<TPFModelParameters: {len(self.stars)} star(s)>"]
+        out += [f"  {s}" for s in self.stars]
+        out += [f"  {self.background}", f"  {self.focus}", f"  {self.motion}"]
+        return "\n".join(out)
+
+    def to_array(self):
+        """Free parameters as a flat array in the reference's ordering:
+        [col, row, flux] per star, background, focus, motion
+        (reference ``:360-388``)."""
+        arr = []
+        for star in self.stars:
+            arr.extend([star.col, star.row, star.flux])
+        if self.background.fitted:
+            arr.append(self.background.flux)
+        if self.focus.fitted:
+            arr.extend([self.focus.scale_col, self.focus.scale_row,
+                        self.focus.rotation_angle])
+        if self.motion.fitted:
+            arr.extend([self.motion.shift_col, self.motion.shift_row])
+        return np.array(arr, dtype=float).ravel()
+
+    def from_array(self, array):
+        """Inverse of ``to_array()`` (reference ``:390-430``)."""
+        array = np.asarray(array, dtype=float).ravel()
+        idx = 0
+        stars = []
+        for _ in range(len(self.stars)):
+            stars.append(StarParameters(col=array[idx], row=array[idx + 1],
+                                        flux=array[idx + 2]))
+            idx += 3
+        if self.background.fitted:
+            background = BackgroundParameters(flux=array[idx], fitted=True)
+            idx += 1
+        else:
+            background = self.background
+        if self.focus.fitted:
+            focus = FocusParameters(scale_col=array[idx],
+                                    scale_row=array[idx + 1],
+                                    rotation_angle=array[idx + 2],
+                                    fitted=True)
+            idx += 3
+        else:
+            focus = self.focus
+        if self.motion.fitted:
+            motion = MotionParameters(shift_col=array[idx],
+                                      shift_row=array[idx + 1], fitted=True)
+        else:
+            motion = self.motion
+        return TPFModelParameters(stars=stars, background=background,
+                                  focus=focus, motion=motion)
+
 
 class TPFModel:
-    """Scene model: Σ stars × PRF + constant background
+    """Scene model: Σ stars × PRF(focus, motion) + constant background
     (reference ``tpfmodel.py:446-620``).
 
-    Parameter vector per cadence: [flux_1..S, col_1..S, row_1..S, bkg].
+    The free-parameter vector follows the reference's ordering
+    ([col, row, flux] per star, then background/focus/motion as enabled
+    by ``fit_background``/``fit_focus``/``fit_motion``).
     """
 
     def __init__(self, star_priors=None, background_prior=None, prf=None,
-                 focus_prior=None, motion_prior=None, fit_background=True):
+                 focus_prior=None, motion_prior=None, prfmodel=None,
+                 fit_background=True, fit_focus=False, fit_motion=False):
         self.star_priors = list(star_priors or [])
         self.background_prior = background_prior or BackgroundPrior()
-        self.prf = prf
         self.focus_prior = focus_prior or FocusPrior()
         self.motion_prior = motion_prior or MotionPrior()
+        self.prfmodel = prfmodel if prfmodel is not None else prf
         self.fit_background = fit_background
+        self.fit_focus = fit_focus
+        self.fit_motion = fit_motion
+
+    # ``prf=`` and ``.prf`` are accepted aliases of the reference's
+    # ``prfmodel`` vocabulary
+    @property
+    def prf(self):
+        return self.prfmodel
+
+    @prf.setter
+    def prf(self, value):
+        self.prfmodel = value
 
     @classmethod
     def from_tpf(cls, tpf, star_priors=None, prf=None, **kwargs):
@@ -138,54 +319,128 @@ class TPFModel:
                 row=GaussianPrior(tpf.row + r + 0.5, 1.0),
                 flux=UniformPrior(0.0, max(10 * total, 1.0)),
                 targetid=tpf.targetid)]
-        return cls(star_priors=star_priors, prf=prf, **kwargs)
+        return cls(star_priors=star_priors, prfmodel=prf, **kwargs)
 
-    # -- parameter packing -------------------------------------------------
     @property
     def n_stars(self):
         return len(self.star_priors)
 
-    def initial_guess(self):
-        p = []
-        for sp in self.star_priors:
-            p.append(getattr(sp.flux, "mean", 1.0))
-        for sp in self.star_priors:
-            p.append(getattr(sp.col, "mean", 0.0))
-        for sp in self.star_priors:
-            p.append(getattr(sp.row, "mean", 0.0))
-        if self.fit_background:
-            p.append(getattr(self.background_prior.flux, "mean", 0.0))
-        return np.asarray(p, dtype=float)
+    def get_initial_guesses(self):
+        """Prior means as a TPFModelParameters (reference ``:496-527``)."""
+        stars = [StarParameters(col=sp.col.mean, row=sp.row.mean,
+                                flux=sp.flux.mean)
+                 for sp in self.star_priors]
+        background = BackgroundParameters(
+            flux=self.background_prior.flux.mean, fitted=self.fit_background)
+        focus = FocusParameters(
+            scale_col=self.focus_prior.scale_col.mean,
+            scale_row=self.focus_prior.scale_row.mean,
+            rotation_angle=self.focus_prior.rotation_angle.mean,
+            fitted=self.fit_focus)
+        motion = MotionParameters(
+            shift_col=self.motion_prior.shift_col.mean,
+            shift_row=self.motion_prior.shift_row.mean,
+            fitted=self.fit_motion)
+        return TPFModelParameters(stars=stars, background=background,
+                                  focus=focus, motion=motion)
 
-    def predict(self, params):
-        """Scene image for one parameter vector (pure JAX)."""
+    def initial_guess(self):
+        """Flat free-parameter vector of the prior means."""
+        return self.get_initial_guesses().to_array()
+
+    # -- array-parameterized scene (pure JAX) ------------------------------
+    def _unpack(self, params):
+        """Split a free vector into (cols, rows, fluxes, bkg, focus3,
+        motion2), substituting fixed values where not fitted."""
         import jax.numpy as jnp
         S = self.n_stars
-        fluxes = params[:S]
-        cols = params[S:2 * S]
-        rows = params[2 * S:3 * S]
-        img = jnp.zeros(self.prf.shape)
-        for s in range(S):
-            img = img + self.prf.evaluate(cols[s], rows[s], fluxes[s])
+        params = jnp.asarray(params)
+        cols = params[0:3 * S:3]
+        rows = params[1:3 * S:3]
+        fluxes = params[2:3 * S:3]
+        idx = 3 * S
         if self.fit_background:
-            img = img + params[3 * S]
-        return img
+            bkg = params[idx]
+            idx += 1
+        else:
+            bkg = self.background_prior.flux.mean
+        if self.fit_focus:
+            scale_col, scale_row, rot = (params[idx], params[idx + 1],
+                                         params[idx + 2])
+            idx += 3
+        else:
+            scale_col = self.focus_prior.scale_col.mean
+            scale_row = self.focus_prior.scale_row.mean
+            rot = self.focus_prior.rotation_angle.mean
+        if self.fit_motion:
+            shift_col, shift_row = params[idx], params[idx + 1]
+        else:
+            shift_col = self.motion_prior.shift_col.mean
+            shift_row = self.motion_prior.shift_row.mean
+        return (cols, rows, fluxes, bkg, scale_col, scale_row, rot,
+                shift_col, shift_row)
+
+    def predict_from_array(self, params):
+        """Scene image for one free-parameter vector (pure JAX)."""
+        import jax.numpy as jnp
+        (cols, rows, fluxes, bkg, scale_col, scale_row, rot,
+         shift_col, shift_row) = self._unpack(params)
+        img = jnp.zeros(self.prfmodel.shape)
+        for s in range(self.n_stars):
+            img = img + self.prfmodel.evaluate(
+                cols[s] + shift_col, rows[s] + shift_row, fluxes[s],
+                scale_col=scale_col, scale_row=scale_row,
+                rotation_angle=rot)
+        return img + bkg
+
+    def predict(self, params=None):
+        """Synthetic image for a TPFModelParameters (or array, or the
+        prior means when omitted) — reference ``:529-568``."""
+        if params is None:
+            params = self.get_initial_guesses()
+        if isinstance(params, TPFModelParameters):
+            params = params.to_array()
+        return np.asarray(self.predict_from_array(np.asarray(params)))
 
     def prior_penalty(self, params):
-        import jax.numpy as jnp
-        S = self.n_stars
+        """Total negative-log-prior of a free vector (pure JAX)."""
+        (cols, rows, fluxes, bkg, scale_col, scale_row, rot,
+         shift_col, shift_row) = self._unpack(params)
         pen = 0.0
         for s, sp in enumerate(self.star_priors):
-            pen = pen + sp.flux.penalty(params[s])
-            pen = pen + sp.col.penalty(params[S + s])
-            pen = pen + sp.row.penalty(params[2 * S + s])
+            pen = pen + sp.flux.penalty(fluxes[s])
+            pen = pen + sp.col.penalty(cols[s])
+            pen = pen + sp.row.penalty(rows[s])
         if self.fit_background:
-            pen = pen + self.background_prior.flux.penalty(params[3 * S])
+            pen = pen + self.background_prior.flux.penalty(bkg)
+        if self.fit_focus:
+            pen = (pen + self.focus_prior.scale_col.penalty(scale_col)
+                   + self.focus_prior.scale_row.penalty(scale_row)
+                   + self.focus_prior.rotation_angle.penalty(rot))
+        if self.fit_motion:
+            pen = (pen + self.motion_prior.shift_col.penalty(shift_col)
+                   + self.motion_prior.shift_row.penalty(shift_row))
         return pen
 
+    def fit(self, data, n_iter=50, damping=1e-3, **kwargs):
+        """Fit one image; returns a TPFModelParameters with the fitted
+        values (reference ``:570-618``; our engine is the same jitted LM
+        used by PRFPhotometry rather than scipy.minimize, so scipy-style
+        kwargs like ``tol``/``options`` are accepted and ignored)."""
+        phot = PRFPhotometry(self)
+        fitted = phot.run(np.asarray(data, dtype=float)[None, ...],
+                          n_iter=n_iter, damping=damping)
+        return self.get_initial_guesses().from_array(fitted[0])
+
     def __repr__(self):
-        return (f"TPFModel(n_stars={self.n_stars}, "
-                f"fit_background={self.fit_background})")
+        out = [f"<TPFModel: {self.n_stars} star(s), "
+               f"fit_background={self.fit_background}, "
+               f"fit_focus={self.fit_focus}, "
+               f"fit_motion={self.fit_motion}>"]
+        out += [f"  {sp}" for sp in self.star_priors]
+        out += [f"  {self.background_prior}", f"  {self.focus_prior}",
+                f"  {self.motion_prior}", f"  {self.prfmodel}"]
+        return "\n".join(out)
 
 
 class PRFPhotometry:
@@ -202,7 +457,6 @@ class PRFPhotometry:
 
     def run(self, flux_cube, cadences=None, n_iter=20, damping=1e-3):
         import jax
-        import jax.numpy as jnp
 
         # full-f32 matmuls: TPU DEFAULT precision feeds the MXU bf16, which
         # corrupts the JᵀJ normal equations the LM steps solve
@@ -214,6 +468,8 @@ class PRFPhotometry:
         import jax.numpy as jnp
 
         cube = np.asarray(flux_cube, dtype=float)
+        if cube.ndim == 2:
+            cube = cube[None, ...]
         if cadences is not None:
             cube = cube[np.asarray(cadences)]
         data = jnp.asarray(np.nan_to_num(cube))
@@ -221,7 +477,7 @@ class PRFPhotometry:
         k = p0.shape[0]
 
         def residuals(params, img):
-            model = self.model.predict(params)
+            model = self.model.predict_from_array(params)
             return (model - img).ravel()
 
         def loss(params, img):
@@ -254,21 +510,22 @@ class PRFPhotometry:
         self.opt_params = np.asarray(fitted)
         # final loss per cadence (diagnostic)
         self.losses = np.asarray(jax.jit(jax.vmap(loss))(fitted, data))
-        self.results = self.opt_params
+        # per-cadence structured results, as in the reference's
+        # ``PRFPhotometry.results`` list (reference :766-780)
+        guesses = self.model.get_initial_guesses()
+        self.results = [guesses.from_array(row) for row in self.opt_params]
         return self.opt_params
 
     def to_lightcurve(self, time=None, star=0):
         """Fitted flux time series of one star."""
         if self.opt_params is None:
             raise ValueError("call run() first")
-        flux = self.opt_params[:, star]
+        flux = self.opt_params[:, 3 * star + 2]
         if time is None:
             time = np.arange(len(flux), dtype=float)
         return LightCurve(time=time,
                           flux=Quantity(flux, electron_per_second))
 
     def get_residual_image(self, flux_cube, cadence=0):
-        import jax.numpy as jnp
-        model = np.asarray(self.model.predict(
-            jnp.asarray(self.opt_params[cadence])))
+        model = self.model.predict(self.opt_params[cadence])
         return np.asarray(flux_cube)[cadence] - model

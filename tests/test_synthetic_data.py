@@ -100,9 +100,13 @@ def test_prf_photometry_recovers_flux():
         flux=UniformPrior(0, 1e6))], prf=prf)
     phot = PRFPhotometry(model)
     params = phot.run(tpf.flux.value, n_iter=30)
-    fitted_flux = params[:, 0]
+    # free-vector layout is the reference's [col, row, flux] per star
+    fitted_flux = params[:, 2]
     # star flux (the synthetic PRF sigma matches exactly)
     assert abs(np.median(fitted_flux) - 8000.0) / 8000.0 < 0.05
-    assert abs(np.median(params[:, 1]) - 4.5) < 0.05   # col (pixel centers at half-integers)
+    assert abs(np.median(params[:, 0]) - 4.5) < 0.05   # col (pixel centers at half-integers)
+    # structured per-cadence results mirror the raw array
+    assert np.isclose(phot.results[0].stars[0].flux, params[0, 2])
+    assert phot.results[0].stars[0].fitted
     lc = phot.to_lightcurve(time=tpf.time.value)
     assert len(lc) == 30
