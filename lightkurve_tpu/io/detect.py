@@ -56,10 +56,13 @@ def detect_filetype(hdulist: HDUList):
         origin = str(h0.get("ORIGIN", "")).lower()
         if "folded" in creator:
             return "Folded"
-        if "TELESCOP" in h0:
-            telescop = str(h0["TELESCOP"]).lower()
-        else:
-            telescop = str(h0["MISSION"]).lower()
+        # a blank/undefined TELESCOP card falls back to MISSION, as in the
+        # reference (old custom TESS exports leave TELESCOP undefined;
+        # reference detect.py:137-142)
+        telescop_val = h0.get("TELESCOP")
+        if telescop_val is None:
+            telescop_val = h0["MISSION"]      # KeyError → generic
+        telescop = str(telescop_val).lower()
         if telescop == "kepler":
             if "targetpixel" in creator:
                 return "KeplerTargetPixelFile"

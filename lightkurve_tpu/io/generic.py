@@ -49,7 +49,11 @@ def _parse_unit(unitstr):
     try:
         return Unit.parse(fixed)
     except UnitConversionError:
-        return dimensionless
+        # FITS files from other missions carry units our algebra does not
+        # know (e.g. 'erg/s/cm^2/A'); keep them as opaque named units so
+        # the label survives, as astropy does (reference io/generic.py
+        # keeps the raw TUNIT string)
+        return Unit(1.0, {f"custom:{fixed}": 1}, fixed)
 
 
 def read_generic_lightcurve(filename, time_column="time", flux_column="flux",

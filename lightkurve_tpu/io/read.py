@@ -24,6 +24,11 @@ def _tpf_reader(mission):
     return _read
 
 
+def _read_generic(path_or_hdul, **kwargs):
+    from .generic import read_generic_lightcurve
+    return read_generic_lightcurve(path_or_hdul, **kwargs)
+
+
 def _get_readers():
     from . import readers as r
     return {
@@ -42,7 +47,10 @@ def _get_readers():
         "Folded": r.read_folded_lightcurve,
         "KeplerTargetPixelFile": _tpf_reader("Kepler"),
         "TessTargetPixelFile": _tpf_reader("TESS"),
-        "generic": r.read_tess_lightcurve,
+        # unrecognized-but-valid time-series products fall back to the
+        # generic reader, which infers the time format from
+        # BJDREFI/MJDREF/JDREF headers (reference io/read.py:141-147)
+        "generic": _read_generic,
     }
 
 
@@ -97,15 +105,30 @@ def open(path_or_url, **kwargs):  # noqa: A001
 
 def read_lc_collection(paths, **kwargs):
     """Read many light-curve files into a LightCurveCollection
-    (reference ``io/read.py:176-212``)."""
+    (reference ``io/read.py:176-212``).
+
+    Unreadable paths and non-LightCurve products (e.g. TPFs) are skipped
+    with a warning.  With ``stitch=True`` the collection is stitched into
+    a single LightCurve before returning."""
     from ..collections import LightCurveCollection
+    from ..lightcurve import LightCurve
+    stitch = kwargs.pop("stitch", False)
     lcs = []
     for p in paths:
         try:
-            lcs.append(read(p, **kwargs))
+            obj = read(p, **kwargs)
         except LightkurveError as e:
             log.warning(f"Skipping {p}: {e}")
-    return LightCurveCollection(lcs)
+            continue
+        if isinstance(obj, LightCurve):
+            lcs.append(obj)
+        else:
+            log.warning(f"Skipping {p}: not a light curve product "
+                        f"({type(obj).__name__})")
+    collection = LightCurveCollection(lcs)
+    if stitch:
+        return collection.stitch()
+    return collection
 
 
 def read_tpf_collection(paths, **kwargs):

@@ -153,14 +153,75 @@ def read_tglc_lightcurve(filename, flux_column="cal_psf_flux",
     return TessLightCurve(data=lc, meta=lc.meta)
 
 
-def read_eleanor_lightcurve(filename, flux_column="CORR_FLUX", **kwargs):
+def read_eleanor_lightcurve(filename, flux_column="CORR_FLUX",
+                            quality_bitmask="default", **kwargs):
     """eleanor / GSFC-ELEANOR-LITE light curve
-    (reference ``io/eleanor.py:12-90``)."""
+    (reference ``io/eleanor.py:12-135``).
+
+    eleanor files break two conventions the reader repairs: the
+    ``FLUX_ERR`` column is the *raw* flux error (the corrected-flux error
+    is rescaled as corr_flux·raw_err/raw_flux), and the ``FFIINDEX``
+    cadence numbers are stored as floats."""
+    from ..units import Quantity, electron_per_second, percent, pixel, day
     lc = read_generic_lightcurve(filename, flux_column=flux_column.lower(),
                                  time_format="btjd",
-                                 quality_column="quality")
-    lc.meta["AUTHOR"] = "ELEANOR"
-    lc.meta["TARGETID"] = lc.meta.get("TIC_ID", lc.meta.get("TICID"))
+                                 quality_column="quality",
+                                 centroid_col_column="x_centroid",
+                                 centroid_row_column="y_centroid",
+                                 cadenceno_column="ffiindex")
+    if quality_bitmask == "hardest":
+        # eleanor adds 2 quality bits on top of the 16 TESS SPOC bits
+        quality_bitmask = (TessQualityFlags.HARDEST_BITMASK
+                           | 2 ** 17 | 2 ** 18)
+    lc = _apply_quality(lc, TessQualityFlags, quality_bitmask)
+
+    # eleanor FITS files carry no units; re-add the conventional ones
+    for colname in ["flux", "flux_err", "raw_flux", "corr_flux",
+                    "pca_flux", "psf_flux"]:
+        if colname in lc.columns:
+            lc[colname] = Quantity(np.asarray(lc[colname], dtype=float),
+                                   electron_per_second)
+    if "flux_bkg" in lc.columns:
+        lc["flux_bkg"] = Quantity(np.asarray(lc["flux_bkg"], dtype=float),
+                                  percent)
+    for colname in ["centroid_col", "centroid_row", "x_centroid",
+                    "y_centroid", "x_com", "y_com"]:
+        if colname in lc.columns:
+            lc[colname] = Quantity(np.asarray(lc[colname], dtype=float),
+                                   pixel)
+    if "barycorr" in lc.columns:
+        lc["barycorr"] = Quantity(np.asarray(lc["barycorr"], dtype=float),
+                                  day)
+
+    # FLUX_ERR belongs to RAW_FLUX; rescale for the selected flux column
+    if "flux_err" in lc.columns and "raw_flux" in lc.columns:
+        lc["raw_flux_err"] = lc["flux_err"]
+        if flux_column.lower() != "raw_flux":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lc["flux_err"] = Quantity(
+                    lc.flux.value * lc["raw_flux_err"].value
+                    / lc["raw_flux"].value, electron_per_second)
+
+    # float FFIINDEX → int cadence numbers
+    for colname in ["ffiindex", "cadenceno"]:
+        if colname in lc.columns:
+            vals = np.asarray(lc[colname])
+            if not np.issubdtype(vals.dtype, np.integer):
+                lc[colname] = np.asarray(vals, dtype=int)
+
+    if (lc.meta.get("TVERSION") is not None
+            and lc.meta.get("GITHUB")
+            == "https://github.com/afeinstein20/eleanor"):
+        lc.meta["AUTHOR"] = "GSFC-ELEANOR-LITE"
+    else:
+        lc.meta["AUTHOR"] = "ELEANOR"
+    lc.meta["NORMALIZED"] = False
+    tic = lc.meta.get("TIC_ID", lc.meta.get("TICID"))
+    if tic is not None:
+        lc.meta["TARGETID"] = tic
+        lc.meta["TICID"] = tic
+        lc.meta["OBJECT"] = f"TIC {tic}"
+        lc.meta["LABEL"] = f"TIC {tic}"
     return TessLightCurve(data=lc, meta=lc.meta)
 
 

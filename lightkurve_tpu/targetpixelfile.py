@@ -62,6 +62,13 @@ class TargetPixelFile:
                      if k not in ("COMMENT", "HISTORY")}
         table = hdulist[1]
         self._ext_header = table.header
+        if getattr(table.data, "names", None) is None:
+            # e.g. single-cadence exports whose extension 1 is an IMAGE
+            # (reference test data ktwo*-first-cadence.fits.gz); astropy's
+            # TPF constructor cannot load these either
+            raise LightkurveError(
+                "Extension 1 of this file is not a binary table of "
+                "cadences; it cannot be opened as a TargetPixelFile.")
         cols = {name.upper(): np.asarray(table.data[name])
                 for name in table.data.names}
         qual = cols.get("QUALITY", np.zeros(len(cols["TIME"]), dtype=int))
