@@ -219,12 +219,16 @@ class KeplerCotrendingBasisVectors(CotrendingBasisVectors):
     cbv_type = "SingleScale"
 
     def __init__(self, data=None, time=None, meta=None, mission="Kepler",
-                 quarter=None, campaign=None, channel=None):
+                 quarter=None, campaign=None, channel=None, module=None,
+                 output=None):
         super().__init__(data=data, time=time, meta=meta)
         self.mission = mission
         self.quarter = quarter
         self.campaign = campaign
         self.channel = channel
+        self.module = module
+        self.output = output
+        self.cbv_type = "SingleScale"
 
 
 class TessCotrendingBasisVectors(CotrendingBasisVectors):
@@ -283,7 +287,8 @@ def load_kepler_cbvs(cbv_dir=None, mission="Kepler", quarter=None,
         return KeplerCotrendingBasisVectors(
             data=data, time=Time(time_vals, format="mjd"),
             meta=dict(hdul[0].header), mission=mission, quarter=quarter,
-            campaign=campaign, channel=channel)
+            campaign=campaign, channel=channel, module=module,
+            output=output)
     except Exception as e:
         raise LightkurveError(f"Could not load CBV file {path}: {e}")
 
@@ -292,18 +297,28 @@ def load_tess_cbvs(cbv_dir=None, sector=None, camera=None, ccd=None,
                    cbv_type="SingleScale", band=None, fast_cadence=False):
     """Load TESS CBVs (reference ``:1846-1981``)."""
     from ..io.fits import open_fits
+    # Mirror the reference's band-validity asserts
+    # (reference cbvcorrector.py:1890-1900)
+    assert not (cbv_type == "MultiScale" and band is None), \
+        "`band` must be specified for MultiScale CBVs"
+    assert not (cbv_type != "MultiScale" and band is not None), \
+        "`band` must only be specified for MultiScale CBVs"
     path = _find_or_download_cbv_file(cbv_dir, mission="TESS", sector=sector,
                                       camera=camera, ccd=ccd,
                                       fast_cadence=fast_cadence)
-    type_map = {"SingleScale": "CBV.single-scale.",
-                "MultiScale": f"CBV.multiscale.band-{band}.",
-                "Spike": "CBV.spike."}
+    # real mission files use 'CBV.multiscale-band-N.<cam>.<ccd>'; accept
+    # the dotted variant for older/synthetic files too
+    type_map = {"SingleScale": ("CBV.single-scale.",),
+                "MultiScale": (f"CBV.multiscale-band-{band}.",
+                               f"CBV.multiscale.band-{band}."),
+                "Spike": ("CBV.spike.",)}
     try:
         hdul = open_fits(path)
-        extname_frag = type_map[cbv_type]
+        extname_frags = type_map[cbv_type]
         hdu = None
         for h in hdul[1:]:
-            if extname_frag in str(h.header.get("EXTNAME", "")):
+            name = str(h.header.get("EXTNAME", ""))
+            if any(frag in name for frag in extname_frags):
                 hdu = h
                 break
         if hdu is None:
