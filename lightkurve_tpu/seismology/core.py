@@ -88,6 +88,18 @@ class Seismology:
         self.deltanu = estimate_deltanu_acf2d(self.periodogram, numax=numax)
         return self.deltanu
 
+    def diagnose_numax(self, numax=None):
+        """Diagnostic plot of the numax estimate (reference ``:652-674``).
+        Runs ``estimate_numax`` first if no estimate is held yet."""
+        numax = self._validate_numax(numax)
+        return numax.diagnostics_plot_method(numax, self.periodogram)
+
+    def diagnose_deltanu(self, deltanu=None):
+        """Diagnostic plot of the deltanu estimate (reference ``:738-758``).
+        Runs ``estimate_deltanu`` first if no estimate is held yet."""
+        deltanu = self._validate_deltanu(deltanu)
+        return deltanu.diagnostics_plot_method(deltanu, self.periodogram)
+
     def estimate_radius(self, teff=None, numax=None, deltanu=None,
                         teff_err=None, numax_err=None, deltanu_err=None):
         """Stellar radius from scaling relations (reference ``:760-812``)."""

@@ -21,7 +21,8 @@ def estimate_deltanu_acf2d(periodogram, numax):
         raise ValueError("the ACF 2D method requires that the periodogram "
                          "has a grid of uniformly spaced frequencies.")
     funit = periodogram.frequency.unit
-    numax = Quantity(numax, funit)
+    # collapse length-1 arrays to scalars so later float() casts are exact
+    numax = Quantity(np.ravel(Quantity(numax, funit))[0], funit)
     freq_vals = periodogram.frequency.value
     fs = np.median(np.diff(freq_vals))
     if float(numax.value) < fs:
