@@ -71,14 +71,21 @@ class TargetPixelFile:
                 "cadences; it cannot be opened as a TargetPixelFile.")
         cols = {name.upper(): np.asarray(table.data[name])
                 for name in table.data.names}
+        # raw, unmasked columns back the `hdu` property, which must expose
+        # the file as stored (reference hdu semantics: properties index
+        # hdu[1].data with quality_mask, reference targetpixelfile.py:330)
+        self._columns_raw = cols
         qual = cols.get("QUALITY", np.zeros(len(cols["TIME"]), dtype=int))
         self.quality_mask = self._quality_flags_cls.create_quality_mask(
             qual, bitmask=quality_bitmask)
-        # Drop cadences with NaN time as well (reference behavior)
-        self.quality_mask &= np.isfinite(np.asarray(cols["TIME"],
-                                                    dtype=float))
         m = self.quality_mask
         self._columns = {k: v[m] for k, v in cols.items()}
+        # missing time values become 0, as in the reference (liberal
+        # quality masks may retain cadences with NaN TIME; reference
+        # targetpixelfile.py:333-335)
+        tv = np.asarray(self._columns["TIME"], dtype=np.float64).copy()
+        tv[~np.isfinite(tv)] = 0.0
+        self._columns["TIME"] = tv
         # aperture extension
         self._aperture = None
         try:
@@ -96,6 +103,7 @@ class TargetPixelFile:
                      quality_bitmask="default"):
         tpf = cls(None, quality_bitmask=quality_bitmask)
         tpf._columns = dict(columns)
+        tpf._columns_raw = tpf._columns
         tpf.meta = dict(meta)
         tpf._ext_header = ext_header or {}
         tpf._aperture = aperture
@@ -190,7 +198,28 @@ class TargetPixelFile:
 
     @property
     def hdu(self):
-        return self.to_fits()
+        """HDUList view of the file AS STORED: extension-1 rows are the
+        raw cadences, so ``tpf.flux == hdu[1].data['FLUX'][quality_mask]``
+        (reference hdu semantics)."""
+        return self.to_fits(raw=True)
+
+    @property
+    def nan_time_mask(self):
+        """Cadences whose original time was missing (stored as 0;
+        reference ``targetpixelfile.py:362-365``)."""
+        return self.time.value == 0
+
+    def show_properties(self):
+        """Print a description of the meta keywords (reference
+        ``targetpixelfile.py`` show_properties)."""
+        rows = [("Attribute", "Value")]
+        for k, v in self.meta.items():
+            if np.isscalar(v) or isinstance(v, str):
+                rows.append((str(k).lower(), str(v)))
+        rows.extend([("shape", str(self.shape)),
+                     ("quality_bitmask", str(self.quality_bitmask))])
+        width = max(len(r[0]) for r in rows) + 2
+        print("\n".join(f"{k:<{width}}{v}" for k, v in rows))
 
     @property
     def column(self):
@@ -262,6 +291,9 @@ class TargetPixelFile:
             key = slice(key, key + 1) if key != -1 else slice(-1, None)
         out = type(self)(None, quality_bitmask=self.quality_bitmask)
         out._columns = {k: v[key] for k, v in self._columns.items()}
+        # derived objects expose exactly their (sliced) columns as raw:
+        # aliasing the dict keeps `hdu` in sync with later mutations
+        out._columns_raw = out._columns
         out.meta = deepcopy(self.meta)
         out._ext_header = self._ext_header
         out._aperture = self._aperture
@@ -662,13 +694,16 @@ class TargetPixelFile:
     # ------------------------------------------------------------------
     # export
     # ------------------------------------------------------------------
-    def to_fits(self, output_fn=None, overwrite=False):
-        """Serialize back to a mission-style FITS TPF."""
+    def to_fits(self, output_fn=None, overwrite=False, raw=False):
+        """Serialize back to a mission-style FITS TPF.  ``raw=True``
+        serializes the unmasked cadences (the file as stored)."""
         from .io.fits import (BinTableHDU, Header, HDUList, ImageHDU,
                               PrimaryHDU, write_fits)
         ph = Header({k: v for k, v in self.meta.items()
                      if np.isscalar(v) or isinstance(v, str)})
-        cols = {k: v for k, v in self._columns.items()}
+        src = getattr(self, "_columns_raw", self._columns) if raw \
+            else self._columns
+        cols = {k: v for k, v in src.items()}
         table_hdr = Header({k: v for k, v in (
             self._ext_header.items() if hasattr(self._ext_header, "items")
             else [])

@@ -1,0 +1,226 @@
+"""Mirrors of reference tests/test_targetpixelfile.py driven by the
+REAL data files shipped with the reference checkout — including the
+exact quality-bitmask cadence counts and the Tabby's-star WCS
+coordinates cross-checked against Simbad in the reference suite."""
+import os
+import warnings
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal
+
+from lightkurve_tpu import (KeplerTargetPixelFile, TessTargetPixelFile)
+from lightkurve_tpu.utils import LightkurveWarning
+
+TESTDATA = "/root/reference/tests/data"
+FN_ZEROS = os.path.join(TESTDATA, "test-tpf-all-zeros.fits")
+FN_ONE_CENTER = os.path.join(TESTDATA, "test-tpf-non-zero-center.fits")
+FN_TESS = os.path.join(TESTDATA,
+                       "tess25155310-s01-first-cadences.fits.gz")
+FN_TABBY = os.path.join(TESTDATA, "test-tpf-kplr-tabby-100-cadences.fits")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TESTDATA),
+    reason="reference test data not available")
+
+
+def _tpfs_zeros():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LightkurveWarning)
+        return [KeplerTargetPixelFile(FN_ZEROS),
+                TessTargetPixelFile(FN_ZEROS)]
+
+
+def test_tpf_shapes():
+    for tpf in _tpfs_zeros():
+        assert tpf.quality_mask.shape == np.asarray(
+            tpf.hdu[1].data["TIME"]).shape
+        assert tpf.flux.value.shape == tpf.flux_err.value.shape
+
+
+def test_tpf_math():
+    """Can you add, subtract, multiply and divide TPFs?"""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LightkurveWarning)
+        tpfs = _tpfs_zeros()
+    for tpf in tpfs:
+        for other in [1, np.ones(tpf.flux.value.shape[1:]),
+                      np.ones(tpf.shape)]:
+            tpf + other
+            tpf - other
+            tpf * other
+            tpf / other
+    tpf = tpfs[0]
+    for other in [np.asarray([1, 2]), np.arange(len(tpf.time.value) - 1),
+                  np.ones([100, 1]), np.ones([1, 2, 3])]:
+        with pytest.raises(ValueError):
+            tpf + other
+    finite = np.isfinite(tpf.flux.value)
+    assert np.all(((tpf.flux.value + 2) == (tpf + 2).flux.value)[finite])
+    assert np.all(((tpf.flux.value - 2) == (tpf - 2).flux.value)[finite])
+    assert np.all(((tpf.flux.value * 2) == (tpf * 2).flux.value)[finite])
+    assert np.all(((tpf.flux.value / 2) == (tpf / 2).flux.value)[finite])
+    assert np.all(
+        ((tpf.flux_err.value * 2) == (tpf * 2).flux_err.value)[finite])
+
+
+def test_tpf_plot():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LightkurveWarning)
+        tpfs = [KeplerTargetPixelFile(FN_ONE_CENTER),
+                TessTargetPixelFile(FN_ONE_CENTER)]
+    for tpf in tpfs:
+        tpf.plot()
+        tpf.plot(aperture_mask=tpf.pipeline_mask)
+        tpf.plot(aperture_mask="all")
+        tpf.plot(frame=1)
+    plt.close("all")
+
+
+def test_tpf_zeros():
+    """Does the LightCurve of a zero-flux TPF make sense?"""
+    tpf = KeplerTargetPixelFile(FN_ZEROS, quality_bitmask="hard")
+    lc = tpf.to_lightcurve(aperture_mask="all")
+    assert len(lc.time.value) == len(lc.flux.value)
+    assert np.all(lc.time.value == tpf.time.value)
+    # all-zero pixels produce NaN flux (reference #874 convention)
+    assert np.all(np.isnan(lc.flux.value))
+    # the default QUALITY bitmask removes all NaN times
+    assert not np.any(np.isnan(tpf.time.value))
+
+
+@pytest.mark.parametrize("centroid_method", ["moments", "quadratic"])
+def test_tpf_ones(centroid_method):
+    """Reference regression #1103: pixel coords refer to pixel centers."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LightkurveWarning)
+        tpfs = [KeplerTargetPixelFile(FN_ONE_CENTER),
+                TessTargetPixelFile(FN_ONE_CENTER)]
+    for tpf in tpfs:
+        lc = tpf.to_lightcurve(aperture_mask="all",
+                               centroid_method=centroid_method)
+        assert np.all(lc.flux.value == 1)
+        assert np.allclose(lc.centroid_row.value, tpf.row + 1)
+        assert np.allclose(lc.centroid_col.value, tpf.column + 1)
+
+
+@pytest.mark.parametrize("quality_bitmask,answer", [
+    (None, 1290), ("none", 1290), ("default", 1233), ("hard", 1101),
+    ("hardest", 1101), (1, 1290), (100, 1278), (2096639, 1101),
+])
+def test_bitmasking(quality_bitmask, answer):
+    """Exact cadence counts per bitmask on the real file."""
+    tpf = KeplerTargetPixelFile(FN_ONE_CENTER,
+                                quality_bitmask=quality_bitmask)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LightkurveWarning)
+        lc = tpf.to_lightcurve()
+    assert len(lc.flux.value) == answer
+
+
+def test_wcs():
+    for tpf in [KeplerTargetPixelFile(FN_ONE_CENTER),
+                TessTargetPixelFile(FN_TESS)]:
+        w = tpf.wcs
+        ra, dec = tpf.get_coordinates()
+        assert np.asarray(ra).shape == tpf.shape
+        assert np.asarray(dec).shape == tpf.shape
+        assert "WCS" in type(w).__name__
+
+
+@pytest.mark.parametrize("method", ["moments", "quadratic"])
+def test_wcs_tabby(method):
+    """Centroid coordinates of Tabby's star must match Simbad."""
+    tpf = KeplerTargetPixelFile(FN_TABBY)
+    tpf.wcs
+    ra, dec = tpf.get_coordinates(0)
+    col, row = tpf.estimate_centroids(method=method)
+    col = col.value - tpf.column
+    row = row.value - tpf.row
+    y, x = int(np.round(col[0])), int(np.round(row[1]))
+    assert np.isclose(np.asarray(ra)[x, y], 301.5643971, rtol=1e-4)
+    assert np.isclose(np.asarray(dec)[x, y], 44.4568869, rtol=1e-4)
+
+
+def test_properties():
+    """Short-hand properties pass the raw header/table values through."""
+    tpf = KeplerTargetPixelFile(FN_ZEROS)
+    assert tpf.channel == tpf.hdu[0].header["CHANNEL"]
+    assert tpf.module == tpf.hdu[0].header["MODULE"]
+    assert tpf.output == tpf.hdu[0].header["OUTPUT"]
+    assert tpf.ra == tpf.hdu[0].header["RA_OBJ"]
+    assert tpf.dec == tpf.hdu[0].header["DEC_OBJ"]
+    m = tpf.quality_mask
+    assert_array_equal(tpf.flux.value,
+                       np.asarray(tpf.hdu[1].data["FLUX"])[m])
+    assert_array_equal(tpf.flux_err.value,
+                       np.asarray(tpf.hdu[1].data["FLUX_ERR"])[m])
+    assert_array_equal(tpf.flux_bkg.value,
+                       np.asarray(tpf.hdu[1].data["FLUX_BKG"])[m])
+    assert_array_equal(tpf.quality,
+                       np.asarray(tpf.hdu[1].data["QUALITY"])[m])
+    assert tpf.campaign == tpf.hdu[0].header["CAMPAIGN"]
+    assert tpf.quarter is None
+
+
+def test_repr():
+    for tpf in [KeplerTargetPixelFile(FN_ZEROS),
+                TessTargetPixelFile(FN_TESS)]:
+        str(tpf)
+        repr(tpf)
+
+
+def test_to_lightcurve():
+    for tpf in [KeplerTargetPixelFile(FN_ZEROS),
+                TessTargetPixelFile(FN_TESS)]:
+        tpf.to_lightcurve()
+        tpf.to_lightcurve(aperture_mask="all")
+        lc = tpf.to_lightcurve(aperture_mask="threshold")
+        assert lc.time.scale == "tdb"
+        assert lc.label == tpf.hdu[0].header["OBJECT"]
+        if np.any(tpf.pipeline_mask):
+            tpf.to_lightcurve(aperture_mask="pipeline")
+        else:
+            with pytest.raises(ValueError):
+                tpf.to_lightcurve(aperture_mask="pipeline")
+
+
+def test_bkg_lightcurve():
+    for tpf in [KeplerTargetPixelFile(FN_ZEROS),
+                TessTargetPixelFile(FN_TESS)]:
+        lc = tpf.get_bkg_lightcurve()
+        lc = tpf.get_bkg_lightcurve(aperture_mask="all")
+        assert lc.time.scale == "tdb"
+        assert lc.flux.value.shape == lc.flux_err.value.shape
+        assert len(lc.time.value) == len(lc.flux.value)
+
+
+def test_aperture_photometry():
+    for tpf in [KeplerTargetPixelFile(FN_ZEROS),
+                TessTargetPixelFile(FN_TESS)]:
+        tpf.extract_aperture_photometry()
+        for mask in [None, "all", "default", "threshold", "background"]:
+            tpf.extract_aperture_photometry(aperture_mask=mask)
+        if np.any(tpf.pipeline_mask):
+            tpf.extract_aperture_photometry(aperture_mask="pipeline")
+        else:
+            with pytest.raises(ValueError):
+                tpf.extract_aperture_photometry(aperture_mask="pipeline")
+
+
+def test_tpf_to_fits(tmp_path):
+    """Can we write a real TPF back to a FITS file?"""
+    for tpf in [KeplerTargetPixelFile(FN_ZEROS),
+                TessTargetPixelFile(FN_TESS)]:
+        out = str(tmp_path / f"roundtrip-{type(tpf).__name__}.fits")
+        tpf.to_fits(output_fn=out)
+        assert os.path.exists(out)
+
+
+def test_properties2(capfd):
+    """show_properties prints a table."""
+    tpf = KeplerTargetPixelFile(FN_ZEROS)
+    tpf.show_properties()
+    out, _ = capfd.readouterr()
+    assert len(out) > 100
