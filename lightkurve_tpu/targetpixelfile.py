@@ -841,6 +841,11 @@ class TessTargetPixelFile(TargetPixelFile):
         return lc
 
 
+class FactoryError(ValueError):
+    """Raised when the TargetPixelFileFactory is misused
+    (reference ``targetpixelfile.py:2400-2403``)."""
+
+
 class TargetPixelFileFactory:
     """Assemble a TPF from per-cadence images
     (reference ``targetpixelfile.py:2405-2757``)."""
@@ -874,7 +879,7 @@ class TargetPixelFileFactory:
                     header=None):
         """Populate one cadence (reference ``:2466-2520``)."""
         if frameno >= self.n_cadences:
-            raise ValueError("frameno exceeds n_cadences")
+            raise FactoryError("frameno exceeds n_cadences")
         for name, arr in [("flux", flux), ("flux_err", flux_err),
                           ("flux_bkg", flux_bkg),
                           ("flux_bkg_err", flux_bkg_err),
@@ -883,7 +888,7 @@ class TargetPixelFileFactory:
             if arr is not None:
                 arr = np.asarray(arr)
                 if arr.shape != (self.n_rows, self.n_cols):
-                    raise ValueError(
+                    raise FactoryError(
                         f"{name} has shape {arr.shape}, expected "
                         f"({self.n_rows}, {self.n_cols})")
                 getattr(self, name)[frameno] = arr
@@ -899,24 +904,43 @@ class TargetPixelFileFactory:
         if "QUALITY" in header:
             self.quality[frameno] = header["QUALITY"]
 
+    def _check_data(self):
+        """Warn about duplicate or unsorted timestamps
+        (reference ``targetpixelfile.py:2524-2541``)."""
+        if len(np.unique(self.time)) != len(self.time):
+            warnings.warn(
+                "The factory-created TPF contains cadences with identical "
+                "TIME values.", LightkurveWarning)
+        if np.any(np.diff(self.time) < 0):
+            warnings.warn(
+                "Cadences in the factory-created TPF do not appear to be "
+                "sorted in chronological order.", LightkurveWarning)
+
     def get_tpf(self, hdu0_keywords=None, ext_info=None, tpf_cls=None,
                 **kwargs):
         """Build the TargetPixelFile (reference ``:2522-2757``)."""
-        tpf_cls = tpf_cls or KeplerTargetPixelFile
-        order = np.argsort(self.time)
+        hdu0_keywords = {str(k).upper(): v
+                         for k, v in (hdu0_keywords or {}).items()}
+        if tpf_cls is None:
+            # class follows the TELESCOP keyword, as in the reference
+            telescop = str(hdu0_keywords.get(
+                "TELESCOP", self.keywords.get("TELESCOP", "Kepler")))
+            tpf_cls = TessTargetPixelFile if telescop.upper() == "TESS" \
+                else KeplerTargetPixelFile
+        self._check_data()
         columns = {
-            "TIME": self.time[order],
-            "TIMECORR": self.timecorr[order],
-            "CADENCENO": self.cadenceno[order],
-            "RAW_CNTS": self.raw_cnts[order],
-            "FLUX": self.flux[order],
-            "FLUX_ERR": self.flux_err[order],
-            "FLUX_BKG": self.flux_bkg[order],
-            "FLUX_BKG_ERR": self.flux_bkg_err[order],
-            "COSMIC_RAYS": self.cosmic_rays[order],
-            "QUALITY": self.quality[order],
-            "POS_CORR1": self.pos_corr1[order],
-            "POS_CORR2": self.pos_corr2[order],
+            "TIME": self.time,
+            "TIMECORR": self.timecorr,
+            "CADENCENO": self.cadenceno,
+            "RAW_CNTS": self.raw_cnts,
+            "FLUX": self.flux,
+            "FLUX_ERR": self.flux_err,
+            "FLUX_BKG": self.flux_bkg,
+            "FLUX_BKG_ERR": self.flux_bkg_err,
+            "COSMIC_RAYS": self.cosmic_rays,
+            "QUALITY": self.quality,
+            "POS_CORR1": self.pos_corr1,
+            "POS_CORR2": self.pos_corr2,
         }
         meta = {"OBJECT": self.target_id, "TARGETID": self.target_id,
                 "MISSION": "Kepler" if tpf_cls is KeplerTargetPixelFile

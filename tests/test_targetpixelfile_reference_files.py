@@ -224,3 +224,51 @@ def test_properties2(capfd):
     tpf.show_properties()
     out, _ = capfd.readouterr()
     assert len(out) > 100
+
+
+def test_tpf_factory_reference_semantics():
+    """Mirror of reference test_tpf_factory: duplicate/unsorted warnings,
+    FactoryError on bad shapes/cadences, TELESCOP-driven class choice."""
+    from lightkurve_tpu.targetpixelfile import (FactoryError,
+                                                TargetPixelFileFactory)
+    factory = TargetPixelFileFactory(n_cadences=10, n_rows=6, n_cols=8)
+    flux_0 = np.ones((6, 8))
+    factory.add_cadence(frameno=0, flux=flux_0,
+                        header={"TSTART": 0, "TSTOP": 10})
+    flux_9 = 3 * np.ones((6, 8))
+    factory.add_cadence(frameno=9, flux=flux_9,
+                        header={"TSTART": 90, "TSTOP": 100})
+
+    # frames 1-8 share time stamp zero: identical TIME values
+    with pytest.warns(LightkurveWarning, match="identical TIME values"):
+        factory.get_tpf()
+    for i in np.arange(2, 9):
+        factory.add_cadence(frameno=i, flux=flux_0,
+                            header={"TSTART": i * 10, "TSTOP": i * 10 + 10})
+    # frame 1 still has time 0: not chronological
+    with pytest.warns(LightkurveWarning, match="chronological order"):
+        factory.get_tpf()
+    for i in np.arange(1, 9):
+        factory.add_cadence(frameno=i, flux=flux_0,
+                            header={"TSTART": i * 10, "TSTOP": i * 10 + 10})
+
+    tpf = factory.get_tpf(hdu0_keywords={"TELESCOP": "TESS"})
+    assert isinstance(tpf, TessTargetPixelFile)
+    np.testing.assert_array_equal(tpf.flux.value[0], flux_0)
+    np.testing.assert_array_equal(tpf.flux.value[9], flux_9)
+
+    tpf = factory.get_tpf(hdu0_keywords={"TELESCOP": "Kepler"})
+    assert isinstance(tpf, KeplerTargetPixelFile)
+    assert tpf.time.value[0] == 5
+    assert tpf.time.value[9] == 95
+
+    with pytest.raises(FactoryError):
+        factory.add_cadence(frameno=2, flux=3 * np.ones((6, 9)),
+                            header={"TSTART": 90, "TSTOP": 100})
+    with pytest.raises(FactoryError):
+        factory.add_cadence(frameno=11, flux=3 * np.ones((6, 8)),
+                            header={"TSTART": 90, "TSTOP": 100})
+
+    tpf = factory.get_tpf(hdu0_keywords={
+        "creator": "Christina TargetPixelFileWriter", "TELESCOP": "TESS"})
+    assert tpf.get_keyword("CREATOR") == "Christina TargetPixelFileWriter"
