@@ -46,14 +46,30 @@ class Conf:
     def _config_path(self):
         return os.path.join(get_config_dir(), "lightkurve_tpu.cfg")
 
+    def _config_paths(self):
+        """Config files in load order: a reference-style ``lightkurve.cfg``
+        first (drop-in compatibility), then our own file overriding it."""
+        return [os.path.join(get_config_dir(), "lightkurve.cfg"),
+                self._config_path()]
+
     def _load(self):
-        path = self._config_path()
+        for path in self._config_paths():
+            if os.path.isfile(path):
+                self._load_file(path)
+
+    def _load_file(self, path):
         if not os.path.isfile(path):
             return
         try:
             cp = configparser.ConfigParser()
             cp.read(path)
-            sec = cp["lightkurve_tpu"] if "lightkurve_tpu" in cp else {}
+            # accept both our own [lightkurve_tpu] section and the
+            # reference's astropy-style sections ([search], [config]), so
+            # a user's existing lightkurve.cfg keeps working
+            sec = {}
+            for name in ("search", "config", "lightkurve", "lightkurve_tpu"):
+                if name in cp:
+                    sec.update(dict(cp[name]))
             if "cache_dir" in sec:
                 self.cache_dir = sec["cache_dir"]
             if "default_dtype" in sec:

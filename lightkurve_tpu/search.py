@@ -109,7 +109,11 @@ class SearchResult:
                  cutout_size=None, **kwargs):
         """Open the first product (reference ``search.py:369-430``)."""
         if len(self) == 0:
-            raise SearchError("Cannot download from an empty search result.")
+            # the reference warns and returns None (reference :420-424)
+            import warnings
+            warnings.warn("Cannot download from an empty search result.",
+                          LightkurveWarning)
+            return None
         if len(self) != 1:
             log.warning("Warning: {} files available to download. Only the "
                         "first file has been downloaded.".format(len(self)))
@@ -127,6 +131,11 @@ class SearchResult:
                      cutout_size=None, **kwargs):
         """Open all products as a collection
         (reference ``search.py:432-518``)."""
+        if len(self) == 0:
+            import warnings
+            warnings.warn("Cannot download from an empty search result.",
+                          LightkurveWarning)
+            return None
         from .collections import (LightCurveCollection,
                                   TargetPixelFileCollection)
         from .io import read

@@ -56,9 +56,12 @@ def test_tesscut_raises():
         search_tesscut("TIC 1234")
 
 
-def test_empty_download_raises():
-    with pytest.raises(SearchError):
-        SearchResult([]).download()
+def test_empty_download_warns():
+    """Reference behavior: download from an empty result warns and
+    returns None (reference search.py:420-424), it does not raise."""
+    from lightkurve_tpu.utils import LightkurveWarning
+    with pytest.warns(LightkurveWarning, match="empty search"):
+        assert SearchResult([]).download() is None
 
 
 def test_search_neighbors(archive):
@@ -71,3 +74,15 @@ def test_search_neighbors(archive):
     res = lc.search_neighbors(limit=1, archive_dir=archive)
     assert isinstance(res, SearchResult)
     assert len(res) >= 1
+
+
+def test_empty_searchresult():
+    """Reference test_empty_searchresult: empty results warn, not raise."""
+    from lightkurve_tpu.utils import LightkurveWarning
+    sr = SearchResult([])
+    assert len(sr) == 0
+    str(sr)
+    with pytest.warns(LightkurveWarning, match="empty search"):
+        assert sr.download() is None
+    with pytest.warns(LightkurveWarning, match="empty search"):
+        assert sr.download_all() is None
