@@ -62,6 +62,10 @@ def detect_filetype(hdulist: HDUList):
         telescop_val = h0.get("TELESCOP")
         if telescop_val is None:
             telescop_val = h0["MISSION"]      # KeyError → generic
+        if telescop_val is None:
+            # blank cards for both TELESCOP and MISSION: treat like the
+            # reference's AttributeError path (Undefined.lower()) → generic
+            return "generic"
         telescop = str(telescop_val).lower()
         if telescop == "kepler":
             if "targetpixel" in creator:

@@ -116,9 +116,11 @@ def lightcurve_to_fits(lc, path=None, overwrite=False,
     # TUNITs: set after knowing column order
     hdu_table = BinTableHDU(data=cols, header=table_header,
                             name="LIGHTCURVE")
-    # annotate flux units
+    # annotate column names/units (TTYPEn visible in the in-memory header,
+    # as astropy's BinTableHDU does; reference test_to_fits checks them)
     names = list(cols.keys())
     for i, cname in enumerate(names, start=1):
+        hdu_table.header[f"TTYPE{i}"] = cname
         if cname == "TIME":
             hdu_table.header[f"TUNIT{i}"] = {
                 "bkjd": "BJD - 2454833", "btjd": "BJD - 2457000",

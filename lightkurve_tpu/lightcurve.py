@@ -42,6 +42,50 @@ def _to_unitful(values, default_unit=dimensionless):
     return Quantity(np.asarray(values, dtype=float), default_unit)
 
 
+def _finite_values(x):
+    """Flatten masked arrays/Quantities to a float array with masked and
+    non-finite entries as NaN."""
+    if np.ma.isMaskedArray(x):
+        x = np.ma.filled(x.astype(float), np.nan)
+    else:
+        x = np.asarray(x, dtype=float)
+    return x
+
+
+def rmse(x):
+    """Root-mean-square of the finite (unmasked) values; NaN when none
+    remain.  The per-bin flux_err aggregator of ``bin()``
+    (reference ``lightcurve.py:167-172``)."""
+    x = _finite_values(x)
+    if np.any(np.isfinite(x)):
+        return np.sqrt(np.nansum(x ** 2) / np.sum(np.isfinite(x)))
+    return np.nan
+
+
+def nanstd(x):
+    """Standard deviation of the finite (unmasked) values; NaN when none
+    remain (reference ``lightcurve.py:202-211``)."""
+    x = _finite_values(x)
+    if np.any(np.isfinite(x)):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            return np.nanstd(x)
+    return np.nan
+
+
+def _make_reduceat(fn):
+    def reduceat(values, indices):
+        values = _finite_values(values)
+        idx = list(indices) + [len(values)]
+        return np.array([fn(values[a:b])
+                         for a, b in zip(idx[:-1], idx[1:])])
+    return reduceat
+
+
+rmse.reduceat = _make_reduceat(rmse)
+nanstd.reduceat = _make_reduceat(nanstd)
+
+
 class LightCurve:
     """A time series of flux measurements with guaranteed columns.
 
