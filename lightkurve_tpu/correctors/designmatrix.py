@@ -159,11 +159,18 @@ class DesignMatrix:
 
     def pca(self, nterms=6, n_iter=10, seed=0):
         """Randomized-SVD PCA reduction on device
-        (reference ``designmatrix.py:252-282`` via fbpca)."""
+        (reference ``designmatrix.py:252-282`` via fbpca).
+
+        Columns are mean-centered first, matching fbpca.pca's default
+        ``raw=False`` — without centering the leading component is the
+        column means, wasting one of the few retained terms (measured:
+        PLD background correction drops from 10.7x to 9.3x CDPP
+        improvement on the reference's synthetic-k2-flat file)."""
         import jax.numpy as jnp
         from ..ops.solve import randomized_pca
         nterms = min(nterms, self.shape[1])
-        U, _, _ = randomized_pca(jnp.asarray(self.values_), nterms,
+        vals = self.values_ - self.values_.mean(axis=0, keepdims=True)
+        U, _, _ = randomized_pca(jnp.asarray(vals), nterms,
                                  n_iter=n_iter, seed=seed)
         return DesignMatrix(np.asarray(U, dtype=float), name=self.name)
 

@@ -60,10 +60,12 @@ def test_pca():
     dm = DesignMatrix(X, name="pld")
     r = dm.pca(nterms=3)
     assert r.shape == (200, 3)
-    # PCA basis spans the column space: projection residual ~ 0
+    # PCA is mean-centered (fbpca.pca raw=False semantics): the basis
+    # spans the centered column space
+    Xc = X - X.mean(axis=0, keepdims=True)
     U = r.values
-    proj = U @ (U.T @ X)
-    assert np.allclose(proj, X, atol=1e-6)
+    proj = U @ (U.T @ Xc)
+    assert np.allclose(proj, Xc, atol=1e-6)
     # nterms capped at n columns
     assert dm.pca(nterms=99).shape[1] == 10
 
