@@ -994,6 +994,16 @@ class LightCurve:
         object.__setattr__(out, "_cols", new_cols)
         return out
 
+    @classmethod
+    def read(cls, path, format=None, **kwargs):
+        """Read a light-curve file, auto-detecting the product type
+        (reference astropy unified-I/O ``LightCurve.read``)."""
+        from .io import read as _read
+        filetype = {"kepler": "KeplerLightCurve",
+                    "tess": "TessLightCurve"}.get(
+            str(format).lower() if format else "", None)
+        return _read(path, filetype=filetype, **kwargs)
+
     def fill_gaps(self, method="gaussian_noise", seed=None):
         """Fill gaps in time with Gaussian noise (reference ``:1329-1427``).
 
@@ -1453,7 +1463,10 @@ class KeplerLightCurve(LightCurve):
     @classmethod
     def read(cls, path, format="kepler", **kwargs):
         from .io import read as _read
-        return _read(path, format=format, **kwargs)
+        filetype = {"kepler": "KeplerLightCurve",
+                    "tess": "TessLightCurve"}.get(
+            str(format).lower() if format else "", None)
+        return _read(path, filetype=filetype, **kwargs)
 
     def to_fits(self, path=None, overwrite=False, flux_column_name="FLUX",
                 aperture_mask=None, **extra_data):
@@ -1472,7 +1485,10 @@ class TessLightCurve(LightCurve):
     @classmethod
     def read(cls, path, format="tess", **kwargs):
         from .io import read as _read
-        return _read(path, format=format, **kwargs)
+        filetype = {"kepler": "KeplerLightCurve",
+                    "tess": "TessLightCurve"}.get(
+            str(format).lower() if format else "", None)
+        return _read(path, filetype=filetype, **kwargs)
 
     def to_fits(self, path=None, overwrite=False, flux_column_name="FLUX",
                 aperture_mask=None, **extra_data):

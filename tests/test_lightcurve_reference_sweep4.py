@@ -1,0 +1,113 @@
+"""Mirrors of reference tests/test_lightcurve.py behaviors (batch 4).
+
+Covers: deep-copy mutation independence across all columns,
+custom interact()-produced light-curve files read through the
+mission classes (real reference files), and TessLightCurve reading
+pinned against the raw FITS table.
+"""
+import os
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal
+
+from lightkurve_tpu import (KeplerLightCurve, LightCurve, TessLightCurve)
+from lightkurve_tpu.io.fits import open_fits
+
+TESTDATA = "/root/reference/tests/data"
+FN_TESS_CUSTOM = os.path.join(TESTDATA,
+                              "test_TESS_interact_generated_custom-lc.fits")
+FN_K2_CUSTOM = os.path.join(TESTDATA,
+                            "test_K2_interact_generated_custom-lc.fits")
+FN_PIMEN = os.path.join(TESTDATA, "test-lc-tess-pimen-100-cadences.fits")
+
+
+def test_lightcurve_copy():
+    """copy() must deep-copy every column."""
+    time = np.array([1, 2, 3, 4], dtype=float)
+    flux = np.array([1, 2, 3, 4], dtype=float)
+    error = np.array([0.1, 0.2, 0.3, 0.4])
+    lc = LightCurve(time=time, flux=flux, flux_err=error)
+
+    nlc = lc.copy()
+    assert_array_equal(lc.time.value, nlc.time.value)
+    assert_array_equal(lc.flux.value, nlc.flux.value)
+    assert_array_equal(lc.flux_err.value, nlc.flux_err.value)
+
+    # mutating the copy must not touch the original
+    nlc.time.value[1] = 5
+    np.asarray(nlc.flux)[1] = 6
+    np.asarray(nlc.flux_err)[1] = 7
+    assert lc.time.value[1] == 2
+    assert lc.flux.value[1] == 2
+    assert lc.flux_err.value[1] == 0.2
+
+    # mission subclasses deep-copy their extra columns too
+    lc = KeplerLightCurve(time=[1, 2, 3], flux=[1, 0.5, 1],
+                          centroid_col=[4.0, 5, 6],
+                          centroid_row=[7.0, 8, 9],
+                          cadenceno=[10, 11, 12], quality=[10, 20, 30])
+    nlc = lc.copy()
+    for col in ("centroid_col", "centroid_row", "cadenceno", "quality"):
+        assert_array_equal(np.asarray(lc[col]), np.asarray(nlc[col]))
+    np.asarray(nlc["centroid_col"])[1] = 99
+    np.asarray(nlc["cadenceno"])[1] = 99
+    np.asarray(nlc["quality"])[1] = 99
+    assert np.asarray(lc["centroid_col"])[1] == 5
+    assert np.asarray(lc["cadenceno"])[1] == 11
+    assert np.asarray(lc["quality"])[1] == 20
+
+
+@pytest.mark.skipif(not os.path.exists(FN_TESS_CUSTOM),
+                    reason="reference test data not available")
+@pytest.mark.parametrize("path, mission", [
+    (FN_TESS_CUSTOM, "TESS"), (FN_K2_CUSTOM, "K2"),
+])
+def test_custom_lightcurve_file(path, mission):
+    """Custom interact()-produced files read through the mission classes."""
+    if mission == "K2":
+        lc = KeplerLightCurve.read(path)
+    else:
+        lc = TessLightCurve.read(path)
+    assert np.asarray(lc.cadenceno)[0] >= 0
+    assert lc.dec == lc.dec
+    assert lc.time.value[-1] > lc.time.value[0]
+    assert len(lc.flux.value) > 0
+    assert lc.mission.lower() == mission.lower()
+
+    hdu = open_fits(path)
+    assert lc.label == hdu[0].header["OBJECT"]
+    assert_array_equal(lc.time.value, np.asarray(hdu[1].data["TIME"]))
+    assert_array_equal(lc.flux.value, np.asarray(hdu[1].data["FLUX"]))
+    # TESS uses QUALITY, Kepler/K2 use SAP_QUALITY
+    if mission == "TESS":
+        assert "QUALITY" in hdu[1].data.names
+        assert_array_equal(np.asarray(lc.quality),
+                           np.asarray(hdu[1].data["QUALITY"]))
+    else:
+        assert "SAP_QUALITY" in hdu[1].data.names
+        assert_array_equal(np.asarray(lc.quality),
+                           np.asarray(hdu[1].data["SAP_QUALITY"]))
+
+
+@pytest.mark.skipif(not os.path.exists(FN_PIMEN),
+                    reason="reference test data not available")
+def test_tess_lightcurve_file_parity():
+    """TessLightCurve reading pinned against the raw FITS table
+    (offline variant of reference test_TessLightCurveFile)."""
+    lc = TessLightCurve.read(FN_PIMEN, quality_bitmask="default",
+                             flux_column="sap_flux")
+    hdu = open_fits(FN_PIMEN)
+    assert lc.mission == "TESS"
+    assert lc.label == hdu[0].header["OBJECT"]
+    assert lc.time.format == "btjd"
+    assert lc.time.scale == "tdb"
+    assert str(lc.flux.unit) in ("electron / s", "electron/s")
+    assert lc.sector == hdu[0].header["SECTOR"]
+    assert lc.camera == hdu[0].header["CAMERA"]
+    assert lc.ccd == hdu[0].header["CCD"]
+    assert lc.ra == hdu[0].header["RA_OBJ"]
+    assert lc.dec == hdu[0].header["DEC_OBJ"]
+    assert lc.meta["FLUX_ORIGIN"] == "sap_flux"
+    # no NaN times survive (reference regression #236)
+    assert np.isnan(lc.time.value).sum() == 0
