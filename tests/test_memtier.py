@@ -140,3 +140,33 @@ def test_sparse_spline_100_knots_memory(rng):
     if rss0 is not None:
         growth = _rss_mb() - rss0
         assert growth < 1200, f"sparse-spline path held +{growth:.0f}MB"
+
+
+@pytest.mark.parametrize("bin_args", [
+    dict(bins=10000), dict(binsize=10), dict(time_bin_size=20 / 60 / 24),
+])
+def test_bin_memory_usage(bin_args, rng):
+    """Reference #1092 mirror: lc.bin() on a large stitched curve must not
+    blow memory (the reference caps the address space at 1.5 GB)."""
+    import resource
+    from lightkurve_tpu import LightCurve, LightCurveCollection
+
+    n = 120_000
+    base = LightCurve(time=np.arange(n) * 2.0 / 60 / 24,
+                      flux=1 + 0.001 * rng.standard_normal(n),
+                      flux_err=0.001 * np.ones(n))
+    lcc = [base]
+    duration = base.time.value.max() - base.time.value.min()
+    for i in range(1, 10):
+        c = base.copy()
+        c.time = c.time.value + (duration + 1.0) * i
+        lcc.append(c)
+    lc = LightCurveCollection(lcc).stitch(corrector_func=None)
+
+    soft, hard = resource.getrlimit(resource.RLIMIT_AS)
+    limit = int(3.0 * 1024 ** 3)
+    try:
+        resource.setrlimit(resource.RLIMIT_AS, (limit, hard))
+        lc.bin(**bin_args)
+    finally:
+        resource.setrlimit(resource.RLIMIT_AS, (soft, hard))
