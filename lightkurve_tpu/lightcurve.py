@@ -1363,10 +1363,43 @@ class LightCurve:
         ax.set_ylabel("Cycle")
         return ax
 
-    def query_solar_system_objects(self, *args, **kwargs):
+    def query_solar_system_objects(self, cadence_mask="outliers",
+                                   radius=None, sigma=3, location=None,
+                                   cache=True, return_mask=False,
+                                   show_progress=True):
+        """Query SkyBot for solar-system objects crossing the aperture
+        (reference ``lightcurve.py:1860-2010``).
+
+        All argument validation (RA/Dec presence, the ``cadence_mask``
+        forms, location resolution from the mission) mirrors the
+        reference; the network call itself is environment-gated."""
+        import collections.abc
+        for attr in ("ra", "dec"):
+            if getattr(self, attr, None) is None:
+                raise ValueError(
+                    f"Input does not have a `{attr}` attribute.")
+        if isinstance(cadence_mask, str):
+            if cadence_mask == "outliers":
+                cadence_mask = self.remove_outliers(
+                    sigma=sigma, return_mask=True)[1]
+            elif cadence_mask == "all":
+                cadence_mask = np.ones(len(self.time), dtype=bool)
+            else:
+                raise ValueError("invalid `cadence_mask` string argument")
+        elif isinstance(cadence_mask, collections.abc.Sequence):
+            cadence_mask = np.array(cadence_mask)
+        elif isinstance(cadence_mask, (bool, np.bool_)):
+            cadence_mask = np.array([cadence_mask])
+        elif not isinstance(cadence_mask, np.ndarray):
+            raise ValueError(
+                "the `cadence_mask` argument is missing or invalid")
+        if location is None:
+            location = (self.meta.get("MISSION") or "kepler")
         raise NotImplementedError(
             "Solar-system object queries require network access to the "
-            "SkyBot service, which is unavailable in this environment.")
+            "SkyBot service, which is unavailable in this environment. "
+            f"(validated: {int(np.sum(cadence_mask))} cadences, "
+            f"location={str(location).lower()!r})")
 
 
 def _copy_col(v):

@@ -186,8 +186,23 @@ def test_tpf_animate_smoke():
 
 
 def test_sso_query_gated(lc):
+    lc.meta["RA"] = 80.0
+    lc.meta["DEC"] = -70.0
     with pytest.raises(Exception) as e:
         lc.query_solar_system_objects()
     assert "network" in str(e.value).lower() or \
-        "offline" in str(e.value).lower() or \
-        "not available" in str(e.value).lower()
+        "unavailable" in str(e.value).lower()
+    # argument validation happens BEFORE the network gate (reference
+    # test_SSOs: unsupported cadence_mask strings raise ValueError)
+    with pytest.raises(ValueError, match="cadence_mask"):
+        lc.query_solar_system_objects(cadence_mask="str-not-supported")
+    # missing RA/Dec raises first
+    lc2 = lc.copy()
+    lc2.meta.pop("RA", None)
+    with pytest.raises(ValueError, match="`ra` attribute"):
+        lc2.query_solar_system_objects()
+    # the accepted cadence_mask forms all reach the network gate
+    import numpy as np
+    for cm in ("all", np.ones(len(lc), bool), [True] * len(lc), True):
+        with pytest.raises(NotImplementedError):
+            lc.query_solar_system_objects(cadence_mask=cm)
