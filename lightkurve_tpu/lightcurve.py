@@ -1325,8 +1325,18 @@ class LightCurve:
         if not np.isfinite(dt_med) or dt_med <= 0:
             nb = 100
         else:
-            nb = max(int((maximum_phase - minimum_phase)
-                         / (bin_points * dt_med / period)), 10)
+            nb = int((maximum_phase - minimum_phase)
+                     / (bin_points * dt_med / period))
+            if nb <= 1:
+                # bin_points exceeds the points available per phase bin
+                # (reference lightcurve.py:2867-2877)
+                bin_points = int(maximum_phase - minimum_phase) / (
+                    2 / int(period / dt_med))
+                warnings.warn(
+                    "`bin_points` is too high to plot a phase curve, "
+                    f"resetting to {bin_points}", LightkurveWarning)
+                nb = 2
+            nb = max(nb, 2)
         pb = np.floor((phase - minimum_phase) /
                       (maximum_phase - minimum_phase) * nb).astype(int)
         ok = (pb >= 0) & (pb < nb) & np.isfinite(f)

@@ -111,3 +111,37 @@ def test_tess_lightcurve_file_parity():
     assert lc.meta["FLUX_ORIGIN"] == "sap_flux"
     # no NaN times survive (reference regression #236)
     assert np.isnan(lc.time.value).sum() == 0
+
+
+def test_river():
+    """Mirror of reference test_river: all plot_river variants."""
+    import matplotlib.pyplot as plt
+    from lightkurve_tpu.utils import LightkurveWarning
+    rng = np.random.default_rng(0)
+    lc = LightCurve(time=np.arange(100), flux=rng.normal(1, 0.01, 100),
+                    flux_err=np.abs(rng.normal(0, 0.01, 100)))
+    lc.plot_river(10, 1)
+    plt.close("all")
+    folded_lc = lc.fold(10, 1)
+    folded_lc.plot_river()
+    folded_lc.plot_river(minimum_phase=-0.1, maximum_phase=0.2)
+    folded_lc.plot_river(method="median", bin_points=5)
+    folded_lc.plot_river(method="sigma", bin_points=5)
+    plt.close("all")
+    with pytest.warns(LightkurveWarning, match="`bin_points` is too high"):
+        folded_lc.plot_river(method="median", bin_points=6)
+    plt.close("all")
+
+
+def test_cdpp():
+    """Mirror of reference test_cdpp: flat → ~0; 100 ppm noise → ~100."""
+    from numpy.testing import assert_almost_equal
+    lc = LightCurve(time=np.arange(200), flux=np.ones(200))
+    assert_almost_equal(float(lc.estimate_cdpp().value), 0)
+    rng = np.random.default_rng(1)
+    lc = LightCurve(time=np.arange(10000),
+                    flux=rng.normal(loc=1, scale=100e-6, size=10000))
+    assert_almost_equal(float(lc.estimate_cdpp(
+        transit_duration=1).value), 100, decimal=-0.5)
+    with pytest.raises(ValueError):
+        lc.estimate_cdpp(transit_duration=6.5)
