@@ -117,9 +117,13 @@ class LightCurveCollection(Collection):
         def _kind(col):
             if isinstance(col, Time):
                 return ("time", "f")
+            kind = np.asarray(col).dtype.kind
+            # all numeric kinds concatenate losslessly (int+float → float),
+            # so they count as one compatibility class
+            kind = "num" if kind in "iufb" else kind
             if isinstance(col, Quantity):
-                return ("quantity", np.asarray(col).dtype.kind)
-            return ("array", np.asarray(col).dtype.kind)
+                return ("quantity", kind)
+            return ("array", kind)
 
         incompatible = set()
         for name in common:

@@ -24,8 +24,14 @@ def _tpf_reader(mission):
     return _read
 
 
-def _read_generic(path_or_hdul, **kwargs):
+def _read_generic(path_or_hdul, quality_bitmask=None, **kwargs):
+    """Generic (non-mission) products have no quality-flag vocabulary,
+    so the ``quality_bitmask`` kwarg is accepted for interface
+    uniformity but ignored with a debug note — the reference reads
+    generic files unfiltered (reference io/read.py:139-140)."""
     from .generic import read_generic_lightcurve
+    if quality_bitmask is not None:
+        log.debug("quality_bitmask is ignored for generic data products")
     return read_generic_lightcurve(path_or_hdul, **kwargs)
 
 

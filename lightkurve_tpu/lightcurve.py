@@ -86,6 +86,27 @@ rmse.reduceat = _make_reduceat(rmse)
 nanstd.reduceat = _make_reduceat(nanstd)
 
 
+def _format_to_filetype(format):
+    """Map a ``.read(format=...)`` name to a reader-registry filetype
+    (reference unified-I/O format names); None auto-detects, unknown
+    names raise ValueError."""
+    if format is None:
+        return None
+    mapping = {"kepler": "KeplerLightCurve", "tess": "TessLightCurve",
+               "qlp": "QLP", "k2sff": "K2SFF", "everest": "EVEREST",
+               "k2sc": "K2SC", "cdips": "CDIPS", "pathos": "PATHOS",
+               "tasoc": "TASOC", "kepseismic": "KEPSEISMIC",
+               "tglc": "TGLC", "eleanor": "ELEANOR",
+               "gsfc-eleanor-lite": "ELEANOR", "folded": "Folded",
+               "generic": "generic"}
+    key = str(format).lower()
+    if key not in mapping:
+        raise ValueError(
+            f"unknown format {format!r}; supported formats: "
+            f"{sorted(mapping)}")
+    return mapping[key]
+
+
 class LightCurve:
     """A time series of flux measurements with guaranteed columns.
 
@@ -121,11 +142,11 @@ class LightCurve:
             if flux_err is not None and not isinstance(flux_err, Quantity):
                 flux_err = Quantity(np.asarray(flux_err, dtype=float), funit)
         # v1.x-style scalar keywords route to meta, as in the reference's
-        # deprecated-keyword handling (reference lightcurve.py:326-333)
-        if "targetid" in extra_columns:
-            _meta["TARGETID"] = extra_columns.pop("targetid")
-        if "label" in extra_columns:
-            _meta["LABEL"] = extra_columns.pop("label")
+        # deprecated-keyword handling (reference lightcurve.py:326-333);
+        # applied AFTER data/meta merging so an explicit keyword wins over
+        # a TARGETID carried in ``data.meta``
+        _kw_targetid = extra_columns.pop("targetid", None)
+        _kw_label = extra_columns.pop("label", None)
         if isinstance(data, LightCurve):
             cols.update({k: _copy_col(v) for k, v in data._cols.items()})
             _meta.update(deepcopy(data.meta))
@@ -149,6 +170,10 @@ class LightCurve:
                     cols[k] = v
         if meta:
             _meta.update(meta)
+        if _kw_targetid is not None:
+            _meta["TARGETID"] = _kw_targetid
+        if _kw_label is not None:
+            _meta["LABEL"] = _kw_label
 
         if time is not None:
             cols["time"] = time
@@ -344,6 +369,9 @@ class LightCurve:
             return
         cls_attr = getattr(type(self), name, None)
         if isinstance(cls_attr, property):
+            if cls_attr.fset is None:
+                raise AttributeError(
+                    f"can't set attribute {name!r} (read-only property)")
             cls_attr.fset(self, value)
             return
         if name in self.__dict__.get("_cols", ()):
@@ -420,7 +448,12 @@ class LightCurve:
     def __eq__(self, other):
         """Elementwise row equality over shared columns, like astropy
         ``Table.__eq__`` (used by reference test_collection_getitem:
-        ``(lcc[0] == lc).all()``).  Returns a boolean array of length n."""
+        ``(lcc[0] == lc).all()``).  Returns a boolean array of length n.
+
+        Length-mismatched comparisons raise ValueError, as astropy's
+        table comparison does; note this makes ``lc in some_list`` (which
+        boolean-coerces the elementwise result) unusable for LightCurves
+        of any length > 1 — the same limitation astropy tables have."""
         if not isinstance(other, LightCurve):
             return NotImplemented
         if len(self) != len(other):
@@ -786,7 +819,6 @@ class LightCurve:
         lc.meta["EPOCH_PHASE"] = epoch_phase
         lc.meta["WRAP_PHASE"] = wrap
         lc.meta["NORMALIZE_PHASE"] = bool(normalize_phase)
-        lc.meta["NORMALIZE_PHASE"] = normalize_phase
         order = np.argsort(phase, kind="stable")
         return lc[order]
 
@@ -999,10 +1031,8 @@ class LightCurve:
         """Read a light-curve file, auto-detecting the product type
         (reference astropy unified-I/O ``LightCurve.read``)."""
         from .io import read as _read
-        filetype = {"kepler": "KeplerLightCurve",
-                    "tess": "TessLightCurve"}.get(
-            str(format).lower() if format else "", None)
-        return _read(path, filetype=filetype, **kwargs)
+        return _read(path, filetype=_format_to_filetype(format),
+                     **kwargs)
 
     def fill_gaps(self, method="gaussian_noise", seed=None):
         """Fill gaps in time with Gaussian noise (reference ``:1329-1427``).
@@ -1330,8 +1360,9 @@ class LightCurve:
             if nb <= 1:
                 # bin_points exceeds the points available per phase bin
                 # (reference lightcurve.py:2867-2877)
+                pts_per_period = max(int(period / dt_med), 1)
                 bin_points = int(maximum_phase - minimum_phase) / (
-                    2 / int(period / dt_med))
+                    2 / pts_per_period)
                 warnings.warn(
                     "`bin_points` is too high to plot a phase curve, "
                     f"resetting to {bin_points}", LightkurveWarning)
@@ -1506,10 +1537,8 @@ class KeplerLightCurve(LightCurve):
     @classmethod
     def read(cls, path, format="kepler", **kwargs):
         from .io import read as _read
-        filetype = {"kepler": "KeplerLightCurve",
-                    "tess": "TessLightCurve"}.get(
-            str(format).lower() if format else "", None)
-        return _read(path, filetype=filetype, **kwargs)
+        return _read(path, filetype=_format_to_filetype(format),
+                     **kwargs)
 
     def to_fits(self, path=None, overwrite=False, flux_column_name="FLUX",
                 aperture_mask=None, **extra_data):
@@ -1528,10 +1557,8 @@ class TessLightCurve(LightCurve):
     @classmethod
     def read(cls, path, format="tess", **kwargs):
         from .io import read as _read
-        filetype = {"kepler": "KeplerLightCurve",
-                    "tess": "TessLightCurve"}.get(
-            str(format).lower() if format else "", None)
-        return _read(path, filetype=filetype, **kwargs)
+        return _read(path, filetype=_format_to_filetype(format),
+                     **kwargs)
 
     def to_fits(self, path=None, overwrite=False, flux_column_name="FLUX",
                 aperture_mask=None, **extra_data):

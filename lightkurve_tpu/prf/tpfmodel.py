@@ -81,15 +81,20 @@ class FixedValuePrior:
     def mean(self):
         return self.value
 
-    def penalty(self, x):
-        """0 at the fixed value, +inf elsewhere (reference ``:113-121``).
-        Non-fitted parameter groups never reach the free vector, so this
-        is not differentiated for background/focus/motion defaults."""
+    def evaluate(self, x):
+        """0 at the fixed value, +inf elsewhere (reference ``:113-121``,
+        the user-facing prior probability)."""
         import jax.numpy as jnp
         return jnp.where(jnp.asarray(x) == self.value, 0.0, jnp.inf)
 
-    evaluate = penalty
-    __call__ = penalty
+    def penalty(self, x):
+        """Optimization-time surrogate: a very steep quadratic that PINS
+        the parameter at ``value``.  The exact ±inf form of ``evaluate``
+        has zero gradient everywhere, so it could not constrain a fitted
+        parameter (and would turn every fit loss into inf)."""
+        return 1e12 * (x - self.value) ** 2
+
+    __call__ = evaluate
 
 
 def _parse_prior(prior):
@@ -118,8 +123,8 @@ class StarPrior(_PriorContainer):
         self.flux = _parse_prior(self.flux)
 
     def evaluate(self, col, row, flux):
-        return (self.col.penalty(col) + self.row.penalty(row)
-                + self.flux.penalty(flux))
+        return (self.col.evaluate(col) + self.row.evaluate(row)
+                + self.flux.evaluate(flux))
 
 
 @dataclass
@@ -131,7 +136,7 @@ class BackgroundPrior(_PriorContainer):
         self.flux = _parse_prior(self.flux)
 
     def evaluate(self, flux):
-        return self.flux.penalty(flux)
+        return self.flux.evaluate(flux)
 
 
 @dataclass
@@ -148,9 +153,9 @@ class FocusPrior(_PriorContainer):
         self.rotation_angle = _parse_prior(self.rotation_angle)
 
     def evaluate(self, scale_col, scale_row, rotation_angle):
-        return (self.scale_col.penalty(scale_col)
-                + self.scale_row.penalty(scale_row)
-                + self.rotation_angle.penalty(rotation_angle))
+        return (self.scale_col.evaluate(scale_col)
+                + self.scale_row.evaluate(scale_row)
+                + self.rotation_angle.evaluate(rotation_angle))
 
 
 @dataclass
@@ -164,8 +169,8 @@ class MotionPrior(_PriorContainer):
         self.shift_row = _parse_prior(self.shift_row)
 
     def evaluate(self, shift_col, shift_row):
-        return (self.shift_col.penalty(shift_col)
-                + self.shift_row.penalty(shift_row))
+        return (self.shift_col.evaluate(shift_col)
+                + self.shift_row.evaluate(shift_row))
 
 
 # ---------------------------------------------------------------------------

@@ -90,13 +90,15 @@ class Seismology:
 
     def diagnose_numax(self, numax=None):
         """Diagnostic plot of the numax estimate (reference ``:652-674``).
-        Runs ``estimate_numax`` first if no estimate is held yet."""
+        Requires ``estimate_numax()`` to have been called first (or an
+        explicit ``numax`` estimate to be passed in)."""
         numax = self._validate_numax(numax)
         return numax.diagnostics_plot_method(numax, self.periodogram)
 
     def diagnose_deltanu(self, deltanu=None):
         """Diagnostic plot of the deltanu estimate (reference ``:738-758``).
-        Runs ``estimate_deltanu`` first if no estimate is held yet."""
+        Requires ``estimate_deltanu()`` to have been called first (or an
+        explicit ``deltanu`` estimate to be passed in)."""
         deltanu = self._validate_deltanu(deltanu)
         return deltanu.diagnostics_plot_method(deltanu, self.periodogram)
 

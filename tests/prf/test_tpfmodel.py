@@ -165,3 +165,28 @@ def test_model_with_one_star():
     assert np.isclose(results.focus.scale_row, scale_row, atol=0.05)
     assert np.isclose(results.focus.rotation_angle, rotation_angle,
                       atol=0.05)
+
+
+def test_fixed_background_prior_pins_parameter():
+    """A default FixedValuePrior background must stay pinned during the
+    fit and leave finite losses (review finding: the exact inf-valued
+    prior had zero gradient, letting the background drift and making
+    every loss inf)."""
+    shape = (7, 7)
+    prf = GaussianPRF(shape=shape, column=0, row=0, sigma=1.2)
+    img = np.asarray(prf(3.5, 3.5, 1000.0)) + 5.0  # true bkg 5, prior 0
+    model = TPFModel(
+        star_priors=[StarPrior(col=GaussianPrior(3.5, 0.25),
+                               row=GaussianPrior(3.5, 0.25),
+                               flux=UniformPrior(100.0, 1e5))],
+        background_prior=BackgroundPrior(flux=FixedValuePrior(0.0)),
+        prfmodel=prf, fit_background=True)
+    phot = PRFPhotometry(model)
+    phot.run(np.asarray([img]), n_iter=40)
+    # background pinned at the fixed value, not drifting to ~5
+    assert abs(phot.results[0].background.flux) < 1e-3
+    # losses are finite (the inf prior would poison them)
+    assert np.isfinite(phot.losses).all()
+    # the user-facing prior probability keeps the reference's inf form
+    bp = BackgroundPrior(flux=FixedValuePrior(0.0))
+    assert not np.isfinite(float(bp(0.1)))

@@ -145,3 +145,68 @@ def test_cdpp():
         transit_duration=1).value), 100, decimal=-0.5)
     with pytest.raises(ValueError):
         lc.estimate_cdpp(transit_duration=6.5)
+
+
+def test_constructor_kwarg_beats_data_meta():
+    """An explicit targetid=/label= keyword wins over values carried in
+    ``data.meta`` (review finding: the kwarg was silently clobbered)."""
+    lc = LightCurve(time=[1, 2], flux=[1, 1], targetid=111, label="a")
+    lc2 = LightCurve(data=lc, targetid=999, label="b")
+    assert lc2.targetid == 999
+    assert lc2.label == "b"
+    # without the keyword, data.meta still flows through
+    lc3 = LightCurve(data=lc)
+    assert lc3.targetid == 111
+
+
+def test_readonly_property_raises_attributeerror():
+    """Assigning to a getter-only property raises AttributeError (not
+    TypeError), preserving hasattr/try-AttributeError conventions."""
+    lc = LightCurve(time=[1, 2, 3], flux=[1, 2, 3])
+    fold = lc.fold(period=2)
+    with pytest.raises(AttributeError, match="read-only"):
+        fold.phase = [0, 0, 0]
+    with pytest.raises(AttributeError, match="read-only"):
+        lc.astropy_time = 5
+
+
+def test_plot_river_tiny_period_no_crash():
+    """plot_river with a period below the cadence warns instead of
+    dividing by zero (review finding)."""
+    import matplotlib.pyplot as plt
+    from lightkurve_tpu.utils import LightkurveWarning
+    lc = LightCurve(time=np.arange(50, dtype=float),
+                    flux=np.ones(50))
+    with pytest.warns(LightkurveWarning, match="too high"):
+        lc.plot_river(period=0.5, bin_points=10)
+    plt.close("all")
+
+
+def test_read_format_mapping():
+    """.read(format=...) maps every registry product; unknown formats
+    raise ValueError instead of being silently auto-detected."""
+    from lightkurve_tpu.lightcurve import _format_to_filetype
+    assert _format_to_filetype("eleanor") == "ELEANOR"
+    assert _format_to_filetype("qlp") == "QLP"
+    assert _format_to_filetype(None) is None
+    with pytest.raises(ValueError, match="unknown format"):
+        LightCurve.read("/nonexistent.fits", format="not-a-format")
+
+
+def test_stitch_mixed_numeric_dtypes():
+    """int and float columns of the same name stitch losslessly (they
+    concatenate to float), with no incompatibility warning."""
+    import warnings as _w
+    from lightkurve_tpu import LightCurveCollection
+    lc1 = LightCurve(time=[1, 2], flux=[1.0, 1.0],
+                     cadenceno=np.array([1, 2], dtype=np.int32))
+    lc2 = LightCurve(time=[3, 4], flux=[1.0, 1.0],
+                     cadenceno=np.array([3.0, 4.0]))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        stitched = LightCurveCollection([lc1, lc2]).stitch(
+            corrector_func=None)
+    assert not any("incompatible" in str(r.message) for r in rec)
+    assert "cadenceno" in stitched.columns
+    np.testing.assert_array_equal(np.asarray(stitched["cadenceno"]),
+                                  [1, 2, 3, 4])
