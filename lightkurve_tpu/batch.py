@@ -410,7 +410,13 @@ class TPFStack:
         lcs = self.extract_aperture_photometry()
         B, T = lcs.flux.shape
         dtype = lcs.flux.dtype
-        pix = (self.flux * self.aperture[:, None, :, :]).reshape(B, T, -1)
+        # NaN pixels (out-of-footprint, gap cadences) must not poison the
+        # regressors: NaN * 0-mask is still NaN, so zero them explicitly
+        # like ops/photometry does
+        finite_flux = jnp.where(jnp.isfinite(self.flux), self.flux,
+                                jnp.asarray(0.0, dtype))
+        pix = (finite_flux
+               * self.aperture[:, None, :, :]).reshape(B, T, -1)
         tot = jnp.sum(pix, axis=2, keepdims=True)
         pixn = pix / jnp.maximum(tot, jnp.asarray(1e-30, dtype))
 

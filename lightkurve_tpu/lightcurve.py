@@ -900,7 +900,7 @@ class LightCurve:
                 # make N-1 bins (reference test_bins_kwarg)
                 edges = np.asarray(bins, dtype=np.float64)
                 return self._bin_by_times(edges[:-1], edges[1:],
-                                          aggregate_func)
+                                          aggregate_func, close_last=True)
         elif binsize is not None:
             idx = np.arange(0, len(tv), int(binsize))
             return self._bin_by_edges(np.append(idx, len(tv) - 1),
@@ -921,14 +921,21 @@ class LightCurve:
         return self._bin_core(ids, nb, start + (np.arange(nb) + 0.5) * size,
                               aggregate_func)
 
-    def _bin_by_times(self, starts, ends, aggregate_func=None):
-        """Bin into explicit, possibly non-contiguous [start, end) bins."""
+    def _bin_by_times(self, starts, ends, aggregate_func=None,
+                      close_last=False):
+        """Bin into explicit, possibly non-contiguous [start, end) bins.
+        ``close_last=True`` makes the FINAL bin right-inclusive (the
+        np.histogram convention used for explicit ``bins=`` edges, so a
+        cadence exactly at the last fencepost is kept)."""
         tv = self.time.value.astype(np.float64)
         nb = len(starts)
         ids = np.searchsorted(starts, tv, side="right") - 1
         idc = np.clip(ids, 0, nb - 1)
         # points past their bin's end fall in no bin
-        ids = np.where((ids >= 0) & (tv < ends[idc]), ids, -1)
+        in_bin = (ids >= 0) & (tv < ends[idc])
+        if close_last:
+            in_bin |= (ids == nb - 1) & (tv == ends[-1])
+        ids = np.where(in_bin, ids, -1)
         return self._bin_core(ids, nb, 0.5 * (starts + ends),
                               aggregate_func)
 

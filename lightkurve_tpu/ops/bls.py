@@ -584,6 +584,13 @@ def _bls_shared_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
                                   * c_b[None, :])
         best["power"] = (best["log_likelihood"] if use_likelihood
                          else best["depth_snr"])
+        # zero-weight rows (all-inf dy batch padding, c_b = 0) must sort
+        # LAST like the general kernel's -inf, not report power 0
+        padded = (c_b == 0.0)[None, :]                   # (1, B)
+        best["power"] = jnp.where(padded, -jnp.inf, best["power"])
+        best["depth_snr"] = jnp.where(padded, -jnp.inf, best["depth_snr"])
+        best["log_likelihood"] = jnp.where(padded, -jnp.inf,
+                                           best["log_likelihood"])
         return best                                    # dict of (C, B)
 
     p = periods.shape[0]

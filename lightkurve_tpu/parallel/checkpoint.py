@@ -170,13 +170,17 @@ class SweepRunner:
             objective = self.objective
             time = self.stack.time
 
+            # one jit wrapper for the whole sweep: a fresh jax.jit per
+            # chunk would re-trace the winner reduction every step
+            reduce_jit = jax.jit(_reduce_winner)
+
             def step(flux, dy, pvals, n_valid):
                 out = sharded_bls(time, flux, dy, pvals,
                                   jnp.asarray(durations, flux.dtype),
                                   oversample=oversample,
                                   objective=objective, mesh=mesh,
                                   uniform_weights=uniform)
-                return jax.jit(_reduce_winner)(out, n_valid)
+                return reduce_jit(out, n_valid)
             return step
         if self.method == "shared":
             nbins = int(np.ceil(self.periods.max() / d_phase))

@@ -275,12 +275,16 @@ class Seismology:
         # reference's slider range)
         span = np.clip(np.linspace(0.75, 1.25, max(n_panels, 1)) * dnu_v,
                        0.01, maxdnu)
+        # only forward kwargs _clean_echelle understands (plot-style
+        # kwargs like cmap go to imshow/plot_echelle, not the data prep)
+        clean_kwargs = {k: v for k, v in kwargs.items()
+                        if k in ("smooth_filter_width", "scale")}
         for i, d in enumerate(span):
             ax = fig.add_subplot(gs[1, i])
             try:
                 ep, _, _ = self._clean_echelle(
                     deltanu=d, minimum_frequency=min_f_kw,
-                    maximum_frequency=max_f_kw, **kwargs)
+                    maximum_frequency=max_f_kw, **clean_kwargs)
                 ax.imshow(ep, aspect="auto", origin="lower",
                           cmap=kwargs.get("cmap", "Blues"))
             except ValueError:

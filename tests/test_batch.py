@@ -334,3 +334,24 @@ def test_sharded_flatten_matches_unsharded(rng):
                                    window_length=101)
     np.testing.assert_allclose(np.asarray(trend),
                                np.asarray(ref_trend.flux), rtol=1e-10)
+
+
+def test_tpfstack_pld_with_nan_pixels(rng):
+    """NaN pixels in the cube must not poison the batched PLD regressors
+    (review finding: NaN * mask-0 is still NaN)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synthetic import make_synthetic_tpf, sawtooth_motion
+    from lightkurve_tpu.batch import TPFStack
+    tpfs = [make_synthetic_tpf(n_cadences=80, shape=(5, 5), mission="K2",
+                               motion=sawtooth_motion(), seed=s)
+            for s in (0, 1)]
+    for tpf in tpfs:
+        cube = np.asarray(tpf.flux.value).copy()
+        cube[:, 0, 0] = np.nan          # dead pixel
+        tpf.flux = cube
+    stack = TPFStack.from_collection(tpfs)
+    corrected = stack.pld_correct(n_pca_terms=3)
+    flux = np.asarray(corrected.flux)
+    mask = np.asarray(corrected.mask)
+    assert np.isfinite(flux[mask]).all()

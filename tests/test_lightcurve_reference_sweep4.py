@@ -210,3 +210,14 @@ def test_stitch_mixed_numeric_dtypes():
     assert "cadenceno" in stitched.columns
     np.testing.assert_array_equal(np.asarray(stitched["cadenceno"]),
                                   [1, 2, 3, 4])
+
+
+def test_bin_edges_last_fencepost_inclusive():
+    """A cadence exactly at the final bins= fencepost lands in the last
+    bin (np.histogram closure; review finding)."""
+    lc = LightCurve(time=[0.0, 5.0, 10.0, 15.0, 20.0],
+                    flux=[1.0, 2.0, 3.0, 4.0, 10.0])
+    binned = lc.bin(bins=[0.0, 10.0, 20.0])
+    assert len(binned) == 2
+    # last bin holds t=10,15,20 → mean (3+4+10)/3
+    np.testing.assert_allclose(binned.flux.value[1], (3 + 4 + 10) / 3)

@@ -155,3 +155,27 @@ def test_uniform_pallas_window_matches_xla(rng):
     for k in ("power", "depth", "depth_err", "transit_time", "duration"):
         np.testing.assert_allclose(np.asarray(x[k]), np.asarray(p[k]),
                                    rtol=1e-9, err_msg=k)
+
+
+def test_uniform_kernel_padding_rows_sort_last():
+    """All-inf-dy rows (batch padding) must report power=-inf from the
+    uniform-weights kernel, like the general kernel — not power 0
+    (review finding: padded rows could win an argmax over power)."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
+    rng = np.random.default_rng(0)
+    n = 512
+    t = np.arange(n) * 0.02
+    flux = 1 + 0.001 * rng.standard_normal((2, n))
+    flux[0, (t % 2.0) < 0.1] -= 0.05        # real transit in row 0
+    dy = np.ones((2, n))
+    dy[1] = np.inf                          # row 1 is padding
+    periods = np.linspace(1.5, 2.5, 64)
+    out = bls_power_shared_batch(
+        jnp.asarray(t), jnp.asarray(flux), np.asarray(dy),
+        jnp.asarray(periods), jnp.asarray([0.1]))
+    power = np.asarray(out["power"])
+    assert np.all(np.isneginf(power[1]))
+    assert np.isfinite(power[0]).all()
+    # argmax over the batch never selects the padding row
+    assert int(np.argmax(power.max(axis=1))) == 0
