@@ -25,9 +25,18 @@ NORTH_STAR_RATE = 1e4 * 1e5 / 60.0 / 8.0   # curve-period evals /s /chip
 WATCHDOG_S = int(os.environ.get("LK_BENCH_TIMEOUT", 540))
 
 
+_measured = None
+
+
 def _watchdog(signum, frame):
     # The TPU tunnel can wedge (worker crash) and hang device calls
     # indefinitely — emit a well-formed failure line rather than hang.
+    # If the PRIMARY metric was already measured (a companion benchmark
+    # hung), report it instead of discarding a successful measurement.
+    if _measured is not None:
+        print(json.dumps(_measured))
+        sys.stdout.flush()
+        os._exit(0)
     # ``last_measured`` documents the most recent successful run of this
     # same benchmark (same code, same chip class) for context; the
     # metric value itself stays 0 because nothing was measured NOW.
@@ -108,6 +117,20 @@ def main():
     detail = {"B": B, "N": N, "P": P, "seconds_per_step": round(dt, 3),
               "recovered_period_ok": bool(ok),
               "device": str(jax.devices()[0])}
+
+    # the primary metric is measured: if a companion bench hangs/compiles
+    # past the watchdog, report THIS result instead of a 0-valued timeout
+    # line, and give the companions a fresh (shorter) alarm window
+    global _measured
+    _measured = {
+        "metric": "bls_curve_period_evals_per_sec_per_chip",
+        "value": round(rate, 1), "unit": "curve-period/s/chip",
+        "vs_baseline": round(rate / NORTH_STAR_RATE, 5),
+        "detail": dict(detail,
+                       companion_error="watchdog fired during companion "
+                                       "benchmarks"),
+    }
+    signal.alarm(max(WATCHDOG_S // 2, 120))
 
     # companion kernel rates (best-effort; failures never break the
     # primary metric)

@@ -211,15 +211,29 @@ class LightCurveStack:
                               **kwargs)
         return self._replace(mask=self.mask & ~out)
 
+    def _grid_groups(self):
+        """Group rows by identical time grids.  Returns (gid, t_host):
+        ``gid`` row → group index; ``t_host`` is None when all rows share
+        one grid (the common case, detected with a cheap device-side
+        check so no (B, N) host pull happens)."""
+        import jax.numpy as jnp
+        if bool(jnp.all(self.time == self.time[0:1])):
+            return np.zeros(len(self), dtype=int), None
+        t_host = np.asarray(self.time)
+        _, gid = np.unique(t_host, axis=0, return_inverse=True)
+        return np.asarray(gid).ravel(), t_host
+
     def to_periodogram(self, minimum_frequency=None, maximum_frequency=None,
                        oversample_factor=1.0, normalization="psd",
-                       sharded=False):
+                       sharded=False, mesh=None):
         """Batched fast Lomb-Scargle over a shared frequency grid.
 
         The frequency grid is derived from the FIRST curve's
         baseline/cadence; stacks mixing a few DISTINCT time grids
         (multi-sector collections) are grouped by grid, each group running
-        the batched transform on the same frequency grid.  Returns
+        the batched transform on the same frequency grid.
+        ``sharded=True`` runs via ``parallel.sharded_lombscargle`` over a
+        device mesh (single-grid stacks only).  Returns
         (frequency (Nf,), power (B, Nf)).
         """
         import jax.numpy as jnp
@@ -234,14 +248,18 @@ class LightCurveStack:
         # padded samples get zero weight via dy=inf
         dy = jnp.where(self.mask, self.flux_err,
                        jnp.asarray(np.inf, self.flux.dtype))
-        t_host = np.asarray(self.time)
-        _, gid = np.unique(
-            np.ascontiguousarray(t_host).view(
-                [("", t_host.dtype)] * t_host.shape[1]).ravel(),
-            return_inverse=True)
+        if sharded:
+            from .parallel import sharded_lombscargle
+            power = sharded_lombscargle(self.time[0], self.flux, dy, f0,
+                                        fs, Nf, mesh=mesh,
+                                        normalization=normalization)
+            gid, t_host = np.zeros(len(self), dtype=int), None
+        else:
+            gid, t_host = self._grid_groups()
         if gid.max() == 0:
-            power = lombscargle_fast(t0, self.flux, f0, fs, Nf, dy=dy,
-                                     normalization=normalization)
+            if not sharded:
+                power = lombscargle_fast(t0, self.flux, f0, fs, Nf, dy=dy,
+                                         normalization=normalization)
         else:
             power = np.zeros((len(self), Nf))
             for g in range(int(gid.max()) + 1):
@@ -281,21 +299,20 @@ class LightCurveStack:
             return sharded_bls(self.time, self.flux, dy, periods, durations,
                                oversample=oversample, objective=objective,
                                mesh=mesh)
-        if shared_time is None and method == "fast":
+        auto = shared_time is None
+        if auto and method == "fast":
             shared_time = bool(jnp.all(self.time == self.time[0:1]))
         if shared_time and method == "fast":
             return bls_power_shared_batch(
                 self.time[0], self.flux, dy, periods, durations,
                 oversample=oversample, objective=objective)
-        if method == "fast":
+        if method == "fast" and auto:
             # mixed time grids: real collections hold a few DISTINCT grids
             # (one per sector/quarter) — group rows by grid and run the
-            # MXU-matmul kernel per group instead of per-curve folding
-            t_host = np.asarray(self.time)
-            _, gid = np.unique(
-                np.ascontiguousarray(t_host).view(
-                    [("", t_host.dtype)] * t_host.shape[1]).ravel(),
-                return_inverse=True)
+            # MXU-matmul kernel per group instead of per-curve folding.
+            # An EXPLICIT shared_time=False opts out of the binned shared
+            # kernel entirely and takes the per-curve fold below.
+            gid, t_host = self._grid_groups()
             if gid.max() + 1 < len(self):            # fewer grids than rows
                 out = None
                 for g in range(int(gid.max()) + 1):

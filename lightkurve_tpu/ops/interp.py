@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["interp_linear_extrap", "pchip_interpolate", "pchip_slopes"]
+__all__ = ["interp_linear_extrap", "interp_linear_ranked",
+           "pchip_interpolate", "pchip_slopes"]
 
 
 def interp_linear_extrap(x, xp, fp, n_valid=None):

@@ -51,6 +51,14 @@ def savgol_filter_interp(x, H, seg_lo=None, seg_hi=None):
         garbage for their samples — callers must overwrite them (the
         reference uses the segment median, ``lightcurve.py:1035-1038``).
 
+    Notes
+    -----
+    Non-finite and out-of-segment samples are treated as the in-segment
+    mean for the matmul (exact for every valid output, whose anchored
+    window never touches them).  Direct callers must therefore remove or
+    segment-bound NaNs themselves — a window CONTAINING a NaN does not
+    propagate NaN here, unlike ``scipy.signal.savgol_filter``.
+
     Returns
     -------
     trend : same shape as ``x``.
@@ -82,12 +90,17 @@ def savgol_filter_interp(x, H, seg_lo=None, seg_hi=None):
     # x keeps the matmul's bf16 input rounding (TPU DEFAULT precision)
     # relative to the signal and is undone exactly on return.
     # the contraction multiplies out-of-window neighbors by 0, and invalid
-    # (NaN) samples may sit within w-1 positions of a segment — zero them
-    # (valid outputs' windows never include them, so this is exact)
-    finite = jnp.isfinite(x)
-    x0 = jnp.where(finite, x, 0.0)
+    # (NaN or out-of-segment) samples may sit within w-1 positions of a
+    # segment — zero them (a valid output's anchored window always lies
+    # inside its own [seg_lo, seg_hi), so this is exact).  The mean shift
+    # must likewise use only IN-SEGMENT samples: padded stacks zero-fill
+    # up to 50% of a row, and a mean dragged toward 0 by padding leaves
+    # xc ~ O(1) for real samples, forfeiting the bf16 input-rounding
+    # protection the shift exists for (TPU DEFAULT matmul precision).
+    in_seg = (idx >= seg_lo) & (idx < seg_hi) & jnp.isfinite(x)
+    x0 = jnp.where(in_seg, x, 0.0)
     mu = (jnp.sum(x0, axis=-1, keepdims=True)
-          / jnp.maximum(jnp.sum(finite, axis=-1, keepdims=True), 1))
+          / jnp.maximum(jnp.sum(in_seg, axis=-1, keepdims=True), 1))
     xc = x0 - mu
     pad = [(0, 0)] * (x.ndim - 1) + [(w - 1, w - 1)]
     xp = jnp.pad(xc, pad)

@@ -355,3 +355,27 @@ def test_tpfstack_pld_with_nan_pixels(rng):
     flux = np.asarray(corrected.flux)
     mask = np.asarray(corrected.mask)
     assert np.isfinite(flux[mask]).all()
+
+
+def test_bls_search_explicit_shared_time_false(rng):
+    """An explicit shared_time=False must take the exact per-curve
+    kernel even when rows share grids (review finding: the grouped
+    binned kernel silently overrode the opt-out)."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.batch import LightCurveStack
+    n = 256
+    t = np.arange(n) * 0.02
+    flux = 1 + 0.001 * rng.standard_normal((3, n))
+    stack = LightCurveStack(
+        time=jnp.broadcast_to(jnp.asarray(t), (3, n)),
+        flux=jnp.asarray(flux),
+        flux_err=jnp.full((3, n), 1e-3),
+        mask=jnp.ones((3, n), bool))
+    periods = np.linspace(0.8, 1.6, 16)
+    durations = np.array([0.1])
+    out_false = stack.bls_search(periods, durations, shared_time=False)
+    out_auto = stack.bls_search(periods, durations)
+    # the exact kernel evaluates un-binned windows: both recover a
+    # result dict of the same shape, computed via different kernels
+    assert np.asarray(out_false["power"]).shape == \
+        np.asarray(out_auto["power"]).shape

@@ -108,3 +108,34 @@ def test_flatten_with_padding(rng):
     vp = np.concatenate([_initial_mask(f), np.zeros(pad, dtype=bool)])
     trend_pad, _ = _run_flatten(tp, fp, vp)
     np.testing.assert_allclose(trend_pad[:n], trend_ref, rtol=1e-8)
+
+
+def test_savgol_padding_does_not_shift_trend():
+    """Padded (zero-filled, out-of-segment) tail samples must not
+    perturb the in-segment trend: the mean-shift must be computed over
+    in-segment samples only (review finding: a padding-dragged mean
+    forfeits the bf16 rounding protection on TPU)."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.savgol import savgol_design_matrix, \
+        savgol_filter_interp
+    rng = np.random.default_rng(0)
+    n_valid, n_pad = 300, 212
+    x_valid = 1 + 0.001 * rng.standard_normal(n_valid)
+    H = jnp.asarray(savgol_design_matrix(31, 2))
+
+    ref = np.asarray(savgol_filter_interp(
+        jnp.asarray(x_valid),
+        H,
+        jnp.zeros(n_valid, dtype=jnp.int32),
+        jnp.full(n_valid, n_valid, dtype=jnp.int32)))
+
+    x_padded = np.concatenate([x_valid, np.zeros(n_pad)])
+    n = n_valid + n_pad
+    padded = np.asarray(savgol_filter_interp(
+        jnp.asarray(x_padded),
+        H,
+        jnp.where(jnp.arange(n) < n_valid, 0, jnp.arange(n)).astype(
+            jnp.int32),
+        jnp.where(jnp.arange(n) < n_valid, n_valid,
+                  jnp.arange(n)).astype(jnp.int32)))
+    np.testing.assert_allclose(padded[:n_valid], ref, rtol=1e-10)

@@ -14,6 +14,7 @@ backend and checks MAGNITUDES, not just argmax positions:
 
 Exit code 0 = all checks pass.  Each check prints one line.
 """
+import os
 import sys
 import time
 
@@ -92,7 +93,7 @@ def main():
     check("corrector.solve", resid < 4e-4, f"residual={resid:.2e}")
 
     # --- pixel layer ---
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
     from synthetic import make_synthetic_tpf
     tpf = make_synthetic_tpf(n_cadences=32, seed=1)
     lc5 = tpf.to_lightcurve(aperture_mask="threshold")
