@@ -60,6 +60,7 @@ _LAZY = {
     "search_tesscut": ".search",
     "SearchResult": ".search",
     "LightCurveStack": ".batch",
+    "StreamingStackLoader": ".io.pipeline",
     "TPFStack": ".batch",
     "Corrector": ".correctors",
     "SparseDesignMatrix": ".correctors",

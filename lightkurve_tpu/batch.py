@@ -294,11 +294,18 @@ class LightCurveStack:
         durations = jnp.asarray(durations, self.flux.dtype)
         dy = jnp.where(self.mask, self.flux_err,
                        jnp.asarray(np.inf, self.flux.dtype))
+        if method not in ("fast", "exact"):
+            from .utils import validate_method
+            validate_method(method, ["fast", "exact"])
         if sharded:
             from .parallel import sharded_bls
+            # forward the caller's kernel choices; an explicit
+            # method='exact' disables the shared-time MXU path
             return sharded_bls(self.time, self.flux, dy, periods, durations,
                                oversample=oversample, objective=objective,
-                               mesh=mesh)
+                               mesh=mesh,
+                               shared_time=(False if method == "exact"
+                                            else shared_time))
         auto = shared_time is None
         if auto and method == "fast":
             shared_time = bool(jnp.all(self.time == self.time[0:1]))

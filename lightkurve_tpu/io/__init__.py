@@ -21,7 +21,7 @@ __all__ = [
     "Header", "HDU", "PrimaryHDU", "ImageHDU", "BinTableHDU", "HDUList",
     "open_fits", "write_fits", "detect_filetype", "read", "open",
     "read_lc_collection", "read_tpf_collection", "read_generic_lightcurve",
-    "lightcurve_to_fits",
+    "lightcurve_to_fits", "StreamingStackLoader",
     "read_kepler_lightcurve", "read_tess_lightcurve", "read_qlp_lightcurve",
     "read_k2sff_lightcurve", "read_everest_lightcurve",
     "read_cdips_lightcurve", "read_pathos_lightcurve",

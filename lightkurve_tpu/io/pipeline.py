@@ -17,10 +17,13 @@ once for the whole stream.
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 
 import numpy as np
+
+from ..utils import LightkurveError
 
 __all__ = ["StreamingStackLoader", "assemble_host_stack"]
 
@@ -61,11 +64,25 @@ def assemble_host_stack(t, f, fe, length=None):
     for i in range(t.shape[0]):
         good = np.where(mask[i])[0]
         if len(good) < 2:
-            t[i] = np.arange(t.shape[1], dtype=np.float64)
+            # keep any real sample's time; fabricate only the rest
+            fab = np.arange(t.shape[1], dtype=np.float64)
+            if len(good) == 1:
+                fab += t[i, good[0]] - good[0]
+            keep = np.isfinite(t[i]) & np.isfinite(f[i])
+            t[i] = np.where(keep, t[i], fab)
             continue
         dt = np.median(np.diff(t[i, good]))
-        bad = ~np.isfinite(t[i])
-        t[i, bad] = t[i, good[-1]] + dt * np.arange(1, bad.sum() + 1)
+        bad = np.nonzero(~np.isfinite(t[i]))[0]
+        # interior missing times interpolate between their finite
+        # neighbors; only the tail extrapolates — appending after-end
+        # values in place would break the documented monotonic invariant
+        tg = t[i, good]
+        interior = bad[bad < good[-1]]
+        tail = bad[bad >= good[-1]]
+        if interior.size:
+            t[i, interior] = np.interp(interior, good, tg)
+        if tail.size:
+            t[i, tail] = tg[-1] + dt * (tail - good[-1])
     f = np.nan_to_num(f)
     fe = np.where(np.isfinite(fe) & (fe > 0), fe, 1.0)
     return t, f, fe, mask
@@ -112,7 +129,17 @@ class StreamingStackLoader:
         from . import native
         tc, fc, fec = self.columns
         if native.available():
-            t, _ = native.read_batch(chunk, tc, nthreads=self.nthreads)
+            t, nrows = native.read_batch(chunk, tc, nthreads=self.nthreads)
+            # surface per-file failures (negative codes) instead of
+            # letting corrupt files flow through as all-masked rows —
+            # the pure-Python fallback raises on the same inputs
+            bad = np.nonzero(nrows < 0)[0]
+            if bad.size:
+                raise LightkurveError(
+                    "native FITS reader failed for "
+                    f"{[os.fspath(chunk[i]) for i in bad[:5]]} "
+                    f"(codes {nrows[bad[:5]].tolist()}); remove or "
+                    "exclude the corrupt files and retry")
             f, _ = native.read_batch(chunk, fc, stride=t.shape[1],
                                      nthreads=self.nthreads)
             try:

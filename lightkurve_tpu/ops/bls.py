@@ -708,7 +708,11 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
         # requires a concrete period grid; under tracing pass nbins in
         nbins = int(np.ceil(float(np.max(np.asarray(periods)))
                             / d_phase))
-    k_durs = tuple(int(max(round(d / d_phase), 1)) for d in durations_np)
+    # round-half-UP (+0.5 truncation) to match bls_power_binned's
+    # quantization exactly — Python round() banker's-rounds half-bin
+    # ties (e.g. 12.5 → 12 vs 13), splitting the kernels' parity
+    k_durs = tuple(int(max(int(d / d_phase + 0.5), 1))
+                   for d in durations_np)
 
     # hist_dtype='bfloat16' doubles MXU rate; weights are mean-normalized
     # so bf16 rounding costs ~0.4% per sample, averaging out over the

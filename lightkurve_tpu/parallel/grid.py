@@ -81,7 +81,16 @@ def sharded_bls(time, flux, dy, periods, durations, oversample=10,
         uniform_weights = (_detect_uniform_weights(dy)
                            if dy is None or isinstance(dy, np.ndarray)
                            else False)
-    time = _pad_to(time, B_pad, 0, 1.0)
+    # shared-time detection must run BEFORE padding: constant-filled
+    # padding rows would make the check false and silently drop the
+    # MXU fast path whenever B is not a multiple of the targets axis
+    if shared_time is None:
+        shared_time = bool(jnp.all(time == time[0:1]))
+    # pad time by REPEATING the first row so the padded array still
+    # satisfies the shared-time property the kernels rely on
+    time = jnp.concatenate(
+        [time, jnp.broadcast_to(time[0:1], (B_pad - B, N))], axis=0) \
+        if B_pad > B else time
     flux = _pad_to(flux, B_pad, 0, 0.0)
     dy = _pad_to(dy, B_pad, 0, np.inf)
     periods_p = _pad_to(periods, P_pad, 0, float(periods[-1]))
@@ -90,8 +99,6 @@ def sharded_bls(time, flux, dy, periods, durations, oversample=10,
     d_phase = float(np.min(np.asarray(durations))) / oversample
     nbins = int(np.ceil(float(np.max(np.asarray(periods))) / d_phase))
     t0_count = nbins + 1
-    if shared_time is None:
-        shared_time = bool(jnp.all(time == time[0:1]))
 
     def local(t, y, d, p):
         if shared_time:

@@ -125,11 +125,33 @@ def test_sharded_bls_matches_unsharded(rng):
                       jnp.asarray(periods), jnp.asarray(durations),
                       oversample=5, mesh=mesh, chunk=8)
     assert np.asarray(out["power"]).shape == (B, 37)
+    # shared grids engage the MXU shared-batch kernel even though B is
+    # not a multiple of the targets axis (padding repeats a real time
+    # row; the old constant-padding broke detection and silently fell
+    # back to the slow exact path — the review-fixed regression)
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
+    ref_shared = bls_power_shared_batch(
+        jnp.asarray(t), jnp.asarray(flux), np.asarray(dy),
+        jnp.asarray(periods), jnp.asarray(durations), oversample=5,
+        chunk=8)
+    np.testing.assert_allclose(np.asarray(out["power"]),
+                               np.asarray(ref_shared["power"]), rtol=1e-6)
+
+    # an explicit shared_time=False pins the exact-kernel path instead
+    out_exact = sharded_bls(jnp.asarray(np.broadcast_to(t, (B, n))),
+                            jnp.asarray(flux), jnp.asarray(dy),
+                            jnp.asarray(periods), jnp.asarray(durations),
+                            oversample=5, mesh=mesh, chunk=8,
+                            shared_time=False)
     ref = bls_power(jnp.asarray(t), jnp.asarray(flux[0]),
                     jnp.asarray(dy[0]), jnp.asarray(periods),
                     jnp.asarray(durations), oversample=5)
-    np.testing.assert_allclose(np.asarray(out["power"])[0],
+    np.testing.assert_allclose(np.asarray(out_exact["power"])[0],
                                np.asarray(ref["power"]), rtol=1e-6)
+    # both kernels recover the injected 2-day signal
+    for o in (out, out_exact):
+        ib = int(np.argmax(np.asarray(o["power"])[0]))
+        assert abs(periods[ib] - 2.0) < 0.1
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
