@@ -59,6 +59,16 @@ def main():
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_S)
     import jax
+    # persistent XLA compilation cache: the north-star/bench programs take
+    # 1-2 min to compile on the tunnel; production deployments (and
+    # repeated benchmark runs) load them from disk instead
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/lightkurve_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from lightkurve_tpu.ops.bls import bls_power_shared_batch
 

@@ -62,11 +62,21 @@ def main():
     os.makedirs(args.state_dir, exist_ok=True)
     manifest_path = os.path.join(args.state_dir, "manifest.json")
     manifest = {"batches_done": 0, "wall_s": 0.0, "recovered": 0,
-                "curves": 0}
+                "curves": 0, "batch_seconds": []}
     if os.path.exists(manifest_path):
         manifest = json.load(open(manifest_path))
 
     import jax
+    # persistent XLA compilation cache: the north-star/bench programs take
+    # 1-2 min to compile on the tunnel; production deployments (and
+    # repeated benchmark runs) load them from disk instead
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/lightkurve_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from lightkurve_tpu.batch import LightCurveStack
     from lightkurve_tpu.parallel.checkpoint import SweepRunner
@@ -108,6 +118,7 @@ def main():
         # count period harmonics/aliases as recoveries too? No — strict.
         manifest["batches_done"] += 1
         manifest["wall_s"] += dt_b
+        manifest.setdefault("batch_seconds", []).append(round(dt_b, 2))
         manifest["recovered"] += int(rec.sum())
         manifest["curves"] += BATCH
         json.dump(manifest, open(manifest_path, "w"))
@@ -129,6 +140,18 @@ def main():
                 (total_cp / wall) / (1e4 * 1e5 / 60.0 / 8.0), 5),
             "recovery_rate": round(manifest["recovered"]
                                    / manifest["curves"], 4),
+            # wall-clock includes the one-time XLA compile and any remote
+            # tunnel stalls; the steady-state median is the per-chip rate
+            # once the program is resident (what a production sweep runs at)
+            "batch_seconds_median": round(float(np.median(
+                manifest.get("batch_seconds", [0.0]))), 2),
+            "steady_state_evals_per_sec_per_chip": round(
+                BATCH * P_GRID / float(np.median(
+                    manifest.get("batch_seconds", [1.0]))), 1),
+            "steady_state_vs_north_star": round(
+                BATCH * P_GRID / float(np.median(
+                    manifest.get("batch_seconds", [1.0])))
+                / (1e4 * 1e5 / 60.0 / 8.0), 5),
             "hbm": hbm_stats(),
             "device": str(jax.devices()[0]),
             "note": ("measured end-to-end via SweepRunner (method="
