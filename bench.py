@@ -47,17 +47,34 @@ def _watchdog(signum, frame):
                             "(device unreachable or compile hang; the "
                             "axon tunnel is known to wedge for 0.5-2h)",
                    "last_measured": {
-                       "value": 5704779.5, "vs_baseline": 2.73829,
-                       "date": "2026-08-16",
+                       "value": 5806571.8, "vs_baseline": 2.78715,
+                       "date": "2026-08-17",
                        "device": "TPU v5 lite0",
                        "config": {"B": 512, "N": 8192, "P": 4096}}}}))
     sys.stdout.flush()
     os._exit(2)
 
 
+def _thread_watchdog():
+    """Backup watchdog on a daemon thread: SIGALRM handlers only run on
+    the main thread between Python bytecodes, so a device RPC wedged
+    inside a C call can block the signal path forever.  The thread wakes
+    independently (the GIL is released during device calls) and emits
+    the failure/partial line."""
+    import threading
+
+    def fire():
+        _watchdog(None, None)
+
+    t = threading.Timer(WATCHDOG_S + 10, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_S)
+    _thread_watchdog()
     import jax
     # persistent XLA compilation cache: the north-star/bench programs take
     # 1-2 min to compile on the tunnel; production deployments (and
