@@ -26,6 +26,7 @@ WATCHDOG_S = int(os.environ.get("LK_BENCH_TIMEOUT", 540))
 
 
 _measured = None
+_deadline = [None]   # wall-clock time after which the thread watchdog fires
 
 
 def _watchdog(signum, frame):
@@ -59,15 +60,23 @@ def _thread_watchdog():
     """Backup watchdog on a daemon thread: SIGALRM handlers only run on
     the main thread between Python bytecodes, so a device RPC wedged
     inside a C call can block the signal path forever.  The thread wakes
-    independently (the GIL is released during device calls) and emits
-    the failure/partial line."""
+    independently (the GIL is released during device calls), polls the
+    shared deadline (which main() extends when the primary metric lands),
+    and emits the failure/partial line if it passes."""
     import threading
 
-    def fire():
-        _watchdog(None, None)
+    _deadline[0] = _time.time() + WATCHDOG_S + 10
 
-    t = threading.Timer(WATCHDOG_S + 10, fire)
-    t.daemon = True
+    def poll():
+        while True:
+            _time.sleep(5)
+            dl = _deadline[0]
+            if dl is None:          # disarmed: bench finished
+                return
+            if _time.time() >= dl:
+                _watchdog(None, None)
+
+    t = threading.Thread(target=poll, daemon=True)
     t.start()
 
 
@@ -76,16 +85,8 @@ def main():
     signal.alarm(WATCHDOG_S)
     _thread_watchdog()
     import jax
-    # persistent XLA compilation cache: the north-star/bench programs take
-    # 1-2 min to compile on the tunnel; production deployments (and
-    # repeated benchmark runs) load them from disk instead
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/lightkurve_tpu_xla"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from lightkurve_tpu.config import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
     from lightkurve_tpu.ops.bls import bls_power_shared_batch
 
@@ -157,7 +158,9 @@ def main():
                        companion_error="watchdog fired during companion "
                                        "benchmarks"),
     }
-    signal.alarm(max(WATCHDOG_S // 2, 120))
+    extra = max(WATCHDOG_S // 2, 120)
+    signal.alarm(extra)
+    _deadline[0] = _time.time() + extra + 10
 
     # companion kernel rates (best-effort; failures never break the
     # primary metric)
@@ -221,6 +224,8 @@ def main():
     except Exception as exc:   # pragma: no cover
         detail["ls_error"] = str(exc)[:120]
 
+    _deadline[0] = None      # disarm the thread watchdog
+    signal.alarm(0)
     print(json.dumps({
         "metric": "bls_curve_period_evals_per_sec_per_chip",
         "value": round(rate, 1),

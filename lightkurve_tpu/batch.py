@@ -211,13 +211,16 @@ class LightCurveStack:
                               **kwargs)
         return self._replace(mask=self.mask & ~out)
 
-    def _grid_groups(self):
+    def _grid_groups(self, shared=None):
         """Group rows by identical time grids.  Returns (gid, t_host):
         ``gid`` row → group index; ``t_host`` is None when all rows share
         one grid (the common case, detected with a cheap device-side
-        check so no (B, N) host pull happens)."""
+        check so no (B, N) host pull happens).  Pass ``shared`` when the
+        all-equal check has already been evaluated."""
         import jax.numpy as jnp
-        if bool(jnp.all(self.time == self.time[0:1])):
+        if shared is None:
+            shared = bool(jnp.all(self.time == self.time[0:1]))
+        if shared:
             return np.zeros(len(self), dtype=int), None
         t_host = np.asarray(self.time)
         _, gid = np.unique(t_host, axis=0, return_inverse=True)
@@ -249,6 +252,12 @@ class LightCurveStack:
         dy = jnp.where(self.mask, self.flux_err,
                        jnp.asarray(np.inf, self.flux.dtype))
         if sharded:
+            import jax.numpy as _jnp
+            if not bool(_jnp.all(self.time == self.time[0:1])):
+                raise ValueError(
+                    "sharded=True requires all curves to share one time "
+                    "grid; group mixed-grid stacks first (the default "
+                    "unsharded path does this automatically)")
             from .parallel import sharded_lombscargle
             power = sharded_lombscargle(self.time[0], self.flux, dy, f0,
                                         fs, Nf, mesh=mesh,
@@ -294,9 +303,8 @@ class LightCurveStack:
         durations = jnp.asarray(durations, self.flux.dtype)
         dy = jnp.where(self.mask, self.flux_err,
                        jnp.asarray(np.inf, self.flux.dtype))
-        if method not in ("fast", "exact"):
-            from .utils import validate_method
-            validate_method(method, ["fast", "exact"])
+        from .utils import validate_method
+        method = validate_method(method, ["fast", "exact"])
         if sharded:
             from .parallel import sharded_bls
             # forward the caller's kernel choices; an explicit
@@ -319,7 +327,7 @@ class LightCurveStack:
             # MXU-matmul kernel per group instead of per-curve folding.
             # An EXPLICIT shared_time=False opts out of the binned shared
             # kernel entirely and takes the per-curve fold below.
-            gid, t_host = self._grid_groups()
+            gid, t_host = self._grid_groups(shared=False)
             if gid.max() + 1 < len(self):            # fewer grids than rows
                 out = None
                 for g in range(int(gid.max()) + 1):

@@ -12,7 +12,8 @@ import configparser
 import os
 import warnings
 
-__all__ = ["conf", "get_cache_dir", "get_config_dir"]
+__all__ = ["conf", "get_cache_dir", "get_config_dir",
+           "enable_persistent_compile_cache"]
 
 
 class Conf:
@@ -134,3 +135,24 @@ def get_cache_dir():
 
 
 conf = Conf()
+
+
+def enable_persistent_compile_cache(cache_dir=None):
+    """Point JAX's persistent XLA compilation cache at a per-user dir.
+
+    The flagship BLS programs take 1-2 minutes to compile through the
+    remote tunnel; production deployments (and repeated benchmark runs)
+    load them from disk instead.  Call before the first jitted execution.
+    """
+    import jax
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "lightkurve_tpu_xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:   # older jax without these flags
+        pass

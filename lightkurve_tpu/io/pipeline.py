@@ -77,8 +77,13 @@ def assemble_host_stack(t, f, fe, length=None):
         # neighbors; only the tail extrapolates — appending after-end
         # values in place would break the documented monotonic invariant
         tg = t[i, good]
-        interior = bad[bad < good[-1]]
+        head = bad[bad < good[0]]
+        interior = bad[(bad > good[0]) & (bad < good[-1])]
         tail = bad[bad >= good[-1]]
+        if head.size:
+            # leading gaps extrapolate BACKWARD (np.interp would clamp
+            # them all to tg[0], duplicating times at the row head)
+            t[i, head] = tg[0] - dt * (good[0] - head)
         if interior.size:
             t[i, interior] = np.interp(interior, good, tg)
         if tail.size:
@@ -140,11 +145,20 @@ class StreamingStackLoader:
                     f"{[os.fspath(chunk[i]) for i in bad[:5]]} "
                     f"(codes {nrows[bad[:5]].tolist()}); remove or "
                     "exclude the corrupt files and retry")
-            f, _ = native.read_batch(chunk, fc, stride=t.shape[1],
-                                     nthreads=self.nthreads)
+            f, nrows_f = native.read_batch(chunk, fc, stride=t.shape[1],
+                                           nthreads=self.nthreads)
+            bad = np.nonzero(nrows_f < 0)[0]
+            if bad.size:
+                raise LightkurveError(
+                    f"native FITS reader failed to read column {fc!r} "
+                    f"from {[os.fspath(chunk[i]) for i in bad[:5]]} "
+                    f"(codes {nrows_f[bad[:5]].tolist()})")
             try:
-                fe, _ = native.read_batch(chunk, fec, stride=t.shape[1],
-                                          nthreads=self.nthreads)
+                fe, nrows_fe = native.read_batch(chunk, fec,
+                                                 stride=t.shape[1],
+                                                 nthreads=self.nthreads)
+                if np.any(nrows_fe < 0):
+                    fe = None        # optional column: fall back to None
             except Exception:
                 fe = None
         else:

@@ -42,6 +42,20 @@ def make_batch(ib):
     return t, flux, p_inj
 
 
+def _steady_state_fields(manifest):
+    secs = [x for x in manifest.get("batch_seconds", []) if x and x > 0]
+    if not secs:
+        return {"batch_seconds_median": None,
+                "steady_state_evals_per_sec_per_chip": None,
+                "steady_state_vs_north_star": None}
+    med = float(np.median(secs))
+    rate = BATCH * P_GRID / med
+    return {"batch_seconds_median": round(med, 2),
+            "steady_state_evals_per_sec_per_chip": round(rate, 1),
+            "steady_state_vs_north_star": round(
+                rate / (1e4 * 1e5 / 60.0 / 8.0), 5)}
+
+
 def hbm_stats():
     import jax
     try:
@@ -67,16 +81,8 @@ def main():
         manifest = json.load(open(manifest_path))
 
     import jax
-    # persistent XLA compilation cache: the north-star/bench programs take
-    # 1-2 min to compile on the tunnel; production deployments (and
-    # repeated benchmark runs) load them from disk instead
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/lightkurve_tpu_xla"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from lightkurve_tpu.config import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
     from lightkurve_tpu.batch import LightCurveStack
     from lightkurve_tpu.parallel.checkpoint import SweepRunner
@@ -104,6 +110,7 @@ def main():
         ckpt = os.path.join(args.state_dir, f"batch{ib:03d}.npz")
         runner = SweepRunner(stack, periods, DURATIONS, ckpt,
                              chunk_periods=CHUNK_PERIODS, method="shared")
+        resumed_mid_batch = runner.next_chunk > 0
         tb = _time.time()
         best = None
         while not runner.done:
@@ -118,7 +125,10 @@ def main():
         # count period harmonics/aliases as recoveries too? No — strict.
         manifest["batches_done"] += 1
         manifest["wall_s"] += dt_b
-        manifest.setdefault("batch_seconds", []).append(round(dt_b, 2))
+        if not resumed_mid_batch:
+            # resumed batches only time their REMAINING chunks; including
+            # them would bias the steady-state median low
+            manifest.setdefault("batch_seconds", []).append(round(dt_b, 2))
         manifest["recovered"] += int(rec.sum())
         manifest["curves"] += BATCH
         json.dump(manifest, open(manifest_path, "w"))
@@ -142,16 +152,10 @@ def main():
                                    / manifest["curves"], 4),
             # wall-clock includes the one-time XLA compile and any remote
             # tunnel stalls; the steady-state median is the per-chip rate
-            # once the program is resident (what a production sweep runs at)
-            "batch_seconds_median": round(float(np.median(
-                manifest.get("batch_seconds", [0.0]))), 2),
-            "steady_state_evals_per_sec_per_chip": round(
-                BATCH * P_GRID / float(np.median(
-                    manifest.get("batch_seconds", [1.0]))), 1),
-            "steady_state_vs_north_star": round(
-                BATCH * P_GRID / float(np.median(
-                    manifest.get("batch_seconds", [1.0])))
-                / (1e4 * 1e5 / 60.0 / 8.0), 5),
+            # once the program is resident (what a production sweep runs
+            # at).  Only COMPLETE (non-resumed) batches contribute; a
+            # pre-existing manifest without timings yields None fields.
+            **_steady_state_fields(manifest),
             "hbm": hbm_stats(),
             "device": str(jax.devices()[0]),
             "note": ("measured end-to-end via SweepRunner (method="
