@@ -138,11 +138,17 @@ class Periodogram:
             out = self.copy()
             out.power = Quantity(smooth_power, self.power.unit)
             return out
-        # logmedian
-        if isinstance(filter_width, Quantity) and filter_width.unit.bases:
+        # logmedian: filter_width is a plain number of dex — ANY Quantity
+        # is rejected like the reference (a 'dimensionless' ppm/percent
+        # Quantity would have its scale silently dropped)
+        if isinstance(filter_width, Quantity):
             raise ValueError("the 'logmedian' method requires a "
                              "dimensionless value for `filter_width` in "
                              "log10(frequency) space.")
+        filter_width = float(filter_width)
+        if filter_width <= 0.0:
+            raise ValueError("the `filter_width` parameter must be "
+                             "larger than 0 for the 'logmedian' method.")
         fv = self.frequency.value
         pv = self.power.value
         count = np.zeros(len(fv), dtype=int)
@@ -192,6 +198,15 @@ class Periodogram:
         out = self.copy()
         out.frequency = self.frequency[key]
         out.power = self.power[key]
+        # per-period companion arrays (BLS duration/depth/transit_time/…)
+        # must slice alongside power, or *_at_max_power on a sliced
+        # periodogram would index the wrong rows
+        for name in ("duration", "depth", "depth_err", "snr",
+                     "transit_time", "log_likelihood"):
+            val = getattr(out, name, None)
+            if val is not None and np.ndim(val) == 1 and \
+                    len(val) == len(self.power):
+                setattr(out, name, val[key])
         return out
 
     def __len__(self):
@@ -342,6 +357,16 @@ class LombScarglePeriodogram(Periodogram):
                 else:
                     maximum_frequency = val
 
+        if kwargs:
+            raise TypeError(
+                "to_periodogram() got unexpected keyword argument(s): "
+                f"{sorted(kwargs)}")
+        ls_method = validate_method(
+            ls_method, ["fast", "slow", "chi2", "fastchi2", "fastnifty",
+                        "fastnifty_chi2", "auto"])
+        if ls_method == "auto":
+            ls_method = "fast"
+
         period_args = [period, minimum_period, maximum_period]
         freq_args = [frequency, minimum_frequency, maximum_frequency]
         default_view = "period" if not all(
@@ -362,12 +387,16 @@ class LombScarglePeriodogram(Periodogram):
         nyquist = Quantity(nyquist_d * to_unit, freq_unit)
         fs = Quantity(fs_d * to_unit, freq_unit)
 
+        # period inputs are in DAYS (raw) or explicit units; their
+        # reciprocals are 1/day and must be converted into freq_unit
+        # before mixing with frequency bounds (the psd default is uHz —
+        # leaving them in 1/day built grids off by the unit scale)
         if maximum_period is not None:
-            minimum_frequency = 1.0 / _qval(maximum_period)
+            minimum_frequency = (1.0 / _qval(maximum_period, "d")) * to_unit
         if minimum_period is not None:
-            maximum_frequency = 1.0 / _qval(minimum_period)
+            maximum_frequency = (1.0 / _qval(minimum_period, "d")) * to_unit
         if period is not None:
-            frequency = 1.0 / np.asarray(_qval(period))
+            frequency = (1.0 / np.asarray(_qval(period, "d"))) * to_unit
 
         if frequency is None:
             min_f = fs.value if minimum_frequency is None else \
@@ -456,7 +485,10 @@ class LombScarglePeriodogram(Periodogram):
         tv, fluxv = self._ls_data
         if frequency is None:
             frequency = self.frequency_at_max_power
-        f_d = _qval(frequency) / one_per_day.to(self.frequency.unit)
+        # convert Quantities to this periodogram's frequency unit first
+        # (raw floats are interpreted in that unit), THEN rescale to 1/day
+        f_d = _qval(frequency, self.frequency.unit) \
+            / one_per_day.to(self.frequency.unit)
         if time is None:
             time = tv
         t_eval = time.value if isinstance(time, Time) else np.asarray(time)
@@ -549,7 +581,10 @@ class BoxLeastSquaresPeriodogram(Periodogram):
         frequency_factor = kwargs.pop("frequency_factor", 10)
         baseline = np.max(tv) - np.min(tv)
         df = frequency_factor * np.min(duration) / baseline ** 2
-        npoints = int(((1 / minimum_period) - (1 / maximum_period)) / df)
+        # same expression autoperiod uses, so the guard counts the grid
+        # that will actually be built
+        npoints = 1 + int(np.round(
+            ((1 / minimum_period) - (1 / maximum_period)) / df))
         if npoints > 1e7:
             raise ValueError(
                 f"`period` contains {np.round(npoints, 4)} points."
@@ -572,6 +607,10 @@ class BoxLeastSquaresPeriodogram(Periodogram):
         # 'fast' = binned fold (astropy's default Cython algorithm family);
         # 'exact'/'slow' = the exact sorted-phase kernel
         method = kwargs.pop("method", "fast")
+        if kwargs:
+            raise TypeError(
+                "to_periodogram(method='bls') got unexpected keyword "
+                f"argument(s): {sorted(kwargs)}")
         kernel = bls_power_binned if method == "fast" else bls_power
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         result = kernel(jnp.asarray(tv, dtype),
@@ -615,8 +654,11 @@ class BoxLeastSquaresPeriodogram(Periodogram):
                         "max power")
         if isinstance(transit_time, Time):
             transit_time = transit_time.to_value(self.time.format)
-        return (_qval(period), _qval(duration), float(np.atleast_1d(
-            np.asarray(transit_time, dtype=float))[0]))
+        # periods/durations are handled in days: convert explicit-unit
+        # Quantities (raw floats are interpreted as days)
+        return (_qval(period, "d"), _qval(duration, "d"),
+                float(np.atleast_1d(
+                    np.asarray(transit_time, dtype=float))[0]))
 
     def compute_stats(self, period=None, duration=None, transit_time=None):
         """Vetting statistics for a transit model.
@@ -779,7 +821,9 @@ def autoperiod(duration, baseline, minimum_period, maximum_period,
     df = frequency_factor * np.min(duration) / baseline ** 2
     max_frequency = 1.0 / minimum_period
     min_frequency = 1.0 / maximum_period
-    nf = int(np.ceil((max_frequency - min_frequency) / df))
+    # astropy: 1 + round(Δf/df) points, so the grid INCLUDES
+    # maximum_period when Δf is an exact multiple of df
+    nf = 1 + int(np.round((max_frequency - min_frequency) / df))
     return 1.0 / (max_frequency - df * np.arange(nf))
 
 

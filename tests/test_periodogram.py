@@ -141,7 +141,12 @@ def test_bls_from_lightcurve(rng):
     min_p_expected = max(np.median(np.diff(tv)) * 4,
                          0.33 + np.median(np.diff(tv)))
     assert pg.period.value.min() >= min_p_expected - 1e-6
-    assert pg.period.value.max() <= (tv.max() - tv.min()) / 3 + 1e-6
+    # astropy's autoperiod (1 + round(Δf/df) points) may overshoot
+    # maximum_period by up to half a frequency step when round() rounds
+    # up — allow one period-grid step of slack
+    max_p_expected = (tv.max() - tv.min()) / 3
+    grid_step = np.diff(pg.period.value)[-1]
+    assert pg.period.value.max() <= max_p_expected + grid_step + 1e-6
     # model & mask & stats
     model = pg.get_transit_model()
     assert len(model) == len(lc)
@@ -477,3 +482,68 @@ def test_ls_method_uneven_freq_grid(ls_method, nterms, expected_period,
                       atol=0.05)
     assert pg.nterms == nterms
     assert pg.ls_method == downgraded
+
+
+def test_ls_period_bounds_with_psd_units(rng):
+    """Review finding: period bounds must convert into the psd default
+    frequency unit (uHz); leaving them in 1/day built grids off by the
+    unit scale."""
+    t = np.linspace(0, 30, 2000)
+    f = 1 + 0.01 * np.sin(2 * np.pi * t / 2.5) \
+        + 0.001 * rng.standard_normal(2000)
+    lc = LightCurve(time=t, flux=f)
+    pg = lc.to_periodogram(normalization="psd", minimum_period=1.0,
+                           maximum_period=5.0)
+    p = 1.0 / pg.frequency.to("1/d").value
+    assert p.min() >= 1.0 - 1e-6
+    assert p.max() <= 5.0 + 1e-6
+    # the injected 2.5-day signal is recovered inside the bounds
+    assert abs(float((1.0 / pg.frequency_at_max_power.to("1/d")).value)
+               - 2.5) < 0.2
+
+
+def test_smooth_logmedian_validation():
+    """Review finding: zero/negative filter_width hung forever; scaled
+    dimensionless Quantities silently dropped their scale."""
+    t = np.linspace(0, 30, 500)
+    lc = LightCurve(time=t, flux=1 + 0.01 * np.sin(2 * np.pi * t / 2.5))
+    pg = lc.to_periodogram()
+    with pytest.raises(ValueError, match="larger than 0"):
+        pg.smooth(method="logmedian", filter_width=0.0)
+    with pytest.raises(ValueError, match="larger than 0"):
+        pg.smooth(method="logmedian", filter_width=-1.0)
+    from lightkurve_tpu.units import ppm as _ppm
+    with pytest.raises(ValueError, match="dimensionless"):
+        pg.smooth(method="logmedian", filter_width=Quantity(0.4, _ppm))
+
+
+def test_bls_slicing_keeps_companion_arrays(rng):
+    """Review finding: slicing a BLS periodogram must slice the
+    per-period duration/depth/transit_time arrays too."""
+    t = np.arange(0, 30, 0.02)
+    f = np.ones_like(t)
+    ph = np.mod(t - 1.0 + 1.5, 3.0) - 1.5
+    f[np.abs(ph) < 0.1] -= 0.01
+    lc = LightCurve(time=t, flux=f + 0.001 * rng.standard_normal(len(t)))
+    pg = lc.to_periodogram(method="bls",
+                           period=np.linspace(2.0, 4.0, 200),
+                           duration=[0.2])
+    sub = pg[50:150]
+    i = int(np.nanargmax(np.asarray(sub.power.value)))
+    assert len(np.asarray(sub.duration)) == len(sub.power.value)
+    # the companion value at the sliced argmax equals the full-array
+    # value at the corresponding unsliced index
+    np.testing.assert_allclose(
+        np.asarray(sub.transit_time)[i],
+        np.asarray(pg.transit_time)[50 + i])
+
+
+def test_unknown_kwargs_and_methods_raise(rng):
+    t = np.linspace(0, 30, 1000)
+    lc = LightCurve(time=t, flux=1 + 0.01 * np.sin(2 * np.pi * t / 2.5))
+    with pytest.raises(TypeError, match="unexpected keyword"):
+        lc.to_periodogram(oversample_facto=10)
+    with pytest.raises(TypeError, match="unexpected keyword"):
+        lc.to_periodogram(method="bls", frequecy_factor=100)
+    with pytest.raises(ValueError):
+        lc.to_periodogram(ls_method="fastt")
