@@ -28,8 +28,25 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["lombscargle_direct", "lombscargle_fast", "extirpolate",
-           "trig_sum", "fast_precompute"]
+__all__ = ["lombscargle_direct", "lombscargle_fast", "lombscargle_chi2",
+           "extirpolate", "extirpolate_batched", "trig_sum",
+           "fast_precompute"]
+
+
+def _shift_time_origin(fn):
+    """Subtract the (host, float64) time origin before tracing: JD-scale
+    absolute timestamps lose ~0.25 d of resolution in float32, turning
+    2*pi*f*t phases into noise.  GLS power is time-shift invariant, so
+    the shift is exact; only host numpy arrays are touched (device
+    arrays are assumed already origin-shifted by the caller)."""
+    from functools import wraps
+
+    @wraps(fn)
+    def wrapper(t, *args, **kwargs):
+        if isinstance(t, np.ndarray) and t.size:
+            t = t - t.min()
+        return fn(t, *args, **kwargs)
+    return wrapper
 
 
 def _true_f32(fn):
@@ -56,6 +73,7 @@ def _apply_normalization(power, YY, normalization, wsum):
     raise ValueError(f"Unknown normalization {normalization!r}")
 
 
+@_shift_time_origin
 @_true_f32
 @partial(jax.jit, static_argnames=("normalization", "fit_mean", "center_data",
                                    "chunk"))
@@ -123,6 +141,7 @@ def lombscargle_direct(t, y, freqs, dy=None, normalization="standard",
     return _apply_normalization(powers, YY[..., None], normalization, wsum)
 
 
+@_shift_time_origin
 @_true_f32
 @partial(jax.jit, static_argnames=("nterms", "normalization", "fit_mean",
                                    "center_data", "chunk"))
@@ -150,7 +169,7 @@ def lombscargle_chi2(t, y, freqs, dy=None, nterms=1, normalization="standard",
     pad = n_chunks * chunk - p
     fpad = jnp.pad(freqs, (0, pad), constant_values=1.0)
 
-    k = X_cols = 2 * nterms + (1 if fit_mean else 0)
+    k = 2 * nterms + (1 if fit_mean else 0)
 
     def one_freq(f):
         omega_t = 2 * jnp.pi * f * t                       # (n,)
@@ -265,6 +284,14 @@ def fast_precompute(t, f0, df, Nf, oversampling=5, Mfft=4):
     tnorm = ((t - t0) * Nfft * df) % Nfft
     xi = np.floor(tnorm)
     frac = tnorm - xi
+    # the device casts frac to float32: an f64 frac within 2^-25 of 1.0
+    # rounds to exactly 1.0 there, making the Lagrange factor (x - ind)
+    # for the neighboring grid point 0/0 = NaN, which the FFT then
+    # spreads to EVERY frequency.  Re-split such samples into the next
+    # bin while still in f64.
+    carry = frac.astype(np.float32) >= 1.0
+    xi = np.where(carry, (xi + 1) % Nfft, xi)
+    frac = np.where(carry, 0.0, frac)
     # unit-modulus phase corrections, split to (cos, sin) — the device path
     # is pure real arithmetic (no complex dtype support on the TPU tunnel)
     f = f0 + df * np.arange(Nf)

@@ -444,15 +444,19 @@ class LombScarglePeriodogram(Periodogram):
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         y = jnp.asarray(fluxv, dtype)
 
+        # shift the time origin in float64 BEFORE the device cast: JD-
+        # scale timestamps (~2.45e6) round to ~0.25 d in f32, corrupting
+        # the trig phases by O(10) rad (GLS power is shift-invariant)
+        tvs = tv - tv.min()
         if nterms > 1 or ls_method in ("fastchi2", "chi2"):
-            power = lombscargle_chi2(jnp.asarray(tv, dtype), y,
+            power = lombscargle_chi2(jnp.asarray(tvs, dtype), y,
                                      jnp.asarray(freq_d, dtype),
                                      nterms=nterms, normalization="psd")
         elif ls_method == "fast" and regular:
             f0, df, Nf = freq_d[0], freq_d[1] - freq_d[0], len(freq_d)
             power = lombscargle_fast(tv, y, f0, df, Nf, normalization="psd")
         else:
-            power = lombscargle_direct(jnp.asarray(tv, dtype), y,
+            power = lombscargle_direct(jnp.asarray(tvs, dtype), y,
                                        jnp.asarray(freq_d, dtype),
                                        normalization="psd")
         power = np.asarray(power, dtype=np.float64)

@@ -127,3 +127,47 @@ def test_fast_ls_custom_fft_backend_matches_native(rng):
     finally:
         conf.fft_backend = old
     np.testing.assert_allclose(p_custom, p_native, rtol=1e-9, atol=1e-12)
+
+
+def test_fast_frac_boundary_no_nan():
+    """Review finding (reproduced): an f64 grid offset within 2^-25 of
+    1.0 rounds to exactly 1.0 in the device's float32, making the
+    Lagrange extirpolation 0/0 = NaN which the FFT spreads to every
+    frequency.  The precompute must re-split such samples."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.lombscargle import (fast_precompute,
+                                                lombscargle_fast)
+    f0, df, Nf = 0.05, 0.01, 100
+    pre = fast_precompute(np.array([0.0, 1.0, 2.0]), f0, df, Nf)
+    Nfft = pre["Nfft"]
+    # craft a time whose tnorm frac is 1 - 2^-30 and embed it in a
+    # regular grid of ordinary samples
+    frac_target = 1.0 - 2.0 ** -30
+    t_bad = (5.0 + frac_target) / (Nfft * df)
+    t = np.sort(np.concatenate([np.arange(64) * 0.37, [t_bad]]))
+    # the crafted sample's frac must re-split rather than round to 1.0
+    pre_bad = fast_precompute(t, f0, df, Nf)
+    assert (pre_bad["frac"].astype(np.float32) < 1.0).all()
+    y = jnp.asarray(1 + 0.01 * np.sin(2 * np.pi * 0.4 * t),
+                    jnp.float32)
+    power = np.asarray(lombscargle_fast(t, y, f0, df, Nf))
+    assert np.isfinite(power).all()
+
+
+def test_direct_chi2_time_origin_invariance():
+    """Review finding (reproduced): JD-scale absolute timestamps lose
+    ~0.25 d of f32 resolution, corrupting the trig phases; the kernels
+    must shift the origin in float64 first."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.ops.lombscargle import (lombscargle_chi2,
+                                                lombscargle_direct)
+    rng = np.random.default_rng(0)
+    n = 800
+    t = np.arange(n) * 0.02
+    y = jnp.asarray(1 + 0.01 * np.sin(2 * np.pi * t / 2.5)
+                    + 0.001 * rng.standard_normal(n), jnp.float32)
+    freqs = jnp.asarray(np.linspace(0.1, 2.0, 200), jnp.float32)
+    for kernel in (lombscargle_direct, lombscargle_chi2):
+        p_local = np.asarray(kernel(t, y, freqs))
+        p_jd = np.asarray(kernel(t + 2457000.0, y, freqs))
+        np.testing.assert_allclose(p_jd, p_local, rtol=1e-3, atol=1e-4)
