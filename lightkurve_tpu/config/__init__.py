@@ -40,7 +40,9 @@ class Conf:
         self.default_dtype = "float32"
         self.bls_default_backend = "auto"
         # "auto" probes the backend; "custom" forces the split-real FFT
-        # (lightkurve_tpu.ops.fft); "native" forces jnp.fft.
+        # (lightkurve_tpu.ops.fft); "native" forces jnp.fft.  NOTE: the
+        # choice binds at jit TRACE time — changing it after kernels have
+        # compiled requires jax.clear_caches() to take effect.
         self.fft_backend = "auto"
         self._load()
 

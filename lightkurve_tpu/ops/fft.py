@@ -24,13 +24,6 @@ _BASE = 32  # matmul base-case size
 
 
 @lru_cache(maxsize=None)
-def _base_matrices(n_min, sign):
-    k = np.arange(n_min)
-    ang = sign * 2.0 * np.pi * k[:, None] * k[None, :] / n_min
-    return np.cos(ang), np.sin(ang)
-
-
-@lru_cache(maxsize=None)
 def _stage_factor(L, sign):
     ang = sign * np.pi * np.arange(L) / L
     return np.cos(ang)[:, None], np.sin(ang)[:, None]
@@ -48,7 +41,7 @@ def _fft_core(xr, xi, sign):
     # (..., n) -> (..., n_min, c): column j is the stride-c subsequence x[j::c]
     Xr = xr.reshape(xr.shape[:-1] + (n_min, c))
     Xi = xi.reshape(xi.shape[:-1] + (n_min, c))
-    Mr, Mi = _base_matrices(n_min, sign)
+    Mr, Mi = _dft_matrices(n_min, sign)
     Mr = jnp.asarray(Mr, dtype)
     Mi = jnp.asarray(Mi, dtype)
     # HIGHEST: TPU DEFAULT-precision matmuls truncate f32 inputs to bf16 on

@@ -114,18 +114,25 @@ def test_fast_ls_custom_fft_backend_matches_native(rng):
     t = np.sort(rng.uniform(0, 25, n))
     y = 1.0 + 1e-3 * np.sin(2 * np.pi * t / 1.9) + 1e-4 * rng.normal(size=n)
     dy = np.full(n, 1e-4)
+    import jax
     old = conf.fft_backend
     try:
+        # the backend choice is bound at TRACE time, so the jit caches
+        # must be cleared between flips or the second call would reuse
+        # the first trace and compare the native path against itself
         conf.fft_backend = "native"
+        jax.clear_caches()
         p_native = np.asarray(lombscargle_fast(t, jnp.asarray(y), 0.05,
                                                0.0005, Nf,
                                                dy=jnp.asarray(dy)))
         conf.fft_backend = "custom"
+        jax.clear_caches()
         p_custom = np.asarray(lombscargle_fast(t, jnp.asarray(y), 0.05,
                                                0.0005, Nf,
                                                dy=jnp.asarray(dy)))
     finally:
         conf.fft_backend = old
+        jax.clear_caches()
     np.testing.assert_allclose(p_custom, p_native, rtol=1e-9, atol=1e-12)
 
 
