@@ -208,6 +208,14 @@ class DesignMatrix:
                                   name=self.name, prior_mu=self.prior_mu,
                                   prior_sigma=self.prior_sigma)
 
+    def to_dense(self):
+        """Dense twin of :meth:`to_sparse` (reference
+        ``designmatrix.py:747-760``); on the dense base class the
+        reference warns and returns self unchanged."""
+        warnings.warn("`to_dense()` is only useful on `SparseDesignMatrix`.",
+                      LightkurveWarning)
+        return self
+
     def collect(self, matrix):
         return DesignMatrixCollection([self, matrix])
 
@@ -266,6 +274,14 @@ class SparseDesignMatrix(DesignMatrix):
         dm = self if inplace else self.copy()
         dm.values_ = ar
         return dm
+
+    def to_dense(self):
+        """Densify to a plain :class:`DesignMatrix` (reference
+        ``designmatrix.py:747-760``; our backing store is already dense,
+        so this only converts the type)."""
+        return DesignMatrix(self.values_, columns=self.columns,
+                            name=self.name, prior_mu=self.prior_mu,
+                            prior_sigma=self.prior_sigma)
 
     def __repr__(self):
         return f"{self.name} SparseDesignMatrix {self.shape}"

@@ -329,6 +329,59 @@ class LightCurve:
                       LightkurveDeprecationWarning)
         return self.flux
 
+    @property
+    def time_format(self):
+        """Deprecated v1.x accessor (reference ``lightcurve.py:702-707``):
+        warns and returns ``time.format``."""
+        warnings.warn("`time_format` is deprecated, use `time.format` "
+                      "instead.", LightkurveDeprecationWarning)
+        return self.time.format
+
+    @property
+    def time_scale(self):
+        """Deprecated v1.x accessor (reference ``lightcurve.py:709-714``):
+        warns and returns ``time.scale``."""
+        warnings.warn("`time_scale` is deprecated, use `time.scale` "
+                      "instead.", LightkurveDeprecationWarning)
+        return self.time.scale
+
+    @property
+    def flux_unit(self):
+        """Deprecated v1.x accessor (reference ``lightcurve.py:721-726``):
+        warns and returns ``flux.unit``."""
+        warnings.warn("`flux_unit` is deprecated, use `flux.unit` instead.",
+                      LightkurveDeprecationWarning)
+        return self.flux.unit
+
+    @property
+    def hdu(self):
+        """Deprecated v1.x accessor (reference ``lightcurve.py:733-740``):
+        warns and re-opens the file the curve was read from."""
+        warnings.warn("`hdu` is deprecated, use "
+                      "`fits.open(lc.filename)` instead.",
+                      LightkurveDeprecationWarning)
+        from .io.fits import fits_open
+        return fits_open(self.meta.get("FILENAME"))
+
+    @property
+    def header(self):
+        """Deprecated v1.x accessor: warns and returns the primary-header
+        meta mapping (the reference's ``hdu[0].header``)."""
+        warnings.warn("`header` is deprecated, use `meta` instead.",
+                      LightkurveDeprecationWarning)
+        return self.meta
+
+    @staticmethod
+    def from_timeseries(ts):
+        """Create a LightCurve from a time-series table object holding
+        'time', 'flux' and 'flux_err' columns (reference
+        ``lightcurve.py:2367-2379``; accepts astropy TimeSeries when
+        astropy is installed, or any mapping of columns)."""
+        time = ts["time"]
+        time = getattr(time, "value", time)
+        return LightCurve(time=np.asarray(time), flux=ts["flux"],
+                          flux_err=ts["flux_err"])
+
     def show_properties(self):
         """Print a description of the meta keywords
         (reference ``lightcurve.py`` show_properties)."""
@@ -886,9 +939,15 @@ class LightCurve:
         elif bins is not None:
             if isinstance(bins, str):
                 if bins in ("blocks", "knuth", "scott", "freedman"):
-                    raise NotImplementedError(
-                        f"automatic binning method {bins!r} is not "
-                        "supported")
+                    # automatic bin-edge rule over the time values
+                    # (reference lightcurve.py:1670-1677 via astropy's
+                    # calculate_bin_edges; the rules are shift-invariant,
+                    # so native time values ≡ the reference's mjd)
+                    from .utils import calculate_bin_edges
+                    edges = calculate_bin_edges(tv, bins)
+                    return self._bin_by_times(edges[:-1], edges[1:],
+                                              aggregate_func,
+                                              close_last=True)
                 raise TypeError("``bins`` must have integer type.")
             if np.size(bins) == 1:
                 if not isinstance(bins, (int, np.integer)):

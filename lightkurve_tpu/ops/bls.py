@@ -441,6 +441,29 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
             for k, v in out.items()}
 
 
+def _uniform_stats_rescale(best, n_in_b, c_b, n_total, use_likelihood):
+    """Convert the count-based winner stats of a uniform-weights scan to
+    weighted statistics via the per-curve scalar weight ``c_b`` (1/dy²;
+    0 for all-inf batch-padding rows, which must sort last)."""
+    n_out_b = n_total - n_in_b
+    err_n = jnp.sqrt(1.0 / n_in_b + 1.0 / n_out_b)
+    sqrt_c = jnp.sqrt(c_b)[None, :]                  # (1, B)
+    best["depth_err"] = err_n / sqrt_c
+    best["depth_snr"] = best["depth"] / err_n * sqrt_c
+    best["log_likelihood"] = (0.5 * n_in_b * best["depth"] ** 2
+                              * c_b[None, :])
+    best["power"] = (best["log_likelihood"] if use_likelihood
+                     else best["depth_snr"])
+    # zero-weight rows (all-inf dy batch padding, c_b = 0) must sort
+    # LAST like the general kernel's -inf, not report power 0
+    padded = (c_b == 0.0)[None, :]                   # (1, B)
+    best["power"] = jnp.where(padded, -jnp.inf, best["power"])
+    best["depth_snr"] = jnp.where(padded, -jnp.inf, best["depth_snr"])
+    best["log_likelihood"] = jnp.where(padded, -jnp.inf,
+                                       best["log_likelihood"])
+    return best
+
+
 @partial(jax.jit, static_argnames=("k_durs", "dur_values", "d_phase",
                                    "nbins", "use_likelihood", "chunk",
                                    "hist_dtype", "window_impl", "wrap",
@@ -575,23 +598,8 @@ def _bls_shared_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
             n_in_b = best.pop("w_in")
 
         # count-based stats → weighted stats via the per-curve scalar c_b
-        n_out_b = n_total - n_in_b
-        err_n = jnp.sqrt(1.0 / n_in_b + 1.0 / n_out_b)
-        sqrt_c = jnp.sqrt(c_b)[None, :]                  # (1, B)
-        best["depth_err"] = err_n / sqrt_c
-        best["depth_snr"] = best["depth"] / err_n * sqrt_c
-        best["log_likelihood"] = (0.5 * n_in_b * best["depth"] ** 2
-                                  * c_b[None, :])
-        best["power"] = (best["log_likelihood"] if use_likelihood
-                         else best["depth_snr"])
-        # zero-weight rows (all-inf dy batch padding, c_b = 0) must sort
-        # LAST like the general kernel's -inf, not report power 0
-        padded = (c_b == 0.0)[None, :]                   # (1, B)
-        best["power"] = jnp.where(padded, -jnp.inf, best["power"])
-        best["depth_snr"] = jnp.where(padded, -jnp.inf, best["depth_snr"])
-        best["log_likelihood"] = jnp.where(padded, -jnp.inf,
-                                           best["log_likelihood"])
-        return best                                    # dict of (C, B)
+        return _uniform_stats_rescale(best, n_in_b, c_b, n_total,
+                                      use_likelihood)   # dict of (C, B)
 
     p = periods.shape[0]
     n_chunks = -(-p // chunk)
@@ -640,7 +648,7 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                            objective="likelihood", chunk=16, nbins=None,
                            d_phase=None, hist_dtype=None, bucket=False,
                            window_impl=None, edge_mode="wrap",
-                           uniform_weights=None):
+                           uniform_weights=None, fold_impl=None):
     """Batched BLS for curves sharing ONE time grid.
 
     Parameters
@@ -741,11 +749,31 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
         # inside the scan, so no w_scale bookkeeping applies.  The bucket
         # pipeline is general-path only (it is default-off and measured
         # slower anyway).
-        out = _bls_shared_scan_uniform(
-            ts, (Y - mu).T.astype(dtype), c_b, periods, k_durs, dvals,
-            float(d_phase), int(nbins), objective == "likelihood", chunk,
-            hist_dtype=hd, window_impl=window_impl,
-            wrap=edge_mode != "astropy")
+        if fold_impl is None:
+            import os
+            fold_impl = os.environ.get("LK_BLS_FOLD", "auto")
+        n_samp, B_curves = ts.shape[0], Y.shape[0]
+        if fold_impl == "auto":
+            # fully-fused Pallas pipeline (fold + window in VMEM, zero
+            # HBM intermediates + short-period slab skipping) on TPU
+            # whenever the shapes tile; XLA staging otherwise
+            fold_impl = ("fused" if jax.default_backend() == "tpu"
+                         and n_samp % 128 == 0 and B_curves % 128 == 0
+                         else "xla")
+        if fold_impl in ("fused", "fused_interpret"):
+            from .bls_fused_pallas import bls_fused_scan_uniform
+            out = bls_fused_scan_uniform(
+                ts, (Y - mu).T.astype(dtype), c_b, periods, k_durs,
+                dvals, float(d_phase), int(nbins),
+                objective == "likelihood", chunk, hist_dtype=hist_dtype,
+                wrap=edge_mode != "astropy",
+                interpret=(fold_impl == "fused_interpret"))
+        else:
+            out = _bls_shared_scan_uniform(
+                ts, (Y - mu).T.astype(dtype), c_b, periods, k_durs, dvals,
+                float(d_phase), int(nbins), objective == "likelihood",
+                chunk, hist_dtype=hd, window_impl=window_impl,
+                wrap=edge_mode != "astropy")
         out["transit_time"] = out["transit_time"] + t_min
         out["period"] = jnp.broadcast_to(periods[None, :],
                                          (Y.shape[0], periods.shape[0]))

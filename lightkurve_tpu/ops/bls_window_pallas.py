@@ -117,13 +117,79 @@ def _make_kernel(nbins_pad, k_durs, dur_values, d_phase, use_likelihood,
     return kernel
 
 
+def _uniform_window_body(cy, cn, nbp, pc, ty, nbins_pad, n_total, k_durs,
+                         dur_values, d_phase, use_likelihood, out_dtype):
+    """Shared in-register duration-window scan for per-curve-constant
+    weights.  ``cy`` (npad, TB) / ``cn`` (npad, 1) are INCLUSIVE bin
+    prefix sums (with the circular wrap extension rows already folded
+    in), ``ty`` (1, TB) per-curve totals, ``nbp``/``pc`` scalars.
+    Returns (power, depth, n_in, t0, duration) as (TB,) vectors in
+    ``out_dtype``.  Used by both the standalone window kernel and the
+    fully-fused fold+window kernel (``ops.bls_fused_pallas``).
+
+    The in-window count column (npad, 1) replaces B per-curve weight
+    columns, divisions happen once per bin instead of once per
+    (bin, curve), and depth is one fma per element:
+    ``depth = tot_y·inv_out − y_in·(inv_in + inv_out)``.
+    """
+    neg_inf = float("-inf")
+    lane = cy.shape[1]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, lane), 0)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, 1), 0)
+    cex_y = jnp.where(rows == 0, 0.0, pltpu.roll(cy, 1, axis=0))
+    cex_n = jnp.where(rows1 == 0, 0.0, pltpu.roll(cn, 1, axis=0))
+
+    best_v = jnp.full((lane,), -jnp.inf, jnp.float32)
+    best_depth = jnp.zeros((lane,), jnp.float32)
+    best_nin = jnp.ones((lane,), jnp.float32)
+    best_arg = jnp.zeros((lane,), jnp.float32)
+    best_k = jnp.full((lane,), float(k_durs[0]), jnp.float32)
+    # durations carry the OUTPUT dtype: under interpret-mode x64 the
+    # f32 representation of e.g. 0.2 differs from the XLA path's f64
+    best_dur = jnp.full((lane,), float(dur_values[0]), out_dtype)
+
+    for k, dval in zip(k_durs, dur_values):
+        n_in = pltpu.roll(cn, nbins_pad - (k - 1), axis=0) - cex_n
+        y_in = pltpu.roll(cy, nbins_pad - (k - 1), axis=0) - cex_y
+        n_out = n_total - n_in
+        okn = ((rows1 < nbp) & (k <= nbp)
+               & (n_in > 0) & (n_out > 0))          # (npad, 1)
+        n_in_s = jnp.where(okn, n_in, 1.0)
+        inv_in = 1.0 / n_in_s
+        inv_out = 1.0 / jnp.where(okn, n_out, 1.0)
+        s = inv_in + inv_out                         # (npad, 1)
+        depth = ty * inv_out - y_in * s              # (npad, TB)
+        if use_likelihood:
+            obj = (0.5 * n_in_s) * depth * depth
+        else:
+            obj = depth * jax.lax.rsqrt(s)
+        obj = jnp.where(okn, obj, neg_inf)
+        v = jnp.max(obj, axis=0)                     # (TB,)
+        arg = jnp.argmax(obj, axis=0).astype(jnp.int32)
+        sel = rows == arg[None, :]
+        d_at = jnp.sum(jnp.where(sel, depth, 0.0), axis=0)
+        n_at = jnp.sum(jnp.where(sel, n_in_s, 0.0), axis=0)
+        upd = v > best_v
+        best_v = jnp.where(upd, v, best_v)
+        best_depth = jnp.where(upd, d_at, best_depth)
+        best_nin = jnp.where(upd, n_at, best_nin)
+        best_arg = jnp.where(upd, arg.astype(jnp.float32), best_arg)
+        best_k = jnp.where(upd, float(k), best_k)
+        best_dur = jnp.where(upd, jnp.asarray(float(dval), out_dtype),
+                             best_dur)
+
+    t0 = (best_arg.astype(out_dtype)
+          + 0.5 * best_k.astype(out_dtype)) * d_phase
+    t0 = t0 - jnp.floor(t0 / pc.astype(out_dtype)) * pc.astype(out_dtype)
+    return (best_v.astype(out_dtype), best_depth.astype(out_dtype),
+            best_nin.astype(out_dtype), t0.astype(out_dtype), best_dur)
+
+
 def _make_kernel_uniform(nbins_pad, n_total, k_durs, dur_values, d_phase,
                          use_likelihood, out_dtype):
-    """Window scan for per-curve-constant weights: the in-window count
-    column (npad, 1) replaces B per-curve weight columns, divisions happen
-    once per bin instead of once per (bin, curve), and depth is one fma
-    per element: ``depth = tot_y·inv_out − y_in·(inv_in + inv_out)``."""
-    neg_inf = float("-inf")
+    """Window scan for per-curve-constant weights (see
+    :func:`_uniform_window_body`)."""
 
     def kernel(nbp_ref, pc_ref, ty_ref, cn_ref, cy_ref,
                power_ref, depth_ref, n_in_ref, t0_ref, dur_ref):
@@ -134,58 +200,14 @@ def _make_kernel_uniform(nbins_pad, n_total, k_durs, dur_values, d_phase,
         pc = pc_ref[c, 0]                    # f32 scalar (trial period)
         ty = ty_ref[0]                       # (1, TB) per-curve Σ(y−μ)
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, LANE_TILE), 0)
-        rows1 = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, 1), 0)
-        cex_y = jnp.where(rows == 0, 0.0, pltpu.roll(cy, 1, axis=0))
-        cex_n = jnp.where(rows1 == 0, 0.0, pltpu.roll(cn, 1, axis=0))
-
-        best_v = jnp.full((LANE_TILE,), -jnp.inf, jnp.float32)
-        best_depth = jnp.zeros((LANE_TILE,), jnp.float32)
-        best_nin = jnp.ones((LANE_TILE,), jnp.float32)
-        best_arg = jnp.zeros((LANE_TILE,), jnp.float32)
-        best_k = jnp.full((LANE_TILE,), float(k_durs[0]), jnp.float32)
-        # durations carry the OUTPUT dtype: under interpret-mode x64 the
-        # f32 representation of e.g. 0.2 differs from the XLA path's f64
-        best_dur = jnp.full((LANE_TILE,), float(dur_values[0]), out_dtype)
-
-        for k, dval in zip(k_durs, dur_values):
-            n_in = pltpu.roll(cn, nbins_pad - (k - 1), axis=0) - cex_n
-            y_in = pltpu.roll(cy, nbins_pad - (k - 1), axis=0) - cex_y
-            n_out = n_total - n_in
-            okn = ((rows1 < nbp) & (k <= nbp)
-                   & (n_in > 0) & (n_out > 0))          # (npad, 1)
-            n_in_s = jnp.where(okn, n_in, 1.0)
-            inv_in = 1.0 / n_in_s
-            inv_out = 1.0 / jnp.where(okn, n_out, 1.0)
-            s = inv_in + inv_out                         # (npad, 1)
-            depth = ty * inv_out - y_in * s              # (npad, TB)
-            if use_likelihood:
-                obj = (0.5 * n_in_s) * depth * depth
-            else:
-                obj = depth * jax.lax.rsqrt(s)
-            obj = jnp.where(okn, obj, neg_inf)
-            v = jnp.max(obj, axis=0)                     # (TB,)
-            arg = jnp.argmax(obj, axis=0).astype(jnp.int32)
-            sel = rows == arg[None, :]
-            d_at = jnp.sum(jnp.where(sel, depth, 0.0), axis=0)
-            n_at = jnp.sum(jnp.where(sel, n_in_s, 0.0), axis=0)
-            upd = v > best_v
-            best_v = jnp.where(upd, v, best_v)
-            best_depth = jnp.where(upd, d_at, best_depth)
-            best_nin = jnp.where(upd, n_at, best_nin)
-            best_arg = jnp.where(upd, arg.astype(jnp.float32), best_arg)
-            best_k = jnp.where(upd, float(k), best_k)
-            best_dur = jnp.where(upd, jnp.asarray(float(dval), out_dtype),
-                                 best_dur)
-
-        t0 = (best_arg.astype(out_dtype)
-              + 0.5 * best_k.astype(out_dtype)) * d_phase
-        t0 = t0 - jnp.floor(t0 / pc.astype(out_dtype)) * pc.astype(out_dtype)
-        power_ref[0] = best_v.astype(out_dtype)[None, :]
-        depth_ref[0] = best_depth.astype(out_dtype)[None, :]
-        n_in_ref[0] = best_nin.astype(out_dtype)[None, :]
-        t0_ref[0] = t0.astype(out_dtype)[None, :]
-        dur_ref[0] = best_dur.astype(out_dtype)[None, :]
+        power, depth, n_in, t0, dur = _uniform_window_body(
+            cy, cn, nbp, pc, ty, nbins_pad, n_total, k_durs, dur_values,
+            d_phase, use_likelihood, out_dtype)
+        power_ref[0] = power[None, :]
+        depth_ref[0] = depth[None, :]
+        n_in_ref[0] = n_in[None, :]
+        t0_ref[0] = t0[None, :]
+        dur_ref[0] = dur[None, :]
 
     return kernel
 

@@ -448,7 +448,17 @@ class LombScarglePeriodogram(Periodogram):
         # scale timestamps (~2.45e6) round to ~0.25 d in f32, corrupting
         # the trig phases by O(10) rad (GLS power is shift-invariant)
         tvs = tv - tv.min()
-        if nterms > 1 or ls_method in ("fastchi2", "chi2"):
+        if ls_method == "fastchi2" and regular:
+            # FFT-accelerated multi-term fit (astropy's 'fastchi2',
+            # Palmer 2009) — O((N + Nf·log Nf)·k) vs the direct chi2
+            # method's O(N·Nf·k²); reference dispatch at
+            # /root/reference/src/lightkurve/periodogram.py:930-958
+            from .ops.lombscargle import lombscargle_fastchi2
+            f0, df, Nf = freq_d[0], freq_d[1] - freq_d[0], len(freq_d)
+            power = lombscargle_fastchi2(tv, y, f0, df, Nf,
+                                         nterms=nterms,
+                                         normalization="psd")
+        elif nterms > 1 or ls_method == "chi2":
             power = lombscargle_chi2(jnp.asarray(tvs, dtype), y,
                                      jnp.asarray(freq_d, dtype),
                                      nterms=nterms, normalization="psd")

@@ -437,6 +437,60 @@ class TPFModel:
                           n_iter=n_iter, damping=damping)
         return self.get_initial_guesses().from_array(fitted[0])
 
+    def gradient(self, params=None):
+        """Gradient images of the scene w.r.t. every free parameter.
+
+        Returns a list of ``(h, w)`` arrays — ∂model/∂θ for each entry of
+        the free-parameter vector.  The reference's version
+        (``tpfmodel.py:571-587``, marked "UNFINISHED WORK!") approximates
+        most entries with ones; ours is the exact jacobian via JAX
+        autodiff of :meth:`predict_from_array`.
+        """
+        import jax
+        if params is None:
+            params = self.initial_guess()
+        if isinstance(params, TPFModelParameters):
+            params = params.to_array()
+        jac = jax.jacfwd(self.predict_from_array)(
+            np.asarray(params, dtype=float))             # (h, w, k)
+        jac = np.asarray(jac)
+        return [jac[..., i] for i in range(jac.shape[-1])]
+
+    def _extent(self):
+        return (self.prfmodel.column,
+                self.prfmodel.column + self.prfmodel.shape[1],
+                self.prfmodel.row,
+                self.prfmodel.row + self.prfmodel.shape[0])
+
+    def plot(self, *params, **kwargs):
+        """Image of the model at a point in parameter space (reference
+        ``tpfmodel.py:672-686``)."""
+        from ..utils import plot_image
+        img = self.predict(*params) if params else self.predict()
+        return plot_image(img, title="TPF Model", extent=self._extent(),
+                          **kwargs)
+
+    def plot_diagnostics(self, data, figsize=(12, 4), *params, **kwargs):
+        """Observed / fitted / residual image triptych (reference
+        ``tpfmodel.py:687-718``).  Returns the fitted parameters."""
+        import matplotlib.pyplot as plt
+        from ..utils import plot_image
+        fig, ax = plt.subplots(nrows=1, ncols=3, figsize=figsize)
+        fit = self.fit(data)
+        predicted = self.predict(fit)
+        chan = getattr(self.prfmodel, "channel", None)
+        extent = self._extent()
+        plot_image(np.asarray(data), ax=ax[0],
+                   title=f"Observed Data, Channel: {chan}", extent=extent,
+                   **kwargs)
+        plot_image(predicted, ax=ax[1],
+                   title=f"Predicted Image, Channel: {chan}",
+                   extent=extent, **kwargs)
+        plot_image(np.asarray(data) - predicted, ax=ax[2],
+                   title=f"Residual Image, Channel: {chan}", extent=extent,
+                   **kwargs)
+        return fit
+
     def __repr__(self):
         out = [f"<TPFModel: {self.n_stars} star(s), "
                f"fit_background={self.fit_background}, "
@@ -534,3 +588,29 @@ class PRFPhotometry:
     def get_residual_image(self, flux_cube, cadence=0):
         model = self.model.predict(self.opt_params[cadence])
         return np.asarray(flux_cube)[cadence] - model
+
+    def plot_results(self, star_idx=0):
+        """Plot every fitted model parameter over time (reference
+        ``tpfmodel.py:814-840``): per-cadence star flux/col/row, motion,
+        background, focus, and the final loss."""
+        import matplotlib.pyplot as plt
+        if self.results is None:
+            raise ValueError("call run() first")
+        fig, ax = plt.subplots(10, sharex=True, figsize=(6, 12))
+        x = range(len(self.results))
+        rows = [
+            ("Flux", [r.stars[star_idx].flux for r in self.results]),
+            ("Col", [r.stars[star_idx].col for r in self.results]),
+            ("Row", [r.stars[star_idx].row for r in self.results]),
+            ("Shift col", [r.motion.shift_col for r in self.results]),
+            ("Shift row", [r.motion.shift_row for r in self.results]),
+            ("Background", [r.background.flux for r in self.results]),
+            ("Focus col", [r.focus.scale_col for r in self.results]),
+            ("Focus row", [r.focus.scale_row for r in self.results]),
+            ("Focus angle", [r.focus.rotation_angle for r in self.results]),
+            ("Loss", list(self.losses)),
+        ]
+        for a, (label, series) in zip(ax, rows):
+            a.plot(x, series)
+            a.set_ylabel(label)
+        return ax

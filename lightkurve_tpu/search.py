@@ -104,6 +104,45 @@ class SearchResult:
     def filename(self):
         return self._col("productFilename")
 
+    @property
+    def ra(self):
+        """Right Ascension for each data product found (reference
+        ``search.py:241-244``)."""
+        return np.asarray([r.get("s_ra", np.nan) for r in self.table],
+                          dtype=float)
+
+    @property
+    def dec(self):
+        """Declination for each data product found (reference
+        ``search.py:246-249``)."""
+        return np.asarray([r.get("s_dec", np.nan) for r in self.table],
+                          dtype=float)
+
+    @property
+    def obsid(self):
+        """Unique observation IDs (reference ``search.py:236-239``)."""
+        vals = [r.get("obsid") for r in self.table
+                if r.get("obsid") is not None]
+        return np.unique(np.asarray(vals, dtype="int64"))
+
+    @property
+    def unique_targets(self):
+        """Deduplicated (target_name, s_ra, s_dec) rows (reference
+        ``search.py:224-234``)."""
+        seen = set()
+        rows = []
+        for r in self.table:
+            name = r.get("target_name")
+            if name not in seen:
+                seen.add(name)
+                rows.append((name, r.get("s_ra", np.nan),
+                             r.get("s_dec", np.nan)))
+        return {
+            "target_name": np.asarray([r[0] for r in rows]),
+            "s_ra": np.asarray([r[1] for r in rows], dtype=float),
+            "s_dec": np.asarray([r[2] for r in rows], dtype=float),
+        }
+
     # -- downloads ------------------------------------------------------------
     def download(self, quality_bitmask="default", download_dir=None,
                  cutout_size=None, **kwargs):

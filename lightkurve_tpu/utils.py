@@ -421,3 +421,101 @@ def finalize_notebook_url(notebook_url):
     if os.environ.get("LK_JUPYTERHUB_EXTERNAL_URL"):
         return remote_jupyter_proxy_url
     return "localhost:8888"
+
+
+# ---------------------------------------------------------------------------
+# Automatic histogram bin-edge rules (astropy.stats equivalents), used by
+# LightCurve.bin(bins='scott'|'freedman'|'knuth'|'blocks') — reference
+# lightcurve.py:1613-1646 delegates to astropy's calculate_bin_edges.
+# Host-side numpy: bin-edge selection is O(n) setup work, not kernel work.
+# ---------------------------------------------------------------------------
+def _edges_from_width(x, dx):
+    """Uniform edges of width ``dx`` spanning [min(x), max(x)]."""
+    lo, hi = float(np.min(x)), float(np.max(x))
+    if dx <= 0 or not np.isfinite(dx):
+        return np.array([lo, hi], dtype=float)
+    nb = max(int(np.ceil((hi - lo) / dx)), 1)
+    return lo + dx * np.arange(nb + 1)
+
+
+def scott_bin_width(x):
+    """Scott's rule: Δ = 3.5 σ / n^{1/3} (Scott 1979)."""
+    x = np.asarray(x, dtype=float)
+    return 3.5 * np.std(x) / x.size ** (1.0 / 3)
+
+
+def freedman_bin_width(x):
+    """Freedman-Diaconis rule: Δ = 2 IQR / n^{1/3} (Freedman & Diaconis
+    1981)."""
+    x = np.asarray(x, dtype=float)
+    q25, q75 = np.percentile(x, [25, 75])
+    return 2.0 * (q75 - q25) / x.size ** (1.0 / 3)
+
+
+def knuth_bin_count(x, max_bins=None):
+    """Knuth's Bayesian optimal number of uniform bins (Knuth 2006).
+
+    Maximizes the marginal posterior
+    ``F(M) = n·ln M + lnΓ(M/2) − M·lnΓ(½) − lnΓ(n + M/2) + Σ_k lnΓ(n_k + ½)``
+    by direct search (robust, no optimizer dependency).
+    """
+    from scipy.special import gammaln
+    x = np.sort(np.asarray(x, dtype=float))
+    n = x.size
+    if max_bins is None:
+        max_bins = max(int(5 * n ** (1.0 / 3)) + 10, 20)
+    best_m, best_f = 1, -np.inf
+    for m in range(1, max_bins + 1):
+        nk = np.histogram(x, bins=m)[0]
+        f = (n * np.log(m) + gammaln(0.5 * m) - m * gammaln(0.5)
+             - gammaln(n + 0.5 * m) + np.sum(gammaln(nk + 0.5)))
+        if f > best_f:
+            best_m, best_f = m, f
+    return best_m
+
+
+def bayesian_blocks(x, p0=0.05):
+    """Bayesian-blocks change-point edges for point measurements
+    (Scargle et al. 2013, 'events' fitness), O(n²) dynamic program."""
+    x = np.sort(np.asarray(x, dtype=float))
+    n = x.size
+    edges = np.concatenate([x[:1], 0.5 * (x[1:] + x[:-1]), x[-1:]])
+    block_length = x[-1] - edges
+    # false-alarm prior calibrated as astropy does for the events fitness
+    ncp_prior = 4.0 - np.log(73.53 * p0 * n ** -0.478)
+    best = np.zeros(n)
+    last = np.zeros(n, dtype=int)
+    for r in range(n):
+        width = block_length[: r + 1] - block_length[r + 1]
+        width[width <= 0] = np.inf
+        counts = np.arange(r + 1, 0, -1, dtype=float)
+        fit = counts * (np.log(counts) - np.log(width)) - ncp_prior
+        fit[1:] += best[:r]
+        last[r] = int(np.argmax(fit))
+        best[r] = fit[last[r]]
+    # trace back the change points
+    cp = []
+    i = n
+    while i > 0:
+        cp.append(i)
+        i = last[i - 1]
+    cp.append(0)
+    return edges[np.array(cp[::-1])]
+
+
+def calculate_bin_edges(x, bins):
+    """Histogram bin edges for an automatic method or a bin count
+    (astropy.stats.calculate_bin_edges equivalent)."""
+    x = np.asarray(x, dtype=float)
+    if isinstance(bins, str):
+        if bins == "scott":
+            return _edges_from_width(x, scott_bin_width(x))
+        if bins == "freedman":
+            return _edges_from_width(x, freedman_bin_width(x))
+        if bins == "knuth":
+            m = knuth_bin_count(x)
+            return np.linspace(float(np.min(x)), float(np.max(x)), m + 1)
+        if bins == "blocks":
+            return bayesian_blocks(x)
+        raise ValueError(f"unknown bin method {bins!r}")
+    return np.histogram_bin_edges(x, bins=bins)

@@ -1,0 +1,173 @@
+"""Round-3 API-surface parity additions (VERDICT r2 'Next round' #5).
+
+Covers the method-diff remainder: SearchResult coordinate properties,
+deprecated v1.x property shims, ``LightCurve.from_timeseries``, automatic
+``bins=`` string methods, ``DesignMatrix.to_dense``, and the TPFModel /
+PRFPhotometry diagnostics.
+"""
+import numpy as np
+import pytest
+
+from lightkurve_tpu import LightCurve
+from lightkurve_tpu.utils import (LightkurveDeprecationWarning,
+                                  calculate_bin_edges)
+
+
+@pytest.fixture
+def lc():
+    t = np.arange(0, 10, 0.02)
+    rng = np.random.default_rng(0)
+    return LightCurve(time=t, flux=1.0 + 0.01 * rng.standard_normal(t.size),
+                      flux_err=np.full(t.size, 0.01))
+
+
+# -- deprecated v1.x shims (reference lightcurve.py:702-740) ---------------
+def test_deprecated_property_shims_warn_and_work(lc):
+    with pytest.warns(LightkurveDeprecationWarning):
+        assert lc.time_format == lc.time.format
+    with pytest.warns(LightkurveDeprecationWarning):
+        assert lc.time_scale == lc.time.scale
+    with pytest.warns(LightkurveDeprecationWarning):
+        assert lc.flux_unit == lc.flux.unit
+    with pytest.warns(LightkurveDeprecationWarning):
+        assert lc.header is lc.meta
+
+
+def test_from_timeseries(lc):
+    ts = {"time": lc.time.value, "flux": lc.flux.value,
+          "flux_err": lc.flux_err.value}
+    lc2 = LightCurve.from_timeseries(ts)
+    np.testing.assert_allclose(lc2.time.value, lc.time.value)
+    np.testing.assert_allclose(lc2.flux.value, lc.flux.value)
+    np.testing.assert_allclose(lc2.flux_err.value, lc.flux_err.value)
+
+
+# -- automatic bins= string methods (reference lightcurve.py:1613-1677) ----
+@pytest.mark.parametrize("method", ["scott", "freedman", "knuth", "blocks"])
+def test_bin_string_methods(method):
+    t = np.arange(0, 10, 0.05)
+    rng = np.random.default_rng(1)
+    lc = LightCurve(time=t, flux=1.0 + 0.01 * rng.standard_normal(t.size))
+    binned = lc.bin(bins=method)
+    assert 1 <= len(binned) < len(lc)
+    # every input cadence lands in some bin: flux conserved in the mean
+    assert abs(np.nanmean(binned.flux.value) - 1.0) < 0.01
+    # edges span the data
+    edges = calculate_bin_edges(t, method)
+    assert edges[0] <= t[0] and edges[-1] >= t[-1] - 1e-9
+    assert np.all(np.diff(edges) > 0)
+
+
+def test_bin_string_conflicts_still_raise():
+    t = np.arange(0, 10, 0.05)
+    lc = LightCurve(time=t, flux=np.ones(t.size))
+    with pytest.raises(ValueError):
+        lc.bin(bins="scott", binsize=10)
+    with pytest.raises(TypeError):
+        lc.bin(bins="unknown-method")
+
+
+def test_bayesian_blocks_finds_changepoint():
+    """The blocks rule segments a density change in the sample positions."""
+    rng = np.random.default_rng(2)
+    x = np.concatenate([rng.uniform(0, 5, 80), rng.uniform(5, 6, 80)])
+    edges = calculate_bin_edges(x, "blocks")
+    assert len(edges) >= 3            # at least one interior change point
+    assert any(abs(e - 5.0) < 0.5 for e in edges[1:-1])
+
+
+# -- SearchResult coordinate properties (reference search.py:224-249) ------
+def test_searchresult_coordinate_properties():
+    from lightkurve_tpu.search import SearchResult
+    rows = [
+        dict(target_name="A", s_ra=10.0, s_dec=-5.0, obsid=3,
+             mission="TESS Sector 1", author="SPOC", exptime=120,
+             year=2019, productFilename="a.fits"),
+        dict(target_name="A", s_ra=10.0, s_dec=-5.0, obsid=3,
+             mission="TESS Sector 2", author="SPOC", exptime=120,
+             year=2019, productFilename="a2.fits"),
+        dict(target_name="B", s_ra=20.0, s_dec=5.0, obsid=7,
+             mission="TESS Sector 1", author="QLP", exptime=1800,
+             year=2019, productFilename="b.fits"),
+    ]
+    sr = SearchResult(rows)
+    np.testing.assert_allclose(sr.ra, [10.0, 10.0, 20.0])
+    np.testing.assert_allclose(sr.dec, [-5.0, -5.0, 5.0])
+    np.testing.assert_array_equal(sr.obsid, [3, 7])   # unique, int64
+    assert sr.obsid.dtype == np.int64
+    ut = sr.unique_targets
+    np.testing.assert_array_equal(ut["target_name"], ["A", "B"])
+    np.testing.assert_allclose(ut["s_ra"], [10.0, 20.0])
+    np.testing.assert_allclose(ut["s_dec"], [-5.0, 5.0])
+
+
+# -- DesignMatrix.to_dense (reference designmatrix.py:747-760) -------------
+def test_designmatrix_to_dense_roundtrip():
+    from lightkurve_tpu.correctors import DesignMatrix, SparseDesignMatrix
+    from lightkurve_tpu.utils import LightkurveWarning
+    vals = np.arange(12.0).reshape(4, 3)
+    sdm = SparseDesignMatrix(vals, name="s", prior_mu=[0, 1, 2],
+                             prior_sigma=[1, 2, 3])
+    dm = sdm.to_dense()
+    assert type(dm) is DesignMatrix
+    np.testing.assert_allclose(dm.values, vals)
+    np.testing.assert_allclose(dm.prior_mu, [0, 1, 2])
+    np.testing.assert_allclose(dm.prior_sigma, [1, 2, 3])
+    with pytest.warns(LightkurveWarning):
+        assert dm.to_dense() is dm
+
+
+# -- TPFModel diagnostics (reference tpfmodel.py:571-718,814-840) ----------
+@pytest.fixture
+def gaussian_model():
+    from lightkurve_tpu.prf import TPFModel
+    from lightkurve_tpu.prf.prfmodel import GaussianPRF
+    from lightkurve_tpu.prf.tpfmodel import (StarPrior, GaussianPrior,
+                                             UniformPrior)
+    prf = GaussianPRF(shape=(9, 9), column=10, row=20)
+    # off-grid center: the supersampled PRF is bilinear-interpolated, so
+    # at an exact supersample node the derivative is one-sided (a kink)
+    # and symmetric finite differences disagree with autodiff there
+    star = StarPrior(col=GaussianPrior(14.5321, 1.0),
+                     row=GaussianPrior(24.4683, 1.0),
+                     flux=UniformPrior(0.0, 1e4))
+    return TPFModel(star_priors=[star], prfmodel=prf)
+
+
+def test_tpfmodel_gradient_matches_finite_difference(gaussian_model):
+    model = gaussian_model
+    p0 = np.asarray(model.initial_guess(), dtype=float)
+    grads = model.gradient(p0)
+    assert len(grads) == p0.size
+    eps = 1e-4
+    for i in range(p0.size):
+        dp = p0.copy()
+        dp[i] += eps
+        dm = p0.copy()
+        dm[i] -= eps
+        fd = (model.predict(dp) - model.predict(dm)) / (2 * eps)
+        np.testing.assert_allclose(grads[i], fd, rtol=1e-3, atol=1e-5)
+
+
+def test_tpfmodel_plot_and_diagnostics(gaussian_model, tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    model = gaussian_model
+    model.plot()
+    data = model.predict() + 0.1
+    fit = model.plot_diagnostics(data, n_iter=0) if False else \
+        model.plot_diagnostics(data)
+    assert fit.stars[0].flux >= 0
+
+
+def test_prfphotometry_plot_results(gaussian_model):
+    import matplotlib
+    matplotlib.use("Agg")
+    from lightkurve_tpu.prf import PRFPhotometry
+    model = gaussian_model
+    truth = np.asarray(model.initial_guess(), dtype=float)
+    img = model.predict(truth)
+    phot = PRFPhotometry(model)
+    phot.run(np.stack([img, img * 1.01]), n_iter=5)
+    ax = phot.plot_results()
+    assert len(ax) == 10
