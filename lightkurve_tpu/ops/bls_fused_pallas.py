@@ -149,6 +149,12 @@ def _fused_call(ts_row, Ya, tot_y, nbins_p, pc, npad, nbins, k_max,
                             memory_space=pltpu.VMEM)
     out_struct = jax.ShapeDtypeStruct((C, 1, B), out_dtype)
 
+    # Mosaic's default scoped-vmem limit (16M) undercounts what the v5e
+    # physically has; the unrolled slab/window loops stack-allocate their
+    # temporaries per pl.when block (no reuse), so the bf16 variant needs
+    # ~33M of stack headroom
+    params = (None if interpret else
+              pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -160,6 +166,7 @@ def _fused_call(ts_row, Ya, tot_y, nbins_p, pc, npad, nbins, k_max,
             pltpu.VMEM((npad, 1), acc),           # cn (prefix counts)
         ],
         interpret=interpret,
+        **({} if params is None else {"compiler_params": params}),
     )(nbins_p.astype(jnp.int32).reshape(C, 1),
       pc.astype(out_dtype).reshape(C, 1),
       ts_row, tot_y.reshape(1, B).astype(out_dtype), Ya)

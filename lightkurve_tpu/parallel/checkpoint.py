@@ -175,8 +175,12 @@ class SweepRunner:
             reduce_jit = jax.jit(_reduce_winner)
 
             def step(flux, dy, pvals, n_valid):
-                out = sharded_bls(time, flux, dy, pvals,
-                                  jnp.asarray(durations, flux.dtype),
+                # durations stay a HOST float64 array: sharded_bls derives
+                # the static grid geometry (d_phase, nbins) from them, and
+                # an f32 round-trip would quantize d_phase differently
+                # than the unsharded runner's f64 geometry (measured ~10%
+                # power deltas from the shifted bin boundaries)
+                out = sharded_bls(time, flux, dy, pvals, durations,
                                   oversample=oversample,
                                   objective=objective, mesh=mesh,
                                   uniform_weights=uniform)

