@@ -145,6 +145,11 @@ def main():
     detail = {"B": B, "N": N, "P": P, "seconds_per_step": round(dt, 3),
               "recovered_period_ok": bool(ok),
               "device": str(jax.devices()[0])}
+    try:
+        from lightkurve_tpu.diagnostics import hbm_stats
+        detail["hbm"] = hbm_stats()
+    except Exception:
+        pass
 
     # the primary metric is measured: if a companion bench hangs/compiles
     # past the watchdog, report THIS result instead of a 0-valued timeout

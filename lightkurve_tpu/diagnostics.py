@@ -21,7 +21,8 @@ from functools import wraps
 
 log = logging.getLogger(__name__)
 
-__all__ = ["trace", "timed", "annotate", "report", "reset", "KernelTimer"]
+__all__ = ["trace", "timed", "annotate", "report", "reset",
+           "KernelTimer", "hbm_stats"]
 
 _REGISTRY = defaultdict(lambda: {"calls": 0, "total_s": 0.0, "max_s": 0.0})
 
@@ -113,3 +114,33 @@ def report(sort_by="total_s"):
 
 def reset():
     _REGISTRY.clear()
+
+
+def hbm_stats(device=None):
+    """Device-memory telemetry: current live-allocation bytes (and peak,
+    where the backend reports one).
+
+    Prefers the PJRT ``memory_stats()`` counters; the axon TPU tunnel
+    returns ``None`` there, so the fallback sums ``jax.live_arrays()``
+    committed to the device — the live-buffer high-water mark as seen
+    from Python (kernel-internal scratch is excluded either way).
+    Returns a dict (possibly with only ``live_bytes``); never raises.
+    """
+    import jax
+    try:
+        dev = device if device is not None else jax.local_devices()[0]
+        s = dev.memory_stats() or {}
+        out = {k: int(v) for k, v in s.items()
+               if "bytes" in k and isinstance(v, (int, float))}
+        if out:
+            return out
+        live = 0
+        for a in jax.live_arrays():
+            try:
+                if any(d == dev for d in a.devices()):
+                    live += int(a.size) * a.dtype.itemsize
+            except Exception:
+                continue
+        return {"live_bytes": live}
+    except Exception:
+        return {}

@@ -27,6 +27,7 @@ processed in static chunks via ``lax.map``; batching over targets is a
 """
 from __future__ import annotations
 
+import logging
 from functools import lru_cache, partial
 
 import numpy as np
@@ -34,6 +35,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["bls_power", "bls_objective_single", "bls_power_direct"]
+
+log = logging.getLogger(__name__)
+_warned_device_dy = False
 
 
 def _range_sums(ph_sorted, cw, cwy, lo, hi, period, total_w, total_wy):
@@ -677,6 +681,22 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     """
     if uniform_weights is None:
         uniform_weights = _detect_uniform_weights(dy)
+        if (not uniform_weights and dy is not None
+                and not isinstance(dy, np.ndarray)):
+            # device/traced dy cannot be inspected on host: the general
+            # double-FLOP kernel runs even if the weights are actually
+            # row-constant.  Say so once — callers that KNOW their
+            # weights are constant should pass uniform_weights=True
+            # (as SweepRunner does).
+            global _warned_device_dy
+            if not _warned_device_dy:
+                _warned_device_dy = True
+                log.info(
+                    "bls_power_shared_batch: dy is device-resident, so "
+                    "per-curve-constant weights cannot be auto-detected; "
+                    "using the general weighted kernel. Pass "
+                    "uniform_weights=True to enable the half-FLOP count "
+                    "kernel if your weights are row-constant.")
     t = jnp.asarray(t)
     Y = jnp.asarray(Y)
     dtype = Y.dtype

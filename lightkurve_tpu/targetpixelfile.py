@@ -472,8 +472,7 @@ class TargetPixelFile:
         if method in ("aperture", "sap"):
             return self.extract_aperture_photometry(**kwargs)
         if method == "prf":
-            return self.extract_prf_photometry(**kwargs).to_lightcurve() \
-                if hasattr(self, "extract_prf_photometry") else None
+            return self.extract_prf_photometry(**kwargs).to_lightcurve()
         corrector = self.to_corrector(method)
         return corrector.correct(**kwargs)
 

@@ -181,3 +181,21 @@ def test_sweep_mesh_kill_resume_matches_unsharded(tmp_path, rng):
     rel = np.abs(ref["period"] - p_true) / p_true
     # accept harmonic confusions on a minority of curves
     assert np.median(rel) < 0.02
+
+
+def test_hbm_stats_reports_live_bytes():
+    """hbm_stats() returns byte counters on any backend (VERDICT r2
+    'Next round' #7): either the PJRT memory_stats counters or the
+    live-arrays fallback, and it tracks a fresh allocation."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.diagnostics import hbm_stats
+    base = hbm_stats()
+    assert isinstance(base, dict) and base, base
+    keep = jnp.ones((512, 1024))          # 4 MB (f64) / 2 MB (f32)
+    keep.block_until_ready()
+    after = hbm_stats()
+    key = ("bytes_in_use" if "bytes_in_use" in after else
+           next((k for k in after if "bytes" in k), None))
+    assert key is not None
+    assert after[key] >= base.get(key, 0) + keep.size * keep.dtype.itemsize
+    del keep

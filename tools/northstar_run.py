@@ -57,13 +57,8 @@ def _steady_state_fields(manifest):
 
 
 def hbm_stats():
-    import jax
-    try:
-        s = jax.local_devices()[0].memory_stats() or {}
-        return {k: int(v) for k, v in s.items()
-                if "bytes" in k and isinstance(v, (int, float))}
-    except Exception:
-        return {}
+    from lightkurve_tpu.diagnostics import hbm_stats as _hbm
+    return _hbm()
 
 
 def main():
