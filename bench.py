@@ -216,6 +216,42 @@ def main():
     except Exception as exc:   # pragma: no cover
         detail["photometry_pld_error"] = str(exc)[:120]
     try:
+        # Batched MAP PRF photometry: B=10^3 cadence-fits of a two-star
+        # scene in one vmapped LM loop (replaces the reference's
+        # multiprocessing pool, prf/tpfmodel.py:738-795)
+        from lightkurve_tpu.prf import PRFPhotometry, TPFModel
+        from lightkurve_tpu.prf.prfmodel import GaussianPRF
+        from lightkurve_tpu.prf.tpfmodel import (StarPrior, GaussianPrior,
+                                                 UniformPrior)
+        prf = GaussianPRF(shape=(9, 9), column=0, row=0)
+        stars = [StarPrior(col=GaussianPrior(2.8, 0.5),
+                           row=GaussianPrior(3.1, 0.5),
+                           flux=UniformPrior(0.0, 2e4)),
+                 StarPrior(col=GaussianPrior(6.2, 0.5),
+                           row=GaussianPrior(5.9, 0.5),
+                           flux=UniformPrior(0.0, 2e4))]
+        model = TPFModel(star_priors=stars, prfmodel=prf,
+                         background_prior=BackgroundPrior(
+                             flux=UniformPrior(0.0, 100.0)))
+        truth = np.array([2.83, 3.12, 5000.0, 6.17, 5.88, 3000.0, 40.0])
+        img = model.predict(truth)
+        Bc = 1000
+        cubes = img[None] + 2.0 * np.asarray(
+            jax.random.normal(jax.random.PRNGKey(1), (Bc,) + img.shape))
+        phot = PRFPhotometry(model)
+        phot.run(cubes[:2], n_iter=20)          # compile
+        t0 = _time.time()
+        fitted = phot.run(cubes, n_iter=20)
+        np.asarray(fitted)
+        dt_prf = _time.time() - t0
+        detail["prf_fit_targets_per_sec"] = round(Bc / dt_prf, 1)
+        med = np.median(fitted, axis=0)
+        detail["prf_two_star_flux_ok"] = bool(
+            abs(med[2] - truth[2]) / truth[2] < 0.05
+            and abs(med[5] - truth[5]) / truth[5] < 0.05)
+    except Exception as exc:   # pragma: no cover
+        detail["prf_error"] = str(exc)[:120]
+    try:
         from lightkurve_tpu.ops.lombscargle import lombscargle_fast
         Nf = 16384
         f0, df_ = 0.05, 60.0 / Nf / float(t[-1] - t[0] + 1)

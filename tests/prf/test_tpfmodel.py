@@ -190,3 +190,36 @@ def test_fixed_background_prior_pins_parameter():
     # the user-facing prior probability keeps the reference's inf form
     bp = BackgroundPrior(flux=FixedValuePrior(0.0))
     assert not np.isfinite(float(bp(0.1)))
+
+
+def test_two_star_scene_recovery():
+    """Batched MAP fit separates and recovers a two-star scene (VERDICT
+    r2 'Next round' #6 recovery assertion; mirrors the bench companion)."""
+    import numpy as np
+    from lightkurve_tpu.prf import PRFPhotometry, TPFModel
+    from lightkurve_tpu.prf.prfmodel import GaussianPRF
+    from lightkurve_tpu.prf.tpfmodel import (BackgroundPrior, StarPrior,
+                                             GaussianPrior, UniformPrior)
+    prf = GaussianPRF(shape=(9, 9), column=0, row=0)
+    stars = [StarPrior(col=GaussianPrior(2.8, 0.5),
+                       row=GaussianPrior(3.1, 0.5),
+                       flux=UniformPrior(0.0, 2e4)),
+             StarPrior(col=GaussianPrior(6.2, 0.5),
+                       row=GaussianPrior(5.9, 0.5),
+                       flux=UniformPrior(0.0, 2e4))]
+    model = TPFModel(star_priors=stars, prfmodel=prf,
+                     background_prior=BackgroundPrior(
+                         flux=UniformPrior(0.0, 100.0)))
+    truth = np.array([2.83, 3.12, 5000.0, 6.17, 5.88, 3000.0, 40.0])
+    img = model.predict(truth)
+    rng = np.random.default_rng(3)
+    cubes = img[None] + 2.0 * rng.standard_normal((16,) + img.shape)
+    phot = PRFPhotometry(model)
+    fitted = phot.run(cubes, n_iter=25)
+    med = np.median(fitted, axis=0)
+    # fluxes within 5%, positions within 0.05 px, background within 20%
+    assert abs(med[2] - truth[2]) / truth[2] < 0.05
+    assert abs(med[5] - truth[5]) / truth[5] < 0.05
+    assert abs(med[0] - truth[0]) < 0.05 and abs(med[1] - truth[1]) < 0.05
+    assert abs(med[3] - truth[3]) < 0.05 and abs(med[4] - truth[4]) < 0.05
+    assert abs(med[6] - truth[6]) / truth[6] < 0.2
