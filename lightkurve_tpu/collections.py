@@ -97,6 +97,34 @@ class Collection:
 class LightCurveCollection(Collection):
     """A list of LightCurves (reference ``collections.py:145-277``)."""
 
+    @property
+    def SAP_FLUX(self):
+        """Deprecated v1.x alias (reference ``collections.py:165-171``):
+        per-member ``SAP_FLUX`` copies."""
+        import warnings
+        from .utils import LightkurveDeprecationWarning
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", LightkurveDeprecationWarning)
+            out = LightCurveCollection([lc.SAP_FLUX for lc in self])
+        warnings.warn("`SAP_FLUX` is deprecated, use "
+                      "`select_flux('sap_flux')` on the members instead.",
+                      LightkurveDeprecationWarning)
+        return out
+
+    @property
+    def PDCSAP_FLUX(self):
+        """Deprecated v1.x alias (reference ``collections.py:157-163``):
+        per-member ``PDCSAP_FLUX`` copies."""
+        import warnings
+        from .utils import LightkurveDeprecationWarning
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", LightkurveDeprecationWarning)
+            out = LightCurveCollection([lc.PDCSAP_FLUX for lc in self])
+        warnings.warn("`PDCSAP_FLUX` is deprecated, use "
+                      "`select_flux('pdcsap_flux')` on the members "
+                      "instead.", LightkurveDeprecationWarning)
+        return out
+
     def stitch(self, corrector_func=lambda x: x.normalize()):
         """Concatenate the (corrected) member curves into one LightCurve,
         keeping only columns common to all members

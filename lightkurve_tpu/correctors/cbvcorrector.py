@@ -374,6 +374,12 @@ class CBVCorrector(RegressionCorrector):
     """Remove systematics with mission CBVs
     (reference ``cbvcorrector.py:45-980``)."""
 
+    def copy(self):
+        """Deep copy of the corrector (reference
+        ``cbvcorrector.py:942-947``)."""
+        from copy import deepcopy
+        return deepcopy(self)
+
     def __init__(self, lc, interpolate_cbvs=False, extrapolate_cbvs=False,
                  do_not_load_cbvs=False, cbv_dir=None, fast_cadence=False):
         if not isinstance(lc, LightCurve):

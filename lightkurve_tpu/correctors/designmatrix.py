@@ -345,6 +345,30 @@ class DesignMatrixCollection:
     def plot(self, ax=None, **kwargs):
         return self.to_designmatrix().plot(ax=ax, **kwargs)
 
+    @property
+    def columns(self):
+        """Concatenated column names (reference
+        ``designmatrix.py:523-526``)."""
+        return np.hstack([list(m.columns) for m in self.matrices])
+
+    def split(self, row_indices):
+        """Per-matrix :meth:`DesignMatrix.split` (reference
+        ``designmatrix.py:491-509``)."""
+        return self.__class__([m.split(row_indices)
+                               for m in self.matrices])
+
+    def standardize(self):
+        """Per-matrix :meth:`DesignMatrix.standardize` (reference
+        ``designmatrix.py:511-521``)."""
+        return self.__class__([m.standardize() for m in self.matrices])
+
+    def plot_priors(self, ax=None):
+        """Overlay every matrix's prior plot (reference
+        ``designmatrix.py:470-485``)."""
+        for m in self.matrices:
+            ax = m.plot_priors(ax=ax)
+        return ax
+
 
 class SparseDesignMatrixCollection(DesignMatrixCollection):
     """API-compatible alias (see :class:`SparseDesignMatrix`)."""

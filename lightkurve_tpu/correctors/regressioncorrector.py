@@ -189,6 +189,27 @@ class RegressionCorrector(Corrector):
                 meta={"LABEL": submatrix.name})
         return lcs
 
+    def diagnose_priors(self):
+        """Plot each design matrix's coefficient priors with the fitted
+        coefficients overlaid (reference ``regressioncorrector.py:393-427``).
+        Requires a prior call to :meth:`correct`."""
+        import matplotlib.pyplot as plt
+        if self.coefficients is None:
+            raise ValueError("Please call the `correct()` method before "
+                             "trying to diagnose.")
+        matrices = list(self.dmc.matrices)
+        _, axs = plt.subplots(1, len(matrices),
+                              figsize=(len(matrices) * 4, 4), sharey=True)
+        if not hasattr(axs, "__iter__"):
+            axs = [axs]
+        first = 0
+        for ax, X in zip(axs, matrices):
+            X.plot_priors(ax=ax)
+            for c in self.coefficients[first:first + X.shape[1]]:
+                ax.axvline(c, color="red", zorder=-1)
+            first += X.shape[1]
+        return axs
+
     def diagnose(self):
         """Diagnostic plot of the fit (reference ``:344-425``)."""
         import matplotlib.pyplot as plt

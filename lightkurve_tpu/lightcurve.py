@@ -371,6 +371,30 @@ class LightCurve:
                       LightkurveDeprecationWarning)
         return self.meta
 
+    @property
+    def SAP_FLUX(self):
+        """Deprecated v1.x alias: a copy with ``flux = sap_flux``
+        (reference ``lightcurve.py:742-752``)."""
+        warnings.warn("`SAP_FLUX` is deprecated, use "
+                      "`select_flux('sap_flux')` instead.",
+                      LightkurveDeprecationWarning)
+        lc = self.copy()
+        lc["flux"] = lc["sap_flux"]
+        lc["flux_err"] = lc["sap_flux_err"]
+        return lc
+
+    @property
+    def PDCSAP_FLUX(self):
+        """Deprecated v1.x alias: a copy with ``flux = pdcsap_flux``
+        (reference ``lightcurve.py:754-763``)."""
+        warnings.warn("`PDCSAP_FLUX` is deprecated, use "
+                      "`select_flux('pdcsap_flux')` instead.",
+                      LightkurveDeprecationWarning)
+        lc = self.copy()
+        lc["flux"] = lc["pdcsap_flux"]
+        lc["flux_err"] = lc["pdcsap_flux_err"]
+        return lc
+
     @staticmethod
     def from_timeseries(ts):
         """Create a LightCurve from a time-series table object holding

@@ -72,37 +72,56 @@ def _make_fused_kernel(npad, n, nbins, k_max, n_total, k_durs, dur_values,
         phase = jnp.mod(ts_ref[:], per)                       # (1, n)
         ids = jnp.clip((phase / d_phase).astype(jnp.int32),
                        0, nbins - 1)                          # (1, n)
-        ids2 = ids + nbp
-        # the flux tile arrives pre-cast to a_dtype (bf16 histogram mode
-        # needs BOTH matmul operands in bf16 to engage the native-rate
-        # MXU path; a mixed bf16×f32 dot falls back to full-f32 passes)
         yv = y_ref[:]                                         # (n, TB)
-        cover = nbp + (k_max - 1)            # rows ≥ cover are never read
+        ty = ty_ref[0]                                        # (1, TB)
 
-        def write_slab(s, a):
-            cs_ref[s * SLAB:(s + 1) * SLAB, :] = jnp.dot(
-                a, yv, preferred_element_type=acc_dtype)
-            cn_ref[s * SLAB:(s + 1) * SLAB, :] = jnp.sum(
-                a, axis=1, keepdims=True, dtype=acc_dtype)
-
-        # ONE pl.when per slab: Mosaic stack-allocates each when-block's
-        # (SLAB, n) step-matrix temporaries separately (no reuse across
-        # blocks), so splitting interior/straddling slabs into two
-        # branches doubles the stack and blows the 16M scoped-vmem limit
-        # (measured 60.8M at n=8192, npad=896)
+        # ONE compare per (row, sample): slabs cover rows [0, nbp) only.
+        # The circular wrap extension rows r ∈ [nbp, nbp + k_max − 1) —
+        # which the double-deposit fold built with a SECOND compare —
+        # satisfy cs[r] = total + cs[r − nbp], so they are written after
+        # the slab loop by one dynamic-offset store of total + cs[0:EXT]
+        # (or plain total in astropy edge mode, where truncated windows
+        # read the saturated total).  This halves the VPU fold cost, the
+        # dominant term: the f32-vs-bf16-operand experiment showed the
+        # Mosaic matmul already runs at the DEFAULT bf16-pass MXU rate,
+        # so the one-hot build, not the matmul, bounds the kernel.
+        # (ONE pl.when per slab: Mosaic stack-allocates each when-block's
+        # temporaries separately, so extra branches blow the scoped-vmem
+        # stack — measured 60.8M with two branches per slab.)
         for s in range(n_slabs):
-            @pl.when(s * SLAB < cover)
+            @pl.when(s * SLAB < nbp)
             def _(s=s):
                 rows = s * SLAB + jax.lax.broadcasted_iota(
                     jnp.int32, (SLAB, 1), 0)                  # (SLAB, 1)
                 a = (rows >= ids).astype(a_dtype)             # (SLAB, n)
-                if wrap:
-                    # circular wrap extension: rows ≥ nbp accumulate the
-                    # duplicated deposit (ids + nbp); without it (astropy
-                    # edge mode) rows ≥ nbp saturate at the total, so
-                    # edge windows truncate against empty bins
-                    a = a + (rows >= ids2).astype(a_dtype)
-                write_slab(s, a)
+                cs_ref[s * SLAB:(s + 1) * SLAB, :] = jnp.dot(
+                    a, yv, preferred_element_type=acc_dtype)
+                cn_ref[s * SLAB:(s + 1) * SLAB, :] = jnp.sum(
+                    a, axis=1, keepdims=True, dtype=acc_dtype)
+        ext = k_max - 1
+        if ext > 0:
+            # Mosaic requires dynamic sublane store offsets to be
+            # provably 8-aligned, so the extension block starts at
+            # align8(nbp) and recomputes the ≤7 pre-nbp rows it covers
+            # (their second compare is identically false there, so the
+            # values match what the slab loop wrote).  The block size is
+            # static and tiny (≤ ext+14 rows), so the double-deposit
+            # compare here costs ~1% of the slab loop.
+            extp = ((ext + 7 + 7) // 8) * 8
+            start = pl.multiple_of((nbp // 8) * 8, 8)
+            rvec = start + jax.lax.broadcasted_iota(
+                jnp.int32, (extp, 1), 0)                      # (extp, 1)
+            a = (rvec >= ids).astype(a_dtype)
+            if wrap:
+                a = a + (rvec >= ids + nbp).astype(a_dtype)
+            else:
+                # astropy edge mode: rows ≥ nbp keep the saturated
+                # total from the single compare (truncated windows)
+                pass
+            cs_ref[pl.ds(start, extp), :] = jnp.dot(
+                a, yv, preferred_element_type=acc_dtype)
+            cn_ref[pl.ds(start, extp), :] = jnp.sum(
+                a, axis=1, keepdims=True, dtype=acc_dtype)
 
         # stale rows from skipped slabs (previous cell's values or
         # uninitialized VMEM) are masked inside the window body by
@@ -197,15 +216,18 @@ def bls_fused_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
 
     n, B = Y0.shape
     k_max = max(k_durs)
-    nbins_ext = nbins + k_max - 1
+    # +24 margin: the aligned extension-block store (see kernel) can
+    # reach up to ~21 rows past nbins + k_max - 1; rows beyond the
+    # extension are never read (window validity masks them)
+    nbins_ext = nbins + k_max - 1 + 24
     npad = ((nbins_ext + SLAB - 1) // SLAB) * SLAB
     dtype = Y0.dtype
     acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
     bf16 = hist_dtype in ("bfloat16", "bf16")
-    # lane tile 128: the unrolled duration-window loop keeps ~all its
-    # (npad, tb) temporaries live on the Mosaic stack, so tb=256 blows
-    # the 16M scoped-vmem limit (measured 121M) even in bf16 mode
-    tb = 128
+    # lane tile 256 halves the per-curve VPU fold cost (the kernel's
+    # bound); needs the raised scoped-vmem limit in _fused_call because
+    # the unrolled loops stack-allocate their (npad, tb) temporaries
+    tb = 256 if B % 256 == 0 else 128
     assert n % SLAB == 0 and B % tb == 0, (n, B)
     tot_y = jnp.sum(Y0, axis=0, dtype=acc).astype(dtype)      # (B,)
     Ya = Y0.astype(jnp.bfloat16) if bf16 else Y0

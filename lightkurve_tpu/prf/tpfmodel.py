@@ -407,6 +407,15 @@ class TPFModel:
             params = params.to_array()
         return np.asarray(self.predict_from_array(np.asarray(params)))
 
+    def logp_prior(self, params):
+        """Prior evaluated at a point in parameter space (reference
+        ``tpfmodel.py:589-611``; like the reference's oktopus priors,
+        ``evaluate`` returns the NEGATIVE log density, so this equals
+        :meth:`prior_penalty`)."""
+        if isinstance(params, TPFModelParameters):
+            params = params.to_array()
+        return float(self.prior_penalty(np.asarray(params, dtype=float)))
+
     def prior_penalty(self, params):
         """Total negative-log-prior of a free vector (pure JAX)."""
         (cols, rows, fluxes, bkg, scale_col, scale_row, rot,

@@ -50,6 +50,15 @@ class SearchResult:
 
     def __init__(self, table=None):
         self.table = list(table or [])
+        # extra columns appended to the repr, configurable via
+        # ``conf.search_result_display_extra_columns`` (reference
+        # ``search.py:124``)
+        try:
+            from .config import conf
+            self.display_extra_columns = list(
+                conf.search_result_display_extra_columns or [])
+        except Exception:
+            self.display_extra_columns = []
 
     def __len__(self):
         return len(self.table)
@@ -103,6 +112,16 @@ class SearchResult:
     @property
     def filename(self):
         return self._col("productFilename")
+
+    @property
+    def distance(self):
+        """Angular distance (arcsec) from the search position for each
+        product (reference ``search.py:275-278``); NaN for products
+        indexed without a cone-search distance."""
+        from .units import Quantity
+        return Quantity(np.asarray(
+            [r.get("distance", np.nan) for r in self.table], dtype=float),
+            "arcsec")
 
     @property
     def ra(self):

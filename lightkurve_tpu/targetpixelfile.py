@@ -21,8 +21,9 @@ import numpy as np
 from .lightcurve import KeplerLightCurve, LightCurve, TessLightCurve
 from .time import Time
 from .units import Quantity, dimensionless, electron_per_second, pixel
-from .utils import (KeplerQualityFlags, LightkurveError, LightkurveWarning,
-                    TessQualityFlags, centroid_quadratic, validate_method)
+from .utils import (KeplerQualityFlags, LightkurveDeprecationWarning,
+                    LightkurveError, LightkurveWarning, TessQualityFlags,
+                    centroid_quadratic, validate_method)
 from .wcs import TanWCS
 
 log = logging.getLogger(__name__)
@@ -690,6 +691,36 @@ class TargetPixelFile:
         from .prf import TPFModel
         return TPFModel.from_tpf(self, star_priors=star_priors, **kwargs)
 
+    @property
+    def astropy_time(self):
+        """Deprecated v1.x accessor (reference keeps it warn-and-work):
+        warns and returns ``time``."""
+        warnings.warn("`astropy_time` is deprecated, use `time` instead.",
+                      LightkurveDeprecationWarning)
+        return self.time
+
+    @property
+    def header(self):
+        """Deprecated v1.x accessor: warns and returns the primary-header
+        meta mapping (the reference's ``get_header(0)``)."""
+        warnings.warn("`header` is deprecated, use `meta` or "
+                      "`get_header()` instead.",
+                      LightkurveDeprecationWarning)
+        return self.meta
+
+    @classmethod
+    def from_fits_images(cls, images, position=None, size=(11, 11),
+                         extension=1, target_id="unnamed-target",
+                         hdu0_keywords=None, **kwargs):
+        """Build a TPF by cutting out FFI image stacks (reference
+        ``targetpixelfile.py:1619-1867``); dispatches through
+        :class:`TargetPixelFileFactory` with this class as the product
+        type."""
+        return TargetPixelFileFactory.from_fits_images(
+            images, position=position, size=size, extension=extension,
+            target_id=target_id, hdu0_keywords=hdu0_keywords,
+            tpf_cls=cls, **kwargs)
+
     # ------------------------------------------------------------------
     # export
     # ------------------------------------------------------------------
@@ -794,20 +825,37 @@ class KeplerTargetPixelFile(TargetPixelFile):
         return SimpleKeplerPRF(channel=self.channel, shape=shape,
                                column=self.column, row=self.row)
 
-    @staticmethod
-    def from_fits_images(images, position=None, size=(11, 11),
-                         extension=1, target_id="unnamed-target",
-                         hdu0_keywords=None, **kwargs):
-        return TargetPixelFileFactory.from_fits_images(
-            images, position=position, size=size, extension=extension,
-            target_id=target_id, hdu0_keywords=hdu0_keywords,
-            tpf_cls=KeplerTargetPixelFile, **kwargs)
+    def prf_lightcurve(self, **kwargs):
+        """PRF-photometry light curve with mission meta attached
+        (reference ``targetpixelfile.py:2383-2403``)."""
+        lc = self.extract_prf_photometry(**kwargs).to_lightcurve(
+            time=self.time.value)
+        lc.meta.update({
+            "QUALITY": None, "CHANNEL": self.channel,
+            "CAMPAIGN": self.campaign, "QUARTER": self.quarter,
+            "MISSION": self.mission, "RA_OBJ": self.ra,
+            "DEC_OBJ": self.dec, "TARGETID": self.targetid,
+        })
+        return KeplerLightCurve(time=lc.time.value, flux=lc.flux,
+                                meta=lc.meta)
 
 
 class TessTargetPixelFile(TargetPixelFile):
     """TESS TPF (reference ``targetpixelfile.py:2760-2941``)."""
 
     _quality_flags_cls = TessQualityFlags
+
+    @property
+    def background_mask(self):
+        """Pixels the TESS pipeline used for its background aperture:
+        bit 4 of the aperture extension (reference
+        ``targetpixelfile.py:2830-2841``; falls back to an all-False
+        mask when the extension is missing or non-integer, as early
+        TESScut products were)."""
+        try:
+            return np.asarray(self._aperture).astype(np.int64) & 4 > 0
+        except (TypeError, ValueError, AttributeError):
+            return np.zeros(self.shape[1:], dtype=bool)
 
     @property
     def _time_format(self):
