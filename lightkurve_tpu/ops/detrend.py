@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .masked import masked_median, masked_std
+from .masked import masked_median, masked_median_grouped, masked_std
 from .savgol import savgol_filter_interp
 from .interp import interp_linear_extrap, interp_linear_ranked
 
@@ -92,12 +92,12 @@ def flatten(time, flux, valid, H, break_tolerance, sigma,
         # SG trend with anchored windows inside each segment
         trend_c = savgol_filter_interp(cf, H, lo, hi)
 
-        # short-segment median fallback (lightcurve.py:1035-1038)
+        # short-segment median fallback (lightcurve.py:1035-1038) — one
+        # shared key/payload sort for all segment medians instead of a
+        # (max_segments, n) batched sort, which dominated the TPU step
         seg_id = jnp.clip(jnp.cumsum(brk) - 1, 0, max_segments - 1)
-        seg_masks = (seg_id[None, :] == jnp.arange(max_segments)[:, None]) \
-            & (idx[None, :] < m)
-        seg_med = masked_median(jnp.broadcast_to(cf, (max_segments, n)),
-                                seg_masks)
+        seg_med = masked_median_grouped(cf, seg_id, max_segments,
+                                        valid=idx < m)
         short = (w > seglen) | (seglen < break_tolerance)
         trend_c = jnp.where(short, seg_med[seg_id], trend_c)
 

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "nan_to_mask", "masked_sum", "masked_mean", "masked_var", "masked_std",
-    "masked_median", "masked_quantile",
+    "masked_median", "masked_quantile", "masked_median_grouped",
 ]
 
 
@@ -82,3 +82,52 @@ def masked_quantile(x, mask, q, axis=-1):
 def masked_median(x, mask, axis=-1):
     """Median over valid entries (matches ``np.nanmedian``)."""
     return masked_quantile(x, mask, 0.5, axis=axis)
+
+
+def masked_median_grouped(x, group_id, n_groups, valid=None):
+    """Per-group medians over the last axis sharing ONE sort.
+
+    Computes ``[masked_median(x, (group_id == g) & valid) for g in
+    range(n_groups)]`` with a single key/payload sort of ``x`` instead of
+    ``n_groups`` full sorts — the difference between 16 batched sorts and
+    1 in flatten's short-segment fallback, where device sorts dominate
+    the pipeline.  Matches :func:`masked_quantile` (numpy linear
+    interpolation) exactly for non-empty groups; empty groups return 0.0
+    (callers never read them — segment ids only index real segments).
+
+    Parameters
+    ----------
+    x : (..., n) values.
+    group_id : (..., n) int32 group of each sample (in [0, n_groups)).
+    n_groups : static int.
+    valid : optional (..., n) bool; invalid samples belong to no group.
+
+    Returns
+    -------
+    (..., n_groups) medians.
+    """
+    n = x.shape[-1]
+    big = jnp.asarray(jnp.inf, dtype=x.dtype)
+    keys = x if valid is None else jnp.where(valid, x, big)
+    gid = group_id.astype(jnp.int32)
+    if valid is not None:
+        gid = jnp.where(valid, gid, n_groups)      # park invalids
+    vs, gs = jax.lax.sort((keys, gid), dimension=-1, num_keys=1)
+
+    meds = []
+    for g in range(n_groups):
+        m = (gs == g)
+        ng = jnp.sum(m, axis=-1, keepdims=True).astype(x.dtype)
+        pos = 0.5 * (ng - 1.0)
+        lo = jnp.clip(jnp.floor(pos), 0, n - 1)
+        hi = jnp.clip(lo + 1, 0, None)
+        c = jnp.cumsum(m, axis=-1)
+        # the j-th in-group element is the unique position with
+        # (cumcount == j+1) & member
+        v_lo = jnp.sum(jnp.where(m & (c == lo + 1), vs, 0.0), axis=-1,
+                       keepdims=True)
+        sel_hi = m & (c == jnp.minimum(hi, jnp.maximum(ng - 1, 0)) + 1)
+        v_hi = jnp.sum(jnp.where(sel_hi, vs, 0.0), axis=-1, keepdims=True)
+        med = v_lo + (pos - lo) * (v_hi - v_lo)
+        meds.append(jnp.where(ng > 0, med, 0.0))
+    return jnp.concatenate(meds, axis=-1)

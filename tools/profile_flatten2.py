@@ -56,3 +56,25 @@ timeit("scatter .at[order].set",
 timeit("cummax+cummin bounds",
        lambda: (jax.lax.cummax(jnp.where(valid, 1, 0), axis=1),
                 jnp.flip(jax.lax.cummin(jnp.flip(ranks, 1), axis=1), 1)))
+
+from lightkurve_tpu.ops.masked import masked_median_grouped
+gid = jnp.asarray(rng.integers(0, 16, (B, N)), jnp.int32)
+timeit("masked_median_grouped16",
+       lambda: masked_median_grouped(x, gid, 16, valid))
+
+
+def compact_scatter(valid):
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), valid.shape)
+    cv = jnp.cumsum(valid, axis=-1)
+    m = cv[:, -1:]
+    target = jnp.where(valid, cv - 1,
+                       m + jnp.cumsum(~valid, axis=-1) - 1)
+    rows = jnp.arange(B)[:, None]
+    return jnp.zeros_like(idx).at[rows, target].set(idx,
+                                                    unique_indices=True)
+
+
+timeit("compact via scatter", lambda: compact_scatter(valid))
+timeit("gather x[order]",
+       lambda: jnp.take_along_axis(
+           x, jnp.argsort(~valid, axis=-1, stable=True), axis=-1))
