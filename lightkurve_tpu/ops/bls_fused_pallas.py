@@ -55,6 +55,13 @@ __all__ = ["bls_fused_scan_uniform"]
 SLAB = 128        # prefix-sum rows built per MXU call
 
 
+def _mxu_precision(a_dtype):
+    # f64 (interpret-mode parity) must stay exact; f32 on TPU matches
+    # XLA's DEFAULT single-pass bf16-input MXU mode
+    return (jax.lax.Precision.HIGHEST if a_dtype == jnp.float64
+            else jax.lax.Precision.DEFAULT)
+
+
 def _make_fused_kernel(npad, n, nbins, k_max, n_total, k_durs, dur_values,
                        d_phase, use_likelihood, wrap, out_dtype, a_dtype,
                        acc_dtype):
@@ -94,8 +101,13 @@ def _make_fused_kernel(npad, n, nbins, k_max, n_total, k_durs, dur_values,
                 rows = s * SLAB + jax.lax.broadcasted_iota(
                     jnp.int32, (SLAB, 1), 0)                  # (SLAB, 1)
                 a = (rows >= ids).astype(a_dtype)             # (SLAB, n)
+                # explicit DEFAULT precision: Mosaic otherwise runs f32
+                # dots in exact-f32 mode (~1/4 the MXU rate); DEFAULT is
+                # the single-pass bf16-input mode XLA's f32 matmuls use,
+                # numerically identical to the XLA fold path on TPU
                 cs_ref[s * SLAB:(s + 1) * SLAB, :] = jnp.dot(
-                    a, yv, preferred_element_type=acc_dtype)
+                    a, yv, preferred_element_type=acc_dtype,
+                    precision=_mxu_precision(a_dtype))
                 cn_ref[s * SLAB:(s + 1) * SLAB, :] = jnp.sum(
                     a, axis=1, keepdims=True, dtype=acc_dtype)
         ext = k_max - 1
@@ -119,7 +131,8 @@ def _make_fused_kernel(npad, n, nbins, k_max, n_total, k_durs, dur_values,
                 # total from the single compare (truncated windows)
                 pass
             cs_ref[pl.ds(start, extp), :] = jnp.dot(
-                a, yv, preferred_element_type=acc_dtype)
+                a, yv, preferred_element_type=acc_dtype,
+                precision=_mxu_precision(a_dtype))
             cn_ref[pl.ds(start, extp), :] = jnp.sum(
                 a, axis=1, keepdims=True, dtype=acc_dtype)
 

@@ -179,3 +179,57 @@ def test_uniform_kernel_padding_rows_sort_last():
     assert np.isfinite(power[0]).all()
     # argmax over the batch never selects the padding row
     assert int(np.argmax(power.max(axis=1))) == 0
+
+
+@pytest.mark.parametrize("edge_mode", ["wrap", "astropy"])
+@pytest.mark.parametrize("objective", ["likelihood", "snr"])
+def test_fused_pallas_matches_xla(rng, edge_mode, objective):
+    """The fully-fused Pallas BLS pipeline (interpret mode on CPU)
+    matches the XLA staged path on every output, both edge conventions
+    and objectives, including lane-tile 256 and inf-padding rows."""
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
+    n, B, P = 256, 128, 37
+    t = np.arange(n) * 0.02
+    Y = 1.0 + 2e-4 * rng.standard_normal((B, n))
+    ph = np.mod(t - 0.3 + 0.45, 0.9) - 0.45
+    Y[:, np.abs(ph) < 0.05] -= 3e-3
+    periods = np.linspace(0.5, 1.7, P)
+    durs = np.array([0.05, 0.1, 0.15])
+    kw = dict(objective=objective, edge_mode=edge_mode, chunk=8)
+    a = bls_power_shared_batch(t, Y, None, periods, durs,
+                               fold_impl="xla", **kw)
+    b = bls_power_shared_batch(t, Y, None, periods, durs,
+                               fold_impl="fused_interpret", **kw)
+    for k in a:
+        aa, bb = np.asarray(a[k]), np.asarray(b[k])
+        m = np.isfinite(aa)
+        np.testing.assert_allclose(aa[m], bb[m], rtol=1e-9, atol=1e-12,
+                                   err_msg=k)
+        np.testing.assert_array_equal(np.isfinite(aa), np.isfinite(bb),
+                                      err_msg=k)
+
+
+def test_fused_pallas_lane_tile_256_and_padding(rng):
+    """B=256 engages the 256-lane tile; all-inf dy rows (batch padding)
+    sort last exactly as the XLA uniform kernel's."""
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
+    n, B, P = 256, 256, 23
+    t = np.arange(n) * 0.02
+    Y = 1.0 + 2e-4 * rng.standard_normal((B, n))
+    dy = np.tile(rng.uniform(2e-4, 6e-4, (B, 1)), (1, n))
+    dy[-5:] = np.inf
+    periods = np.linspace(0.5, 1.7, P)
+    durs = np.array([0.05, 0.1])
+    a = bls_power_shared_batch(t, Y, dy, periods, durs, chunk=8,
+                               uniform_weights=True, fold_impl="xla")
+    b = bls_power_shared_batch(t, Y, dy, periods, durs, chunk=8,
+                               uniform_weights=True,
+                               fold_impl="fused_interpret")
+    for k in a:
+        aa, bb = np.asarray(a[k]), np.asarray(b[k])
+        m = np.isfinite(aa)
+        np.testing.assert_allclose(aa[m], bb[m], rtol=1e-9, atol=1e-12,
+                                   err_msg=k)
+        np.testing.assert_array_equal(np.isfinite(aa), np.isfinite(bb),
+                                      err_msg=k)
+    assert np.all(np.isneginf(np.asarray(b["power"])[-5:]))
