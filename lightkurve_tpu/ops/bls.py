@@ -340,13 +340,21 @@ def _bls_shared_scan(ts, W, WY, periods, k_durs, dur_values, d_phase, nbins,
         phase = jnp.mod(ts[None, :], pc[:, None])
         ids = jnp.clip((phase / d_phase).astype(jnp.int32),
                        0, nbins - 1)                    # (C, n) < nbins_p
-        # NOTE: a fused Pallas fold (one-hot built in VMEM + per-period
-        # row-tile FLOP skipping) was measured SLOWER than this XLA form
-        # on the v5e (62 vs 55 ms at the bench shape) — the big matmul
-        # already runs at ~71% of MXU peak and Mosaic's per-block
-        # streaming overhead ate the skipped FLOPs.  Don't retry without
-        # a materially different blocking idea.
+        # NOTE: a fully-fused Pallas fold+window pipeline exists
+        # (ops/bls_fused_pallas.py, fold_impl="fused") — measured ~8%
+        # SLOWER than this XLA staging on the v5e at the bench shape
+        # (96 vs 89 ms at P=1024): Mosaic's in-kernel matmul tops out
+        # around the same ~70 TFLOP/s the XLA fold reaches, so removing
+        # the HBM round-trips doesn't pay for the lost XLA pipelining.
+        # Kept for ragged-shape-free deployments and as the base for
+        # future Mosaic work; the step-fold trick below came out of it.
         ids2 = ids + nbins_p[:, None]                   # wrap duplicate
+        # (a STEP-function fold — A[r,i] = (ids_i ≤ r), matmul produces
+        # the prefix sums directly, no cumsum — was measured SLOWER here:
+        # 374 vs 357 ms at the bench shape.  XLA's cumsum is cheaper
+        # than materializing the denser step operand; the trick only
+        # pays inside the fused Pallas kernel where the operand never
+        # leaves VMEM.)
         tiles = []
         for tb in range(n_tiles):
             rows = tb * 128 + jnp.arange(128, dtype=jnp.int32)
@@ -774,12 +782,16 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
             fold_impl = os.environ.get("LK_BLS_FOLD", "auto")
         n_samp, B_curves = ts.shape[0], Y.shape[0]
         if fold_impl == "auto":
-            # fully-fused Pallas pipeline (fold + window in VMEM, zero
-            # HBM intermediates + short-period slab skipping) on TPU
-            # whenever the shapes tile; XLA staging otherwise
-            fold_impl = ("fused" if jax.default_backend() == "tpu"
-                         and n_samp % 128 == 0 and B_curves % 128 == 0
-                         else "xla")
+            # The fully-fused Pallas pipeline (fold + window in VMEM,
+            # zero HBM intermediates, short-period slab skipping) is
+            # kept OPT-IN (fold_impl="fused" / LK_BLS_FOLD=fused): on a
+            # v5e it measured ~8% slower than the XLA staging at the
+            # bench shape (96 vs 89 ms at B=512/N=8192/P=1024) — the
+            # Mosaic in-kernel matmul tops out near the same effective
+            # rate the XLA fold reaches, so the saved HBM passes don't
+            # cover the lost XLA pipelining.  Revisit if Mosaic gains a
+            # faster f32/bf16 matmul mode.
+            fold_impl = "xla"
         if fold_impl in ("fused", "fused_interpret"):
             from .bls_fused_pallas import bls_fused_scan_uniform
             out = bls_fused_scan_uniform(

@@ -25,20 +25,39 @@ __all__ = ["flatten", "flatten_batch"]
 
 
 def _compact(valid):
-    """Stable permutation placing valid entries first, in original order."""
-    return jnp.argsort(~valid, stable=True)
+    """Stable permutation placing valid entries first, in original order.
+
+    Computed as the inverse of the target-position map via one scatter —
+    a payload argsort costs ~118 ms at (512, 8192) on a v5e vs ~32 ms
+    for the scatter (sorting is not needed: the destinations are a
+    closed-form function of the running valid/invalid counts)."""
+    n = valid.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cv = jnp.cumsum(valid)
+    m = cv[-1]
+    target = jnp.where(valid, cv - 1, m + (idx - cv))
+    return jnp.zeros((n,), jnp.int32).at[target].set(idx,
+                                                     unique_indices=True)
 
 
 def _segment_bounds(brk, n):
     """Per-position [lo, hi) bounds given break flags (brk[i] = new segment
-    starts at i).  Positions are compacted indices."""
-    idx = jnp.arange(n)
-    lo = jax.lax.cummax(jnp.where(brk, idx, 0))
-    # hi: nearest break strictly after i (default n)
-    nxt = jnp.where(brk, idx, n)
-    hi = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
-    # shift: hi_i must ignore a break at i itself
-    hi = jnp.concatenate([hi[1:], jnp.array([n])])
+    starts at i).  Positions are compacted indices.
+
+    lax.cummax/cummin lower catastrophically on TPU (~220 ms at
+    (512, 8192), the largest single slice of the flatten step), so the
+    bounds are built from a break-position TABLE instead: ``T[g]`` is the
+    position of the g-th break (one scatter), and each element's segment
+    is ``[T[u], T[u+1])`` with ``u`` the running break count (cumsum).
+    Exact for any number of segments."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    u = jnp.cumsum(brk)                        # 1-indexed break counter
+    # park non-break elements at slot 0 (never read: u >= 1 everywhere
+    # because brk[0] is always True); slots past the last break keep n
+    pos = jnp.where(brk, u, 0)
+    table = jnp.full((n + 2,), n, jnp.int32).at[pos].set(idx)
+    lo = table[u]
+    hi = table[u + 1]                          # break strictly after i
     return lo, hi
 
 
