@@ -222,7 +222,8 @@ def main():
         from lightkurve_tpu.prf import PRFPhotometry, TPFModel
         from lightkurve_tpu.prf.prfmodel import GaussianPRF
         from lightkurve_tpu.prf.tpfmodel import (StarPrior, GaussianPrior,
-                                                 UniformPrior)
+                                                 UniformPrior,
+                                                 BackgroundPrior)
         prf = GaussianPRF(shape=(9, 9), column=0, row=0)
         stars = [StarPrior(col=GaussianPrior(2.8, 0.5),
                            row=GaussianPrior(3.1, 0.5),

@@ -19,23 +19,33 @@ import jax.numpy as jnp
 
 from .masked import masked_median, masked_median_grouped, masked_std
 from .savgol import savgol_filter_interp
-from .interp import interp_linear_extrap, interp_linear_ranked
+from .interp import interp_linear_fill
 
 __all__ = ["flatten", "flatten_batch"]
 
 
-def _compact(valid):
-    """Stable permutation placing valid entries first, in original order.
+def _compact_targets(valid):
+    """Destination of each position under the stable valid-first compaction.
 
-    Computed as the inverse of the target-position map via one scatter —
-    a payload argsort costs ~118 ms at (512, 8192) on a v5e vs ~32 ms
-    for the scatter (sorting is not needed: the destinations are a
-    closed-form function of the running valid/invalid counts)."""
+    Closed-form from the running valid/invalid counts — no sort.  Arrays
+    are moved INTO compacted order by scattering with these targets
+    (``out.at[target].set(a)``), which costs ~32 ms at (512, 8192) on a
+    v5e where the equivalent permutation GATHER (``a[order]``) costs
+    ~250 ms — XLA lowers batched 1-D gathers near-scalar on TPU but
+    scatters onto a unique-index permutation stay vectorized."""
     n = valid.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     cv = jnp.cumsum(valid)
     m = cv[-1]
-    target = jnp.where(valid, cv - 1, m + (idx - cv))
+    return jnp.where(valid, cv - 1, m + (idx - cv))
+
+
+def _compact(valid):
+    """Stable permutation placing valid entries first, in original order
+    (the inverse of :func:`_compact_targets`, one scatter)."""
+    n = valid.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    target = _compact_targets(valid)
     return jnp.zeros((n,), jnp.int32).at[target].set(idx,
                                                      unique_indices=True)
 
@@ -92,10 +102,14 @@ def flatten(time, flux, valid, H, break_tolerance, sigma,
     idx = jnp.arange(n)
 
     def one_iter(valid):
-        order = _compact(valid)
+        target = _compact_targets(valid)
+        order = jnp.zeros((n,), jnp.int32).at[target].set(
+            idx.astype(jnp.int32), unique_indices=True)
         m = jnp.sum(valid)
-        ct = time[order]
-        cf = flux[order]
+        # apply the compaction as scatters, not gathers (see
+        # _compact_targets): ct[target[i]] = time[i]
+        ct = jnp.zeros_like(time).at[target].set(time, unique_indices=True)
+        cf = jnp.zeros_like(flux).at[target].set(flux, unique_indices=True)
 
         # gap detection over compacted times (lightcurve.py:1022-1027)
         dt = jnp.diff(ct, append=ct[-1:])          # dt[i] = ct[i+1]-ct[i]
@@ -127,17 +141,14 @@ def flatten(time, flux, valid, H, break_tolerance, sigma,
         keep = keep & (idx < m)
 
         # interpolate trend through kept points onto ALL times; the kept
-        # points ARE grid points of the (ascending) time vector, so their
-        # searchsorted ranks are an exclusive cumsum of the kept mask —
-        # no per-row binary search
-        order2 = _compact(keep)
-        m2 = jnp.sum(keep)
-        xp = ct[order2]
-        fp = trend_c[order2]
+        # points ARE grid points of the (ascending) time vector, so no
+        # compaction or rank search is needed at all — scatter the trend
+        # back to original positions and forward/backward-fill the
+        # interpolation endpoints (interp_linear_fill, gather-free)
         valid_new = jnp.zeros_like(valid).at[order].set(keep)
-        kept_i = valid_new.astype(jnp.int32)
-        ranks = jnp.cumsum(kept_i) - kept_i
-        trend_full = interp_linear_ranked(time, xp, fp, ranks, m2)
+        trend_orig = jnp.zeros_like(flux).at[order].set(trend_c,
+                                                        unique_indices=True)
+        trend_full = interp_linear_fill(time, valid_new, trend_orig)
         return valid_new, trend_full
 
     def body(_, carry):

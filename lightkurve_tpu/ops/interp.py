@@ -8,10 +8,11 @@ masked cadences, ``lightcurve.py:1053-1058``) and
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["interp_linear_extrap", "interp_linear_ranked",
-           "pchip_interpolate", "pchip_slopes"]
+           "interp_linear_fill", "pchip_interpolate", "pchip_slopes"]
 
 
 def interp_linear_extrap(x, xp, fp, n_valid=None):
@@ -60,6 +61,77 @@ def _interp_at_ranks(x, xp, fp, idx, n_valid):
     f_hi = jnp.take_along_axis(fp, hi, axis=-1)
     denom = x_hi - x_lo
     slope = jnp.where(denom != 0, (f_hi - f_lo) / jnp.where(denom == 0, 1, denom), 0.0)
+    return f_lo + slope * (x - x_lo)
+
+
+def _last2_scan(valid, x, f, reverse=False):
+    """Nearest-two valid samples in scan order, inclusive, per position.
+
+    Forward (``reverse=False``): for each i, the last and second-to-last
+    positions j <= i with ``valid[j]``.  Reverse: the first and second
+    positions j >= i.  Returns ``(v1, x1, f1, v2, x2, f2)`` where the
+    ``v*`` flags say whether that neighbor exists; ``x*``/``f*`` are
+    meaningful only under their flag.
+
+    The carry is the 'last two valid items' monoid (concatenate, keep the
+    two most recent) — associative, so ``lax.associative_scan`` runs it
+    in log2(n) vectorized steps with no gathers.
+    """
+    def comb(a, b):
+        av1, ax1, af1, av2, ax2, af2 = a
+        bv1, bx1, bf1, bv2, bx2, bf2 = b
+        v1 = bv1 | av1
+        x1 = jnp.where(bv1, bx1, ax1)
+        f1 = jnp.where(bv1, bf1, af1)
+        v2 = bv2 | (bv1 & av1) | ((~bv1) & av2)
+        x2 = jnp.where(bv2, bx2, jnp.where(bv1, ax1, ax2))
+        f2 = jnp.where(bv2, bf2, jnp.where(bv1, af1, af2))
+        return (v1, x1, f1, v2, x2, f2)
+
+    false = jnp.zeros_like(valid)
+    elems = (valid, x, f, false, x, f)
+    # positive axis: associative_scan's reverse path rejects axis=-1
+    return jax.lax.associative_scan(comb, elems, axis=valid.ndim - 1,
+                                    reverse=reverse)
+
+
+def interp_linear_fill(x, kept, f):
+    """:func:`interp_linear_extrap` when the sample points are a subset of
+    the (ascending) query grid itself, marked in place by ``kept``.
+
+    Bit-equivalent to compacting ``(x[kept], f[kept])`` and calling
+    :func:`interp_linear_ranked` with cumsum ranks, but entirely
+    gather-free: the interpolation endpoints come from two
+    ``associative_scan`` forward/backward fills instead of four
+    ``take_along_axis`` gathers (~170 ms -> ~20 ms for (512, 8192) on a
+    v5e, where XLA lowers batched 1-D gathers poorly).
+
+    Endpoint selection mirrors ``_interp_at_ranks``'s clamping: interior
+    points use (last kept strictly before, first kept at-or-after); the
+    head extrapolates through the first two kept points, the tail through
+    the last two.
+    """
+    nxt = _last2_scan(kept, x, f, reverse=True)           # at or after i
+    inc = _last2_scan(kept, x, f, reverse=False)
+    # strictly-before = inclusive scan shifted right one position
+    def shift(a):
+        pad = jnp.zeros_like(a[..., :1])
+        return jnp.concatenate([pad, a[..., :-1]], axis=-1)
+    pv1, px1, pf1, pv2, px2, pf2 = (shift(a) for a in inc)
+    nv1, nx1, nf1, nv2, nx2, nf2 = nxt
+
+    head = ~pv1                                           # rank == 0
+    x_lo = jnp.where(head, nx1,
+                     jnp.where(nv1, px1, jnp.where(pv2, px2, px1)))
+    f_lo = jnp.where(head, nf1,
+                     jnp.where(nv1, pf1, jnp.where(pv2, pf2, pf1)))
+    x_hi = jnp.where(head, jnp.where(nv2, nx2, nx1),
+                     jnp.where(nv1, nx1, px1))
+    f_hi = jnp.where(head, jnp.where(nv2, nf2, nf1),
+                     jnp.where(nv1, nf1, pf1))
+    denom = x_hi - x_lo
+    slope = jnp.where(denom != 0,
+                      (f_hi - f_lo) / jnp.where(denom == 0, 1, denom), 0.0)
     return f_lo + slope * (x - x_lo)
 
 
