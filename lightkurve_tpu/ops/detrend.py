@@ -24,50 +24,51 @@ from .interp import interp_linear_fill
 __all__ = ["flatten", "flatten_batch"]
 
 
-def _compact_targets(valid):
-    """Destination of each position under the stable valid-first compaction.
+def _compact(valid):
+    """Stable permutation placing valid entries first, in original order.
 
-    Closed-form from the running valid/invalid counts — no sort.  Arrays
-    are moved INTO compacted order by scattering with these targets
-    (``out.at[target].set(a)``), which costs ~32 ms at (512, 8192) on a
-    v5e where the equivalent permutation GATHER (``a[order]``) costs
-    ~250 ms — XLA lowers batched 1-D gathers near-scalar on TPU but
-    scatters onto a unique-index permutation stay vectorized."""
+    Kept for callers that want the permutation itself; the flatten hot
+    loop applies the compaction with one payload ``lax.sort`` instead
+    (see ``one_iter``) — on TPU a multi-payload sort costs ~8.5 ms at
+    (512, 8192) where the equivalent permutation gathers (~250 ms) or
+    unique-index scatters (which anti-fuse when several share a jit —
+    measured seconds) are far slower."""
     n = valid.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     cv = jnp.cumsum(valid)
     m = cv[-1]
-    return jnp.where(valid, cv - 1, m + (idx - cv))
-
-
-def _compact(valid):
-    """Stable permutation placing valid entries first, in original order
-    (the inverse of :func:`_compact_targets`, one scatter)."""
-    n = valid.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    target = _compact_targets(valid)
+    target = jnp.where(valid, cv - 1, m + (idx - cv))
     return jnp.zeros((n,), jnp.int32).at[target].set(idx,
                                                      unique_indices=True)
+
+
+def _fill_scan(flag, val, reverse=False):
+    """Per-position most recent ``val`` where ``flag`` (inclusive), as a
+    log2(n) ``associative_scan`` — returns (seen, filled)."""
+    def comb(a, b):
+        av, ax = a
+        bv, bx = b
+        return (bv | av, jnp.where(bv, bx, ax))
+    return jax.lax.associative_scan(comb, (flag, val), axis=flag.ndim - 1,
+                                    reverse=reverse)
 
 
 def _segment_bounds(brk, n):
     """Per-position [lo, hi) bounds given break flags (brk[i] = new segment
     starts at i).  Positions are compacted indices.
 
-    lax.cummax/cummin lower catastrophically on TPU (~220 ms at
-    (512, 8192), the largest single slice of the flatten step), so the
-    bounds are built from a break-position TABLE instead: ``T[g]`` is the
-    position of the g-th break (one scatter), and each element's segment
-    is ``[T[u], T[u+1])`` with ``u`` the running break count (cumsum).
-    Exact for any number of segments."""
+    Built from two forward/backward fill scans (~6 ms at (512, 8192) on a
+    v5e).  The alternatives all lower catastrophically on TPU:
+    lax.cummax/cummin ~220 ms, a break-position table with batched 1-D
+    gathers ~40 s (!) — batched gathers and scatters are near-scalar."""
     idx = jnp.arange(n, dtype=jnp.int32)
-    u = jnp.cumsum(brk)                        # 1-indexed break counter
-    # park non-break elements at slot 0 (never read: u >= 1 everywhere
-    # because brk[0] is always True); slots past the last break keep n
-    pos = jnp.where(brk, u, 0)
-    table = jnp.full((n + 2,), n, jnp.int32).at[pos].set(idx)
-    lo = table[u]
-    hi = table[u + 1]                          # break strictly after i
+    # lo[i] = most recent break at or before i (brk[0] is always True)
+    _, lo = _fill_scan(brk, idx)
+    # hi[i] = first break strictly after i, else n: reverse-inclusive
+    # fill shifted left one position
+    seen, nxt = _fill_scan(brk, idx, reverse=True)
+    hi = jnp.concatenate(
+        [jnp.where(seen[1:], nxt[1:], n), jnp.full((1,), n, jnp.int32)])
     return lo, hi
 
 
@@ -102,14 +103,14 @@ def flatten(time, flux, valid, H, break_tolerance, sigma,
     idx = jnp.arange(n)
 
     def one_iter(valid):
-        target = _compact_targets(valid)
-        order = jnp.zeros((n,), jnp.int32).at[target].set(
-            idx.astype(jnp.int32), unique_indices=True)
         m = jnp.sum(valid)
-        # apply the compaction as scatters, not gathers (see
-        # _compact_targets): ct[target[i]] = time[i]
-        ct = jnp.zeros_like(time).at[target].set(time, unique_indices=True)
-        cf = jnp.zeros_like(flux).at[target].set(flux, unique_indices=True)
+        # apply the stable valid-first compaction as ONE payload sort —
+        # gathers (~250 ms) and scatters (which anti-fuse to seconds when
+        # several share a jit) both lower near-scalar on TPU, a
+        # multi-payload lax.sort is ~8.5 ms at (512, 8192)
+        ct, cf, order = jax.lax.sort(
+            ((~valid).astype(jnp.int32), time, flux,
+             idx.astype(jnp.int32)), dimension=0, num_keys=1)[1:]
 
         # gap detection over compacted times (lightcurve.py:1022-1027)
         dt = jnp.diff(ct, append=ct[-1:])          # dt[i] = ct[i+1]-ct[i]
@@ -132,7 +133,13 @@ def flatten(time, flux, valid, H, break_tolerance, sigma,
         seg_med = masked_median_grouped(cf, seg_id, max_segments,
                                         valid=idx < m)
         short = (w > seglen) | (seglen < break_tolerance)
-        trend_c = jnp.where(short, seg_med[seg_id], trend_c)
+        # one-hot contraction instead of seg_med[seg_id]: batched 1-D
+        # gathers lower near-scalar on TPU even for a 16-entry table
+        med_elem = jnp.sum(
+            jnp.where(seg_id[:, None]
+                      == jnp.arange(max_segments, dtype=jnp.int32),
+                      seg_med[None, :], 0.0), axis=-1)
+        trend_c = jnp.where(short, med_elem, trend_c)
 
         # clip outliers vs the trend (lightcurve.py:1049-1056)
         resid = cf - trend_c
@@ -142,12 +149,14 @@ def flatten(time, flux, valid, H, break_tolerance, sigma,
 
         # interpolate trend through kept points onto ALL times; the kept
         # points ARE grid points of the (ascending) time vector, so no
-        # compaction or rank search is needed at all — scatter the trend
-        # back to original positions and forward/backward-fill the
-        # interpolation endpoints (interp_linear_fill, gather-free)
-        valid_new = jnp.zeros_like(valid).at[order].set(keep)
-        trend_orig = jnp.zeros_like(flux).at[order].set(trend_c,
-                                                        unique_indices=True)
+        # rank search is needed — send (keep, trend) back to original
+        # positions with ONE sort keyed on `order` (NaN marks dropped
+        # points, so a single payload carries both), then fill the
+        # interpolation endpoints scan-wise (interp_linear_fill)
+        merged = jnp.where(keep, trend_c, jnp.nan)
+        trend_orig = jax.lax.sort((order, merged), dimension=0,
+                                  num_keys=1)[1]
+        valid_new = jnp.isfinite(trend_orig)
         trend_full = interp_linear_fill(time, valid_new, trend_orig)
         return valid_new, trend_full
 

@@ -123,8 +123,11 @@ def savgol_filter_interp(x, H, seg_lo=None, seg_hi=None):
             xin, kern, window_strides=(1,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"))     # (B', w, n)
         trend_all = out.reshape(lead + (w, n))
-        trend = jnp.take_along_axis(
-            trend_all, offset[..., None, :], axis=-2)[..., 0, :]
+        # one-hot select-reduce over the w window offsets — fuses into
+        # the conv epilogue (take_along_axis here measured 66 ms at
+        # (512, 101, 8192) on a v5e vs ~0 for the fused one-hot)
+        oh = offset[..., None, :] == jnp.arange(w, dtype=jnp.int32)[:, None]
+        trend = jnp.sum(jnp.where(oh, trend_all, 0.0), axis=-2)
         return trend + mu
     S = jnp.stack([xp[..., k:k + n] for k in range(2 * w - 1)], axis=-1)
     trend_all = jnp.einsum("...nk,ok->...no", S, W)      # (..., n, w)

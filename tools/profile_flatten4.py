@@ -1,8 +1,9 @@
-"""Incremental PREFIX timing of the gather-free flatten one_iter at (512, 8192).
+"""Incremental PREFIX timing of the sort/scan flatten one_iter at (512, 8192).
 
-Successor to profile_flatten3.py after the scatter-compaction +
-interp_linear_fill rewrite: times jitted prefixes of the CURRENT
-pipeline; differences between consecutive rows ~= incremental stage cost.
+Times jitted prefixes of the CURRENT pipeline (sort-applied compaction,
+fill-scan segment bounds, conv savgol with fused one-hot offset pick,
+sort-applied scatter-back, scan-based interp); differences between
+consecutive rows ~= incremental stage cost.
 """
 import os
 import sys
@@ -42,12 +43,10 @@ def prefix(stage):
         n = time.shape[0]
         w = W
         idx = jnp.arange(n)
-        target = D._compact_targets(valid)
-        order = jnp.zeros((n,), jnp.int32).at[target].set(
-            idx.astype(jnp.int32), unique_indices=True)
         m = jnp.sum(valid)
-        ct = jnp.zeros_like(time).at[target].set(time, unique_indices=True)
-        cf = jnp.zeros_like(flux).at[target].set(flux, unique_indices=True)
+        ct, cf, order = jax.lax.sort(
+            ((~valid).astype(jnp.int32), time, flux,
+             idx.astype(jnp.int32)), dimension=0, num_keys=1)[1:]
         if stage == 1:
             return ct.sum() + cf.sum() + order.sum().astype(dtype)
         dt = jnp.diff(ct, append=ct[-1:])
@@ -67,7 +66,10 @@ def prefix(stage):
         seg_id = jnp.clip(jnp.cumsum(brk) - 1, 0, MAXSEG - 1)
         seg_med = masked_median_grouped(cf, seg_id, MAXSEG, valid=idx < m)
         short = (w > seglen) | (seglen < BT)
-        trend_c = jnp.where(short, seg_med[seg_id], trend_c)
+        med_elem = jnp.sum(
+            jnp.where(seg_id[:, None] == jnp.arange(MAXSEG, dtype=jnp.int32),
+                      seg_med[None, :], 0.0), axis=-1)
+        trend_c = jnp.where(short, med_elem, trend_c)
         if stage == 4:
             return trend_c.sum()
         resid = cf - trend_c
@@ -76,11 +78,13 @@ def prefix(stage):
         keep = keep & (idx < m)
         if stage == 5:
             return keep.sum().astype(dtype)
-        valid_new = jnp.zeros_like(valid).at[order].set(keep)
-        trend_orig = jnp.zeros_like(flux).at[order].set(
-            trend_c, unique_indices=True)
+        merged = jnp.where(keep, trend_c, jnp.nan)
+        trend_orig = jax.lax.sort((order, merged), dimension=0,
+                                  num_keys=1)[1]
+        valid_new = jnp.isfinite(trend_orig)
         if stage == 6:
-            return trend_orig.sum() + valid_new.sum().astype(dtype)
+            return (jnp.where(valid_new, trend_orig, 0.0).sum()
+                    + valid_new.sum().astype(dtype))
         trend_full = interp_linear_fill(time, valid_new, trend_orig)
         return trend_full.sum()
 
@@ -99,8 +103,8 @@ def timeit(name, fn, reps=3):
     return dt
 
 
-names = ["1 compact scatters", "2 gaps+bounds", "3 savgol", "4 seg medians",
-         "5 clip", "6 scatter-back", "7 interp fill (full iter)"]
+names = ["1 sort compact", "2 gaps+bounds", "3 savgol", "4 seg medians",
+         "5 clip", "6 sort back", "7 interp fill (full iter)"]
 prev = 0.0
 for s, nm in enumerate(names, 1):
     dt = timeit(nm, prefix(s))
