@@ -570,8 +570,12 @@ def _bls_shared_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
             cex_n = jnp.concatenate(
                 [jnp.zeros_like(cs_n[:, :1, :]), cs_n[:, :-1, :]], axis=1)
 
-            best = None
-            for k, dur_val in zip(k_durs, dur_values):
+            # duration loop carries ONLY (power, argmax-bin, duration
+            # index) — the winner's depth/n_in/t0 are reconstructed from
+            # the prefix sums afterwards in ONE extra pass, instead of
+            # two one-hot pick passes per duration inside the loop
+            best_v = best_arg = best_j = None
+            for j, k in enumerate(k_durs):
                 n_in = jnp.roll(cs_n, -(k - 1), axis=1) - cex_n  # (C,npad,1)
                 y_in = jnp.roll(cs_y, -(k - 1), axis=1) - cex_y  # (C,npad,B)
                 n_out = n_total - n_in
@@ -589,25 +593,42 @@ def _bls_shared_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
                 obj = jnp.where(okn, obj, -jnp.inf)
                 v = jnp.max(obj, axis=1)                 # (C, B)
                 arg = jnp.argmax(obj, axis=1)
-                t0 = (arg.astype(dtype) + 0.5 * k) * d_phase
-                t0 = t0 - jnp.floor(t0 / pc[:, None]) * pc[:, None]
-                sel = (jnp.arange(nbins_pad)[None, :, None]
-                       == arg[:, None, :])
-
-                def pick(a):
-                    return jnp.sum(jnp.where(sel, a, 0.0), axis=1)
-
-                cand = dict(power=v, depth=pick(depth),
-                            w_in=pick(jnp.where(okn, n_in, 1.0)),
-                            transit_time=t0,
-                            duration=jnp.full_like(v, dur_val))
-                if best is None:
-                    best = cand
+                if best_v is None:
+                    best_v, best_arg = v, arg
+                    best_j = jnp.zeros_like(arg)
                 else:
-                    upd = cand["power"] > best["power"]
-                    best = {key: jnp.where(upd, cand[key], best[key])
-                            for key in best}
-            n_in_b = best.pop("w_in")
+                    upd = v > best_v
+                    best_v = jnp.where(upd, v, best_v)
+                    best_arg = jnp.where(upd, arg, best_arg)
+                    best_j = jnp.where(upd, j, best_j)
+
+            # winner reconstruction: map duration index → k / value via
+            # tiny one-hot sums, then window sums at the winning bin via
+            # one ± one-hot reduction over the prefix sums (y_hi − y_lo
+            # summed over all-zero elsewhere is bit-exact)
+            js = jnp.arange(len(k_durs))
+            ks = jnp.asarray(k_durs, jnp.int32)
+            dvs = jnp.asarray(dur_values, dtype)
+            oh_j = (best_j[..., None] == js)             # (C, B, J)
+            kbest = jnp.sum(jnp.where(oh_j, ks, 0), axis=-1)
+            dur_b = jnp.sum(jnp.where(oh_j, dvs, 0.0), axis=-1)
+            hi_idx = best_arg + kbest - 1                # < nbins_pad
+            sel_hi = rows_b[None, :, None] == hi_idx[:, None, :]
+            sel_lo = rows_b[None, :, None] == (best_arg - 1)[:, None, :]
+            y_in_b = jnp.sum(jnp.where(sel_hi, cs_y, 0.0)
+                             - jnp.where(sel_lo, cs_y, 0.0), axis=1)
+            n_in_w = jnp.sum(jnp.where(sel_hi, cs_n, 0.0)
+                             - jnp.where(sel_lo, cs_n, 0.0), axis=1)
+            okn_w = jnp.isfinite(best_v)                 # winner was valid
+            n_in_b = jnp.where(okn_w, n_in_w, 1.0)
+            inv_out_w = 1.0 / jnp.where(okn_w, n_total - n_in_w, 1.0)
+            s_w = 1.0 / n_in_b + inv_out_w
+            depth_b = tot_y[0] * inv_out_w - y_in_b * s_w
+            t0 = (best_arg.astype(dtype) + 0.5 * kbest.astype(dtype)) \
+                * d_phase
+            t0 = t0 - jnp.floor(t0 / pc[:, None]) * pc[:, None]
+            best = dict(power=best_v, depth=depth_b, transit_time=t0,
+                        duration=dur_b)
 
         # count-based stats → weighted stats via the per-curve scalar c_b
         return _uniform_stats_rescale(best, n_in_b, c_b, n_total,
@@ -636,6 +657,58 @@ def _bucketed_scan(group_shapes, k_durs, dur_values, d_phase,
             for p, (_, nb) in zip(p_subs, group_shapes))
 
     return fn
+
+
+@lru_cache(maxsize=64)
+def _bucketed_scan_uniform(group_shapes, k_durs, dur_values, d_phase,
+                           use_likelihood, chunk, hist_dtype, window_impl,
+                           wrap):
+    """One jitted program scanning several (count, nbins) period buckets
+    through the half-FLOP count-histogram kernel.
+
+    The fold histogram is the uniform scan's dominant cost (measured
+    ~2/3 of the step at the bench shape) and scales with the 128-row
+    tile count of the LONGEST period in the program — grouping trial
+    periods by their own required tile count removes the wasted rows
+    (~40% for a uniform [P_min, 3.8·P_min] grid).  Outputs are
+    bit-identical to the unbucketed scan: ``nbins`` only sets tile
+    padding; per-period validity always comes from ``nbins_p``."""
+    hd = jnp.bfloat16 if hist_dtype in ("bfloat16", "bf16") else None
+
+    @jax.jit
+    def fn(ts, Y0, c_b, *p_subs):
+        return tuple(
+            _bls_shared_scan_uniform(ts, Y0, c_b, p, k_durs, dur_values,
+                                     d_phase, nb, use_likelihood, chunk,
+                                     hist_dtype=hd, window_impl=window_impl,
+                                     wrap=wrap)
+            for p, (_, nb) in zip(p_subs, group_shapes))
+
+    return fn
+
+
+def _bucket_periods(periods, d_phase, k_max):
+    """Group trial periods by required histogram 128-row tile count.
+
+    Returns ``(groups, inv)``: ``groups`` is a list of
+    ``(index_array, nbins_bucket)`` and ``inv`` restores the original
+    period order after concatenating group outputs."""
+    p_np = np.asarray(periods, dtype=np.float64)
+    nb_i = np.ceil(p_np / d_phase).astype(np.int64)
+    tiles = np.maximum((nb_i + k_max - 1 + 127) // 128, 1)
+    nb_bucket = tiles * 128 - (k_max - 1)
+    order = np.argsort(tiles, kind="stable")
+    inv = np.argsort(order)
+    groups = []
+    lo = 0
+    while lo < len(order):
+        hi = lo + 1
+        while hi < len(order) and tiles[order[hi]] == tiles[order[lo]]:
+            hi += 1
+        idx = order[lo:hi]
+        groups.append((idx, int(nb_bucket[idx[0]])))
+        lo = hi
+    return groups, inv
 
 
 def _detect_uniform_weights(dy):
@@ -774,9 +847,7 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
 
     if uniform_weights:
         # half-FLOP count-histogram kernel; stats are rescaled by c_b
-        # inside the scan, so no w_scale bookkeeping applies.  The bucket
-        # pipeline is general-path only (it is default-off and measured
-        # slower anyway).
+        # inside the scan, so no w_scale bookkeeping applies.
         if fold_impl is None:
             import os
             fold_impl = os.environ.get("LK_BLS_FOLD", "auto")
@@ -800,6 +871,25 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                 objective == "likelihood", chunk, hist_dtype=hist_dtype,
                 wrap=edge_mode != "astropy",
                 interpret=(fold_impl == "fused_interpret"))
+        elif bucket and not isinstance(periods, jax.core.Tracer):
+            groups, inv = _bucket_periods(periods, d_phase, k_max)
+            Y0 = (Y - mu).T.astype(dtype)
+            if len(groups) == 1:
+                out = _bls_shared_scan_uniform(
+                    ts, Y0, c_b, periods, k_durs, dvals, float(d_phase),
+                    groups[0][1], objective == "likelihood", chunk,
+                    hist_dtype=hd, window_impl=window_impl,
+                    wrap=edge_mode != "astropy")
+            else:
+                fn = _bucketed_scan_uniform(
+                    tuple((len(idx), nb) for idx, nb in groups), k_durs,
+                    dvals, float(d_phase), objective == "likelihood",
+                    chunk, hist_dtype, window_impl,
+                    edge_mode != "astropy")
+                outs = fn(ts, Y0, c_b, *(periods[idx] for idx, _ in groups))
+                out = {k: jnp.concatenate([o[k] for o in outs],
+                                          axis=1)[:, inv]
+                       for k in outs[0]}
         else:
             out = _bls_shared_scan_uniform(
                 ts, (Y - mu).T.astype(dtype), c_b, periods, k_durs, dvals,
@@ -820,24 +910,10 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                                 wrap=edge_mode != "astropy")
 
     if bucket and not isinstance(periods, jax.core.Tracer):
-        p_np = np.asarray(periods, dtype=np.float64)
         # quantize each period's histogram size up to a 128-row tile
         # boundary so distinct nbins values (and thus compilations) are
         # bounded by the tile count, and tiles pad exactly
-        nb_i = np.ceil(p_np / d_phase).astype(np.int64)
-        tiles = np.maximum((nb_i + k_max - 1 + 127) // 128, 1)
-        nb_bucket = tiles * 128 - (k_max - 1)
-        order = np.argsort(tiles, kind="stable")
-        inv = np.argsort(order)
-        groups = []
-        lo = 0
-        while lo < len(order):
-            hi = lo + 1
-            while hi < len(order) and tiles[order[hi]] == tiles[order[lo]]:
-                hi += 1
-            idx = order[lo:hi]
-            groups.append((idx, int(nb_bucket[idx[0]])))
-            lo = hi
+        groups, inv = _bucket_periods(periods, d_phase, k_max)
         if len(groups) == 1:
             out = run(periods, groups[0][1])
         else:
