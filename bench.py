@@ -48,10 +48,10 @@ def _watchdog(signum, frame):
                             "(device unreachable or compile hang; the "
                             "axon tunnel is known to wedge for 0.5-2h)",
                    "last_measured": {
-                       "value": 5806571.8, "vs_baseline": 2.78715,
+                       "value": 8738043.0, "vs_baseline": 4.19502,
                        "date": "2026-08-17",
                        "device": "TPU v5 lite0",
-                       "config": {"B": 512, "N": 8192, "P": 4096}}}}))
+                       "config": {"B": 512, "N": 8192, "P": 16384}}}}))
     sys.stdout.flush()
     os._exit(2)
 
@@ -94,8 +94,9 @@ def main():
     N = int(os.environ.get("LK_BENCH_N", 8192))
     # dispatch-sized period slab; the north-star grid is 10^5 points, so a
     # large per-dispatch P is the realistic shape (SweepRunner chunks
-    # likewise) and amortizes per-dispatch overhead
-    P = int(os.environ.get("LK_BENCH_P", 4096))
+    # likewise) and amortizes per-dispatch overhead (measured 3.88x at
+    # P=4096 vs 4.20x at P=16384 on a v5e)
+    P = int(os.environ.get("LK_BENCH_P", 16384))
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
@@ -123,7 +124,7 @@ def main():
     def step(time, flux, dy):
         out = bls_power_shared_batch(time, flux, dy, periods_d,
                                      durations_d, oversample=10, chunk=8,
-                                     uniform_weights=True)
+                                     uniform_weights=True, bucket=True)
         return out["power"], out["period"]
 
     # warmup/compile

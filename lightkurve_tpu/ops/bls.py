@@ -547,15 +547,26 @@ def _bls_shared_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
                 oh, Y1, (((2,), (0,)), ((), ())),
                 preferred_element_type=acc))            # (C, 128, B[+1])
             if cnt_impl == "reduce":
-                cnt_tiles.append(jnp.sum(onehot, axis=2, dtype=acc))
+                # count PREFIX sums, directly: Σ_i [ids_i <= row]
+                # (+ the wrap copy's [ids2_i <= row]) fuses the compare
+                # into the reduction — no staged one-hot re-read, no
+                # cumsum pass; integer-valued f32 sums are exact, so
+                # this is bit-identical to cumsum-of-counts
+                cnt = jnp.sum(ids[:, None, :] <= rows[None, :, None],
+                              axis=2, dtype=acc)
+                if wrap:
+                    cnt = cnt + jnp.sum(
+                        ids2[:, None, :] <= rows[None, :, None],
+                        axis=2, dtype=acc)
+                cnt_tiles.append(cnt)
         hist = jnp.concatenate(tiles, axis=1)           # (C, npad, B[+1])
         if cnt_impl == "column":
             hist_y, hist_n = hist[..., :B], hist[..., B:]
+            cs_y = jnp.cumsum(hist_y, axis=1)           # (C, npad, B)
+            cs_n = jnp.cumsum(hist_n, axis=1)           # (C, npad, 1)
         else:
-            hist_y = hist
-            hist_n = jnp.concatenate(cnt_tiles, axis=1)[..., None]
-        cs_y = jnp.cumsum(hist_y, axis=1)               # (C, npad, B)
-        cs_n = jnp.cumsum(hist_n, axis=1)               # (C, npad, 1)
+            cs_y = jnp.cumsum(hist, axis=1)             # (C, npad, B)
+            cs_n = jnp.concatenate(cnt_tiles, axis=1)[..., None]
 
         if window_impl in ("pallas", "pallas_interpret"):
             from .bls_window_pallas import window_scan_pallas_uniform
@@ -565,10 +576,19 @@ def _bls_shared_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
                 interpret=(window_impl == "pallas_interpret"))
             n_in_b = best.pop("w_in")
         else:
-            cex_y = jnp.concatenate(
-                [jnp.zeros_like(cs_y[:, :1, :]), cs_y[:, :-1, :]], axis=1)
-            cex_n = jnp.concatenate(
-                [jnp.zeros_like(cs_n[:, :1, :]), cs_n[:, :-1, :]], axis=1)
+            # one zero-padded prefix buffer; every duration's window sum
+            # is a pair of STATIC slices (valid rows r < nbins_p satisfy
+            # r + k - 1 < nbins_pad, so jnp.roll's wraparound copies were
+            # pure waste — invalid rows are masked to -inf either way)
+            k_max_l = max(k_durs)
+            zp_y = jnp.concatenate(
+                [jnp.zeros_like(cs_y[:, :1, :]), cs_y,
+                 jnp.zeros_like(cs_y[:, :k_max_l - 1, :])], axis=1)
+            zp_n = jnp.concatenate(
+                [jnp.zeros_like(cs_n[:, :1, :]), cs_n,
+                 jnp.zeros_like(cs_n[:, :k_max_l - 1, :])], axis=1)
+            cex_y = jax.lax.slice_in_dim(zp_y, 0, nbins_pad, axis=1)
+            cex_n = jax.lax.slice_in_dim(zp_n, 0, nbins_pad, axis=1)
 
             # duration loop carries ONLY (power, argmax-bin, duration
             # index) — the winner's depth/n_in/t0 are reconstructed from
@@ -576,8 +596,10 @@ def _bls_shared_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
             # two one-hot pick passes per duration inside the loop
             best_v = best_arg = best_j = None
             for j, k in enumerate(k_durs):
-                n_in = jnp.roll(cs_n, -(k - 1), axis=1) - cex_n  # (C,npad,1)
-                y_in = jnp.roll(cs_y, -(k - 1), axis=1) - cex_y  # (C,npad,B)
+                n_in = jax.lax.slice_in_dim(
+                    zp_n, k, k + nbins_pad, axis=1) - cex_n   # (C,npad,1)
+                y_in = jax.lax.slice_in_dim(
+                    zp_y, k, k + nbins_pad, axis=1) - cex_y   # (C,npad,B)
                 n_out = n_total - n_in
                 valid = ((rows_b[None, :] < nbins_p[:, None])
                          & (k <= nbins_p)[:, None])[..., None]
