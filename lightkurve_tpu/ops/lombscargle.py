@@ -233,10 +233,23 @@ def _ls_fastchi2_device(y, w, pres, Nf, Nfft, Mfft, nterms, normalization,
     (2k+1)-dim solve per frequency chunk — O((N + Nf log Nf)·k) instead
     of the direct method's O(N·Nf·k²).
     """
-    def tsum(pre, h):
-        return _trig_sum_device(pre["xi"], pre["frac"], h, pre["ph_hr"],
-                                pre["ph_hi"], pre["ph_fr"], pre["ph_fi"],
-                                Nf, Nfft, Mfft)
+    from .fft import ifft_pair
+
+    def extirp_pair(pre, h):
+        hr = h * pre["ph_hr"]
+        hi = h * pre["ph_hi"]
+        fr_ = pre["frac"].astype(h.dtype)
+        if h.ndim == 2:
+            return (extirpolate_batched(pre["xi"], fr_, hr, Nfft, Mfft),
+                    extirpolate_batched(pre["xi"], fr_, hi, Nfft, Mfft))
+        return (extirpolate(pre["xi"], fr_, hr, Nfft, Mfft),
+                extirpolate(pre["xi"], fr_, hi, Nfft, Mfft))
+
+    def post(pre, fr, fi):
+        fr, fi = fr[..., :Nf], fi[..., :Nf]
+        out_r = fr * pre["ph_fr"] - fi * pre["ph_fi"]
+        out_i = fr * pre["ph_fi"] + fi * pre["ph_fr"]
+        return Nfft * out_i, Nfft * out_r               # (S, C)
 
     k = nterms
     ws = jnp.sum(w, axis=-1)                                # (...,) or ()
@@ -246,18 +259,27 @@ def _ls_fastchi2_device(y, w, pres, Nf, Nfft, Mfft, nterms, normalization,
     chi2_ref = jnp.sum(w * y * y, axis=-1)                  # (B?,)
     yws = jnp.sum(w * y, axis=-1)                           # (B?,)
 
-    # harmonic trig sums of the weights: j = 1..2k, each (W...?, Nf)
+    # the 3k harmonic trig sums (2k weight, k data); per-sum FFTs — a
+    # stacked (3k, Nfft) batched FFT was measured SLOWER on a v5e
+    # (118 vs 95 ms at Nf=1e5/nterms=3: the stack materialization
+    # costs more than the saved dispatches)
+    wy = w * y
+    specs = [(pres[j - 1], w) for j in range(1, 2 * k + 1)] \
+        + [(pres[m - 1], wy) for m in range(1, k + 1)]
+    pairs = [extirp_pair(pre, h) for pre, h in specs]
+    outs = [post(pre, *ifft_pair(g, gi))
+            for (pre, _), (g, gi) in zip(specs, pairs)]
+
     Sw = [None] * (2 * k + 1)
     Cw = [None] * (2 * k + 1)
     Sw[0] = jnp.zeros_like(ws)[..., None]
     Cw[0] = ws[..., None]
     for j in range(1, 2 * k + 1):
-        Sw[j], Cw[j] = tsum(pres[j - 1], w)
-    # data trig sums: m = 1..k, each (B?, Nf)
+        Sw[j], Cw[j] = outs[j - 1]
     Sy = [None] * (k + 1)
     Cy = [None] * (k + 1)
     for m in range(1, k + 1):
-        Sy[m], Cy[m] = tsum(pres[m - 1], w * y)
+        Sy[m], Cy[m] = outs[2 * k + m - 1]
 
     # column order matches lombscargle_chi2: [1?, sin ω, cos ω, sin 2ω, …]
     def xtx_entry(i, j):
@@ -294,42 +316,38 @@ def _ls_fastchi2_device(y, w, pres, Nf, Nfft, Mfft, nterms, normalization,
     A_rows = [[xtx_entry(ci, cj) for cj in cols] for ci in cols]
     b_rows = [xty_entry(ci) for ci in cols]
 
-    shared_w = w.ndim == 1
     batch_shape = chi2_ref.shape
-    n_chunks = -(-Nf // chunk)
-    pad = n_chunks * chunk - Nf
-    eye = 1e-30 * jnp.eye(M, dtype=y.dtype)
 
-    def padf(a):
-        if a.shape[-1] == 1:            # frequency-constant entry
-            return a
-        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-
-    A_rows = [[padf(e) for e in row] for row in A_rows]
-    b_rows = [padf(e) for e in b_rows]
-
-    def slice_c(a, c):                  # (…, Nf_pad|1) → (…, chunk)
-        if a.shape[-1] == 1:
-            return jnp.broadcast_to(a, a.shape[:-1] + (chunk,))
-        return jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, axis=-1)
-
-    def one_chunk(c):
-        A = jnp.stack([jnp.stack([slice_c(e, c) for e in row], axis=-1)
-                       for row in A_rows], axis=-2)     # (W?, chunk, M, M)
-        b = jnp.stack([slice_c(e, c) for e in b_rows],
-                      axis=-1)                          # (B?, chunk, M)
-        A = A + eye
-        if shared_w and batch_shape:
-            # weights shared across the batch: factorize once per
-            # frequency, solve all B right-hand sides together
-            beta = jnp.linalg.solve(
-                A, jnp.moveaxis(b, 0, -1))              # (chunk, M, B)
-            return jnp.sum(jnp.moveaxis(beta, -1, 0) * b, axis=-1)
-        beta = jnp.linalg.solve(A, b[..., None])[..., 0]
-        return jnp.sum(b * beta, axis=-1)               # (B?, chunk)
-
-    powers = jax.lax.map(one_chunk, jnp.arange(n_chunks))
-    powers = jnp.moveaxis(powers, 0, -2).reshape(batch_shape + (-1,))[..., :Nf]
+    # power = bᵀA⁻¹b via an UNROLLED static Cholesky over the entry
+    # lists: batched jnp.linalg.solve on (Nf, M, M) lowers to scalar
+    # LU-pivot loops on TPU (it dominated the whole fastchi2 runtime);
+    # the unrolled recurrences are ~M³/3 elementwise ops vectorized
+    # over the full frequency axis.  A is the symmetric-PD weighted
+    # normal matrix, so power = ‖L⁻¹b‖² needs only the forward
+    # substitution.  The 1e-30 diagonal jitter matches the previous
+    # solve's regularization; near-singular frequencies (harmonic
+    # collinearity at f→0) were garbage under LU too.
+    L = [[None] * M for _ in range(M)]
+    for i in range(M):
+        d = A_rows[i][i] + 1e-30
+        for kk in range(i):
+            d = d - L[i][kk] * L[i][kk]
+        Lii = jnp.sqrt(jnp.maximum(d, 1e-30))
+        L[i][i] = Lii
+        inv_ii = 1.0 / Lii
+        for j2 in range(i + 1, M):
+            s = A_rows[j2][i]
+            for kk in range(i):
+                s = s - L[j2][kk] * L[i][kk]
+            L[j2][i] = s * inv_ii
+    z = [None] * M
+    for i in range(M):
+        s = b_rows[i]
+        for kk in range(i):
+            s = s - L[i][kk] * z[kk]
+        z[i] = s / L[i][i]
+    powers = sum(zi * zi for zi in z)                   # (B?, Nf)
+    powers = jnp.broadcast_to(powers, batch_shape + (Nf,))
     return _chi2_normalize(powers, chi2_ref, normalization)
 
 
