@@ -27,6 +27,24 @@ WATCHDOG_S = int(os.environ.get("LK_BENCH_TIMEOUT", 540))
 
 _measured = None
 _deadline = [None]   # wall-clock time after which the thread watchdog fires
+_STATE_PATH = [None]
+
+
+def _failure_line():
+    # ``last_measured`` documents the most recent successful run of this
+    # same benchmark (same code, same chip class) for context; the
+    # metric value itself stays 0 because nothing was measured NOW.
+    return json.dumps({
+        "metric": "bls_curve_period_evals_per_sec_per_chip",
+        "value": 0.0, "unit": "curve-period/s/chip", "vs_baseline": 0.0,
+        "detail": {"error": f"watchdog timeout after {WATCHDOG_S}s "
+                            "(device unreachable or compile hang; the "
+                            "axon tunnel is known to wedge for 0.5-2h)",
+                   "last_measured": {
+                       "value": 8738043.0, "vs_baseline": 4.19502,
+                       "date": "2026-08-17",
+                       "device": "TPU v5 lite0",
+                       "config": {"B": 512, "N": 8192, "P": 16384}}}})
 
 
 def _watchdog(signum, frame):
@@ -38,22 +56,18 @@ def _watchdog(signum, frame):
         print(json.dumps(_measured))
         sys.stdout.flush()
         os._exit(0)
-    # ``last_measured`` documents the most recent successful run of this
-    # same benchmark (same code, same chip class) for context; the
-    # metric value itself stays 0 because nothing was measured NOW.
-    print(json.dumps({
-        "metric": "bls_curve_period_evals_per_sec_per_chip",
-        "value": 0.0, "unit": "curve-period/s/chip", "vs_baseline": 0.0,
-        "detail": {"error": f"watchdog timeout after {WATCHDOG_S}s "
-                            "(device unreachable or compile hang; the "
-                            "axon tunnel is known to wedge for 0.5-2h)",
-                   "last_measured": {
-                       "value": 8738043.0, "vs_baseline": 4.19502,
-                       "date": "2026-08-17",
-                       "device": "TPU v5 lite0",
-                       "config": {"B": 512, "N": 8192, "P": 16384}}}}))
+    print(_failure_line())
     sys.stdout.flush()
     os._exit(2)
+
+
+def _write_state(**kw):
+    if _STATE_PATH[0] is None:
+        return
+    tmp = _STATE_PATH[0] + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(kw, f)
+    os.replace(tmp, _STATE_PATH[0])
 
 
 def _thread_watchdog():
@@ -80,9 +94,51 @@ def _thread_watchdog():
     t.start()
 
 
+def _fork_watchdog():
+    """Last-resort watchdog in a forked SUBPROCESS.
+
+    Both the SIGALRM handler and the daemon thread need the parent
+    interpreter to regain control — but a remote-compile RPC can hold
+    the GIL for many minutes (observed: a 540 s thread watchdog never
+    fired while XLA compiled for 9+ minutes through the tunnel).  A
+    separate process shares the parent's stdout, polls a state file the
+    parent updates, and on deadline prints the partial/failure line
+    itself and SIGKILLs the parent."""
+    _STATE_PATH[0] = f"/tmp/lk_bench_watchdog_{os.getpid()}.json"
+    _write_state(deadline=_time.time() + WATCHDOG_S + 20, measured=None,
+                 done=False)
+    ppid = os.getpid()
+    pid = os.fork()
+    if pid:                                     # parent
+        return
+    while True:                                 # child
+        _time.sleep(5)
+        try:
+            st = json.load(open(_STATE_PATH[0]))
+        except Exception:
+            st = {}
+        if st.get("done"):
+            os._exit(0)
+        try:
+            os.kill(ppid, 0)                    # parent still alive?
+        except OSError:
+            os._exit(0)
+        dl = st.get("deadline")
+        if dl and _time.time() >= dl:
+            m = st.get("measured")
+            print(json.dumps(m) if m else _failure_line())
+            sys.stdout.flush()
+            try:
+                os.kill(ppid, signal.SIGKILL)
+            except OSError:
+                pass
+            os._exit(2 if m is None else 0)
+
+
 def main():
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_S)
+    _fork_watchdog()     # fork FIRST: before any threads exist
     _thread_watchdog()
     import jax
     from lightkurve_tpu.config import enable_persistent_compile_cache
@@ -167,6 +223,8 @@ def main():
     extra = max(WATCHDOG_S // 2, 120)
     signal.alarm(extra)
     _deadline[0] = _time.time() + extra + 10
+    _write_state(deadline=_time.time() + extra + 20, measured=_measured,
+                 done=False)
 
     # companion kernel rates (best-effort; failures never break the
     # primary metric)
@@ -299,6 +357,7 @@ def main():
 
     _deadline[0] = None      # disarm the thread watchdog
     signal.alarm(0)
+    _write_state(done=True)  # disarm the fork watchdog
     print(json.dumps({
         "metric": "bls_curve_period_evals_per_sec_per_chip",
         "value": round(rate, 1),

@@ -182,10 +182,8 @@ def lombscargle_chi2(t, y, freqs, dy=None, nterms=1, normalization="standard",
         X = jnp.stack(cols, axis=-1) / dy[:, None]          # (n, k)
         XTX = X.T @ X
         XTy = yw @ X                                        # (..., k)
-        beta = jnp.linalg.solve(
-            XTX + 1e-30 * jnp.eye(k, dtype=X.dtype),
-            XTy[..., None])[..., 0]
-        return jnp.sum(XTy * beta, axis=-1)                 # (...,)
+        return _chol_quadform(XTX + 1e-30 * jnp.eye(k, dtype=X.dtype),
+                              XTy)                          # (...,)
 
     def one_chunk(fc):
         return jax.vmap(one_freq, out_axes=-1)(fc)          # (..., chunk)
@@ -193,6 +191,37 @@ def lombscargle_chi2(t, y, freqs, dy=None, nterms=1, normalization="standard",
     powers = jax.lax.map(one_chunk, fpad.reshape(n_chunks, chunk))
     powers = jnp.moveaxis(powers, 0, -2).reshape(y.shape[:-1] + (-1,))[..., :p]
     return _chi2_normalize(powers, chi2_ref, normalization)
+
+
+def _chol_quadform(A, b):
+    """``bᵀ A⁻¹ b`` for a small static-k symmetric-PD stack.
+
+    Unrolled Cholesky + forward substitution (power = ‖L⁻¹b‖²) as pure
+    elementwise ops over the leading batch axes — batched
+    ``jnp.linalg.solve`` lowers to scalar LU-pivot loops on TPU.
+    ``A`` is (..., k, k), ``b`` broadcastable to (..., k).
+    """
+    M = A.shape[-1]
+    L = [[None] * M for _ in range(M)]
+    for i in range(M):
+        d = A[..., i, i]
+        for kk in range(i):
+            d = d - L[i][kk] * L[i][kk]
+        Lii = jnp.sqrt(jnp.maximum(d, 1e-30))
+        L[i][i] = Lii
+        inv_ii = 1.0 / Lii
+        for j in range(i + 1, M):
+            s = A[..., j, i]
+            for kk in range(i):
+                s = s - L[j][kk] * L[i][kk]
+            L[j][i] = s * inv_ii
+    z = [None] * M
+    for i in range(M):
+        s = b[..., i]
+        for kk in range(i):
+            s = s - L[i][kk] * z[kk]
+        z[i] = s / L[i][i]
+    return sum(zi * zi for zi in z)
 
 
 def _bitceil(n):

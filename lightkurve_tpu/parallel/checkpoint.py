@@ -48,7 +48,7 @@ def _shared_step_cached(durs_key, oversample, objective, d_phase, nbins,
         out = bls_power_shared_batch(
             t_row, flux, dy, pvals, durs, oversample=oversample,
             objective=objective, d_phase=d_phase, nbins=nbins,
-            uniform_weights=uniform_weights)
+            chunk=8, uniform_weights=uniform_weights)
         return _reduce_winner(out, n_valid)
 
     return step
@@ -187,13 +187,30 @@ class SweepRunner:
                 return reduce_jit(out, n_valid)
             return step
         if self.method == "shared":
-            nbins = int(np.ceil(self.periods.max() / d_phase))
-            step = _shared_step_cached(durs_key, self.oversample,
-                                       self.objective, d_phase, nbins,
-                                       dtype_name, uniform_weights=uniform)
             t_row = jnp.asarray(np.asarray(self.stack.time)[0],
                                 self.stack.flux.dtype)
-            return functools.partial(step, t_row)
+            # per-chunk histogram size: the sweep walks a SORTED grid, so
+            # each chunk's max period is far below the grid max early on —
+            # sizing nbins per chunk (quantized to a 128-row tile boundary,
+            # so distinct compiles stay bounded by the tile count) removes
+            # the same wasted fold rows period-bucketing removes for
+            # one-shot calls.  Mirrors the kernel's k quantization.
+            k_max = max(int(max(int(d / d_phase + 0.5), 1))
+                        for d in self.durations)
+            oversample, objective = self.oversample, self.objective
+            dtype = self.stack.flux.dtype
+
+            def step(flux, dy, pvals, n_valid):
+                nb = int(np.ceil(float(np.max(np.asarray(pvals)))
+                                 / d_phase))
+                tiles = max((nb + k_max - 1 + 127) // 128, 1)
+                nb_q = tiles * 128 - (k_max - 1)
+                s = _shared_step_cached(durs_key, oversample, objective,
+                                        d_phase, nb_q, dtype_name,
+                                        uniform_weights=uniform)
+                return s(t_row, flux, dy, jnp.asarray(pvals, dtype),
+                         n_valid)
+            return step
         size_val = int(np.ceil(self.periods.max() / d_phase)) + (
             0 if self.method == "fast" else 1)
         step = _percurve_step_cached(self.method, durs_key,
@@ -236,9 +253,13 @@ class SweepRunner:
             pchunk = self.periods[lo:hi]
             # pad the final chunk so compiled shapes stay constant
             pad = self.chunk_periods - len(pchunk)
-            pvals = np.pad(pchunk, (0, pad), constant_values=pchunk[-1])
-            out_dev = step(self.stack.flux, dy,
-                           jnp.asarray(pvals, self.stack.flux.dtype),
+            # pvals stays a HOST array: the shared-method step reads its
+            # max on host to size the chunk's histogram (a device array
+            # would force a blocking tunnel round-trip per chunk)
+            pvals = np.pad(pchunk, (0, pad),
+                           constant_values=pchunk[-1]).astype(
+                np.dtype(self.stack.flux.dtype))
+            out_dev = step(self.stack.flux, dy, pvals,
                            jnp.asarray(len(pchunk), np.int32))
             if pending is not None:
                 self._merge(np.asarray(pending))
