@@ -233,3 +233,49 @@ def test_fused_pallas_lane_tile_256_and_padding(rng):
         np.testing.assert_array_equal(np.isfinite(aa), np.isfinite(bb),
                                       err_msg=k)
     assert np.all(np.isneginf(np.asarray(b["power"])[-5:]))
+
+
+def test_bucket_matches_unbucketed(rng):
+    """bucket=True must be BIT-identical to the plain scan for both the
+    uniform count-histogram kernel and the general weighted kernel —
+    the bucket quantization only changes tile padding, never per-period
+    validity (``_bucket_periods``, ``_bls_shared_scan_uniform``)."""
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
+    B, n = 6, 512
+    t = np.arange(n) * 0.01
+    Y = 1.0 + 1e-3 * rng.normal(size=(B, n))
+    periods = np.linspace(0.3, 2.5, 120)   # spans several 128-row tiles
+    durs = np.array([0.05, 0.1])
+    for dy in (None, np.full((B, n), 2e-3),
+               1e-3 * (1 + rng.random((B, n)))):
+        a = bls_power_shared_batch(t, Y, dy, periods, durs, chunk=4)
+        b = bls_power_shared_batch(t, Y, dy, periods, durs, chunk=4,
+                                   bucket=True)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+
+
+def test_uniform_degenerate_all_durations_too_long(rng):
+    """Every duration window longer than the shortest trial period's bin
+    count (the reference forbids this upstream; the kernel must stay
+    NaN-free and never let such periods win).  Pins that the round-3
+    out-of-loop winner reconstruction reproduces the guarded defaults
+    the in-loop pick used when no window is valid."""
+    from lightkurve_tpu.ops.bls import bls_power_shared_batch
+    B, n = 3, 256
+    t = np.arange(n) * 0.01
+    Y = 1.0 + 1e-3 * rng.normal(size=(B, n))
+    p_true = 1.95
+    hp = p_true / 2
+    Y[:, np.abs(np.mod(t + hp, p_true) - hp) < 0.15] -= 0.01
+    # period 0.11 with duration 0.3: k*d_phase > period => no valid bin
+    periods = np.array([0.11, 0.12, 1.9, 1.95, 2.0])
+    durs = np.array([0.3])
+    out = bls_power_shared_batch(t, Y, None, periods, durs, chunk=5,
+                                 uniform_weights=True)
+    power = np.asarray(out["power"])
+    for k in ("power", "depth", "transit_time", "duration"):
+        assert not np.any(np.isnan(np.asarray(out[k]))), k
+    # degenerate periods must lose to any real transit window
+    assert np.all(np.argmax(power, axis=1) >= 2), power

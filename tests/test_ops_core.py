@@ -285,3 +285,61 @@ def test_acf_large_window_four_step_fft(rng):
         want = np.correlate(seg, seg, "full")[len(seg) - 1:]
         np.testing.assert_allclose(acf[i, :len(want)], want, rtol=1e-8,
                                    atol=1e-8 * np.abs(want).max())
+
+
+def test_interp_linear_fill_matches_ranked(rng):
+    """interp_linear_fill (scan-based, gather-free) is bit-equivalent to
+    compacting the kept points and calling interp_linear_ranked — over
+    random masks including invalid heads/tails and a single kept point."""
+    from lightkurve_tpu.ops.interp import (interp_linear_fill,
+                                           interp_linear_ranked)
+    n = 257
+    x = np.sort(rng.uniform(0, 10, n))
+    f = np.sin(x) + 0.1 * rng.normal(size=n)
+    masks = [rng.random(n) < 0.6]
+    m_edge = rng.random(n) < 0.5
+    m_edge[:7] = False
+    m_edge[-9:] = False
+    masks.append(m_edge)
+    m_two = np.zeros(n, bool)
+    m_two[[40, 200]] = True
+    masks.append(m_two)
+    for kept in masks:
+        m = int(kept.sum())
+        xp = np.full(n, np.nan)
+        fp = np.full(n, np.nan)
+        xp[:m] = x[kept]
+        fp[:m] = f[kept]
+        ki = kept.astype(np.int32)
+        ranks = np.cumsum(ki) - ki
+        want = np.asarray(interp_linear_ranked(
+            jnp.asarray(x), jnp.asarray(xp), jnp.asarray(fp),
+            jnp.asarray(ranks), m))
+        got = np.asarray(interp_linear_fill(
+            jnp.asarray(x), jnp.asarray(kept), jnp.asarray(f)))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_segment_bounds_fill_scan(rng):
+    """_segment_bounds (fill scans) against a python reference over
+    random break patterns."""
+    from lightkurve_tpu.ops.detrend import _segment_bounds
+    n = 200
+    for trial in range(5):
+        brk = rng.random(n) < 0.05
+        brk[0] = True
+        lo_ref = np.empty(n, np.int32)
+        hi_ref = np.empty(n, np.int32)
+        cur = 0
+        for i in range(n):
+            if brk[i]:
+                cur = i
+            lo_ref[i] = cur
+        nxt = n
+        for i in range(n - 1, -1, -1):
+            hi_ref[i] = nxt
+            if brk[i]:
+                nxt = i
+        lo, hi = _segment_bounds(jnp.asarray(brk), n)
+        np.testing.assert_array_equal(np.asarray(lo), lo_ref)
+        np.testing.assert_array_equal(np.asarray(hi), hi_ref)

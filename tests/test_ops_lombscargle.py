@@ -272,3 +272,17 @@ def test_fastchi2_periodogram_dispatch(rng):
     assert np.max(np.abs(pf - pd)) / pd.max() < 1e-3
     # both recover the injected fundamental
     assert abs(float(pg_fast.period_at_max_power.value) - 2.7) < 0.05
+
+
+def test_chol_quadform_matches_solve(rng):
+    """_chol_quadform == b^T A^-1 b via np.linalg.solve on random SPD
+    stacks (the TPU path replaces batched LU with unrolled Cholesky)."""
+    from lightkurve_tpu.ops.lombscargle import _chol_quadform
+    for k in (2, 3, 7):
+        X = rng.normal(size=(40, k + 3, k))
+        A = np.einsum("bni,bnj->bij", X, X) + 1e-9 * np.eye(k)
+        b = rng.normal(size=(40, k))
+        want = np.einsum("bi,bi->b", b,
+                         np.linalg.solve(A, b[..., None])[..., 0])
+        got = np.asarray(_chol_quadform(jnp.asarray(A), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, rtol=5e-5)
