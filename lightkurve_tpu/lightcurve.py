@@ -360,8 +360,8 @@ class LightCurve:
         warnings.warn("`hdu` is deprecated, use "
                       "`fits.open(lc.filename)` instead.",
                       LightkurveDeprecationWarning)
-        from .io.fits import fits_open
-        return fits_open(self.meta.get("FILENAME"))
+        from .io.fits import open_fits
+        return open_fits(self.meta.get("FILENAME"))
 
     @property
     def header(self):

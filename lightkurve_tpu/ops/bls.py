@@ -580,13 +580,12 @@ def _bls_shared_scan_uniform(ts, Y0, c_b, periods, k_durs, dur_values,
             # is a pair of STATIC slices (valid rows r < nbins_p satisfy
             # r + k - 1 < nbins_pad, so jnp.roll's wraparound copies were
             # pure waste — invalid rows are masked to -inf either way)
-            k_max_l = max(k_durs)
             zp_y = jnp.concatenate(
                 [jnp.zeros_like(cs_y[:, :1, :]), cs_y,
-                 jnp.zeros_like(cs_y[:, :k_max_l - 1, :])], axis=1)
+                 jnp.zeros_like(cs_y[:, :k_max - 1, :])], axis=1)
             zp_n = jnp.concatenate(
                 [jnp.zeros_like(cs_n[:, :1, :]), cs_n,
-                 jnp.zeros_like(cs_n[:, :k_max_l - 1, :])], axis=1)
+                 jnp.zeros_like(cs_n[:, :k_max - 1, :])], axis=1)
             cex_y = jax.lax.slice_in_dim(zp_y, 0, nbins_pad, axis=1)
             cex_n = jax.lax.slice_in_dim(zp_n, 0, nbins_pad, axis=1)
 
@@ -873,7 +872,17 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
         if fold_impl is None:
             import os
             fold_impl = os.environ.get("LK_BLS_FOLD", "auto")
-        n_samp, B_curves = ts.shape[0], Y.shape[0]
+        if fold_impl in ("fused", "fused_interpret"):
+            # the fused kernel tiles n over 128-row slabs and B over
+            # 128-lane blocks; anything else falls back to XLA staging
+            from .bls_fused_pallas import SLAB
+            n_samp, B_curves = ts.shape[0], Y.shape[0]
+            if n_samp % SLAB != 0 or B_curves % 128 != 0:
+                log.warning(
+                    "fold_impl=%r requires n %% %d == 0 and B %% 128 == 0 "
+                    "(got n=%d, B=%d); falling back to the XLA fold.",
+                    fold_impl, SLAB, n_samp, B_curves)
+                fold_impl = "xla"
         if fold_impl == "auto":
             # The fully-fused Pallas pipeline (fold + window in VMEM,
             # zero HBM intermediates, short-period slab skipping) is

@@ -193,35 +193,65 @@ def lombscargle_chi2(t, y, freqs, dy=None, nterms=1, normalization="standard",
     return _chi2_normalize(powers, chi2_ref, normalization)
 
 
-def _chol_quadform(A, b):
-    """``bᵀ A⁻¹ b`` for a small static-k symmetric-PD stack.
+def _chol_quadform_rows(A_rows, b_rows, rcond=0.0):
+    """``bᵀ A⁻¹ b`` for a small static-M symmetric-PD system given as
+    entry lists (``A_rows[i][j]``, ``b_rows[i]`` — arrays broadcast over
+    the leading batch axes).
 
     Unrolled Cholesky + forward substitution (power = ‖L⁻¹b‖²) as pure
-    elementwise ops over the leading batch axes — batched
-    ``jnp.linalg.solve`` lowers to scalar LU-pivot loops on TPU.
-    ``A`` is (..., k, k), ``b`` broadcastable to (..., k).
+    elementwise ops — batched ``jnp.linalg.solve`` lowers to scalar
+    LU-pivot loops on TPU.  Entry lists keep the callers from ever
+    materializing a stacked (..., M, M) normal matrix.  Callers apply
+    their own diagonal jitter; the ``maximum(d, 1e-30)`` clamp here only
+    guards the sqrt against exactly-singular pivots.
+
+    ``rcond > 0`` enables RANK TRUNCATION: a pivot that has shrunk below
+    ``rcond ×`` its original diagonal entry marks a (numerically)
+    linearly dependent column, and its contribution is dropped
+    (``z_i = 0`` — the projection onto the remaining well-conditioned
+    columns).  Exact normal equations (b = Xᵀy, A = XᵀX) are always
+    consistent, so the quadform is bounded by ‖y‖² even when A is
+    singular; but when A and b carry INDEPENDENT approximation errors
+    (the FFT trig-sum methods) a tiny pivot divides noise by noise and
+    the quadform explodes — truncation restores the bound.
     """
-    M = A.shape[-1]
+    M = len(b_rows)
     L = [[None] * M for _ in range(M)]
+    inv = [None] * M
     for i in range(M):
-        d = A[..., i, i]
+        d = A_rows[i][i]
         for kk in range(i):
             d = d - L[i][kk] * L[i][kk]
-        Lii = jnp.sqrt(jnp.maximum(d, 1e-30))
+        if rcond:
+            healthy = d > rcond * A_rows[i][i]
+            Lii = jnp.sqrt(jnp.where(healthy, d, 1.0))
+            inv[i] = jnp.where(healthy, 1.0 / Lii, 0.0)
+        else:
+            Lii = jnp.sqrt(jnp.maximum(d, 1e-30))
+            inv[i] = 1.0 / Lii
         L[i][i] = Lii
-        inv_ii = 1.0 / Lii
         for j in range(i + 1, M):
-            s = A[..., j, i]
+            s = A_rows[j][i]
             for kk in range(i):
                 s = s - L[j][kk] * L[i][kk]
-            L[j][i] = s * inv_ii
+            L[j][i] = s * inv[i]
     z = [None] * M
     for i in range(M):
-        s = b[..., i]
+        s = b_rows[i]
         for kk in range(i):
             s = s - L[i][kk] * z[kk]
-        z[i] = s / L[i][i]
+        z[i] = s * inv[i]
     return sum(zi * zi for zi in z)
+
+
+def _chol_quadform(A, b):
+    """``bᵀ A⁻¹ b`` for a stacked (..., k, k) symmetric-PD ``A`` and a
+    ``b`` broadcastable to (..., k) — slice view of
+    :func:`_chol_quadform_rows`."""
+    M = A.shape[-1]
+    return _chol_quadform_rows(
+        [[A[..., i, j] for j in range(M)] for i in range(M)],
+        [b[..., i] for i in range(M)])
 
 
 def _bitceil(n):
@@ -243,9 +273,9 @@ def _chi2_normalize(powers, chi2_ref, normalization):
 
 @partial(jax.jit, static_argnames=("Nf", "Nfft", "Mfft", "nterms",
                                    "normalization", "fit_mean",
-                                   "center_data", "chunk"))
+                                   "center_data", "rcond"))
 def _ls_fastchi2_device(y, w, pres, Nf, Nfft, Mfft, nterms, normalization,
-                        fit_mean, center_data, chunk):
+                        fit_mean, center_data, rcond):
     """Device body of :func:`lombscargle_fastchi2`.
 
     ``pres`` is a tuple of 2·nterms precompute dicts, one per harmonic
@@ -339,43 +369,23 @@ def _ls_fastchi2_device(y, w, pres, Nf, Nfft, Mfft, nterms, normalization,
             return yws[..., None]       # frequency-constant (B?, 1)
         return Sy[m] if kind == 1 else Cy[m]
 
-    # A and b are assembled lazily per frequency chunk: only the
-    # underlying harmonic trig sums are resident, never the stacked
-    # (…, Nf, M, M) normal matrices
+    # A and b stay as per-entry (…, Nf) arrays — the stacked
+    # (…, Nf, M, M) normal matrices are never materialized
     A_rows = [[xtx_entry(ci, cj) for cj in cols] for ci in cols]
     b_rows = [xty_entry(ci) for ci in cols]
 
     batch_shape = chi2_ref.shape
 
-    # power = bᵀA⁻¹b via an UNROLLED static Cholesky over the entry
-    # lists: batched jnp.linalg.solve on (Nf, M, M) lowers to scalar
-    # LU-pivot loops on TPU (it dominated the whole fastchi2 runtime);
-    # the unrolled recurrences are ~M³/3 elementwise ops vectorized
-    # over the full frequency axis.  A is the symmetric-PD weighted
-    # normal matrix, so power = ‖L⁻¹b‖² needs only the forward
-    # substitution.  The 1e-30 diagonal jitter matches the previous
-    # solve's regularization; near-singular frequencies (harmonic
-    # collinearity at f→0) were garbage under LU too.
-    L = [[None] * M for _ in range(M)]
-    for i in range(M):
-        d = A_rows[i][i] + 1e-30
-        for kk in range(i):
-            d = d - L[i][kk] * L[i][kk]
-        Lii = jnp.sqrt(jnp.maximum(d, 1e-30))
-        L[i][i] = Lii
-        inv_ii = 1.0 / Lii
-        for j2 in range(i + 1, M):
-            s = A_rows[j2][i]
-            for kk in range(i):
-                s = s - L[j2][kk] * L[i][kk]
-            L[j2][i] = s * inv_ii
-    z = [None] * M
-    for i in range(M):
-        s = b_rows[i]
-        for kk in range(i):
-            s = s - L[i][kk] * z[kk]
-        z[i] = s / L[i][i]
-    powers = sum(zi * zi for zi in z)                   # (B?, Nf)
+    # power = bᵀA⁻¹b via the UNROLLED static Cholesky over the entry
+    # lists (see _chol_quadform_rows): batched jnp.linalg.solve on
+    # (Nf, M, M) lowers to scalar LU-pivot loops on TPU (it dominated
+    # the whole fastchi2 runtime).  rcond truncates numerically
+    # dependent harmonic columns: near f = Nyquist (regular grids) or
+    # f → 0, sin(mωt) columns become collinear, and because the FFT
+    # trig sums carry extirpolation error the assembled (A, b) are
+    # INCONSISTENT there — an untruncated solve divides noise by noise
+    # and reports power ~1e12 at a frequency whose true power is ~0.
+    powers = _chol_quadform_rows(A_rows, b_rows, rcond=rcond)  # (B?, Nf)
     powers = jnp.broadcast_to(powers, batch_shape + (Nf,))
     return _chi2_normalize(powers, chi2_ref, normalization)
 
@@ -383,7 +393,7 @@ def _ls_fastchi2_device(y, w, pres, Nf, Nfft, Mfft, nterms, normalization,
 def lombscargle_fastchi2(t, y, f0, df, Nf, dy=None, nterms=1,
                          normalization="standard", fit_mean=True,
                          center_data=True, oversampling=5, Mfft=4,
-                         chunk=2048):
+                         rcond=1e-6):
     """FFT-accelerated multi-term (χ²) Lomb-Scargle on a regular grid.
 
     The algorithm astropy ships as ``fastchi2`` (Palmer 2009), which the
@@ -397,6 +407,16 @@ def lombscargle_fastchi2(t, y, f0, df, Nf, dy=None, nterms=1,
     ``y`` may carry leading batch axes over a shared ``t``; with shared
     (or None) ``dy`` the normal matrices are assembled and factorized
     once per frequency for the whole batch.
+
+    ``rcond`` rank-truncates numerically dependent harmonic columns in
+    the per-frequency solve (see :func:`_chol_quadform_rows`).  On a
+    regular grid the ``sin(mωt)`` columns become collinear near the
+    Nyquist frequency and near f → 0; because the extirpolated trig
+    sums are approximate, the assembled (A, b) are inconsistent there
+    and the untruncated quadform explodes to ~1e12 ×  the true power
+    (measured: pivot ratios go *negative* at the Nyquist alias, vs
+    ≥ 2e-4 for genuine small pivots).  1e-6 sits comfortably between
+    the extirpolation noise floor and real pivots.
     """
     if nterms < 1:
         raise ValueError("nterms must be >= 1 for the chi2 methods")
@@ -423,7 +443,7 @@ def lombscargle_fastchi2(t, y, f0, df, Nf, dy=None, nterms=1,
     with jax.default_matmul_precision("highest"):
         return _ls_fastchi2_device(y, w, tuple(pres), Nf, Nfft, Mfft,
                                    nterms, normalization, fit_mean,
-                                   center_data, min(chunk, Nf))
+                                   center_data, float(rcond))
 
 
 def extirpolate_batched(xi, frac, Y, N, M=4):

@@ -54,7 +54,6 @@ class SearchResult:
         # ``conf.search_result_display_extra_columns`` (reference
         # ``search.py:124``)
         try:
-            from .config import conf
             self.display_extra_columns = list(
                 conf.search_result_display_extra_columns or [])
         except Exception:
@@ -77,6 +76,11 @@ class SearchResult:
         lines = [f"SearchResult containing {len(self)} data products.", ""]
         if self.table:
             cols = ["mission", "year", "author", "exptime", "target_name"]
+            # reference ``search.py:149-160``: configured extra columns
+            # are appended when at least one row carries them
+            for extra in self.display_extra_columns:
+                if extra not in cols and any(extra in r for r in self.table):
+                    cols.append(extra)
             lines.append(" ".join([f"{'#':>6s}"]
                                   + [f"{c:>14s}" for c in cols]))
             for i, r in enumerate(self.table):

@@ -853,7 +853,14 @@ class TessTargetPixelFile(TargetPixelFile):
         mask when the extension is missing or non-integer, as early
         TESScut products were)."""
         try:
-            return np.asarray(self._aperture).astype(np.int64) & 4 > 0
+            aperture = np.asarray(self._aperture)
+            # the reference applies `&` directly, which raises TypeError
+            # for the float (sometimes NaN) apertures early TESScut
+            # products carry — mirror that by refusing non-integer kinds
+            # rather than casting (NaN→int is undefined)
+            if aperture.dtype.kind not in "iub":
+                raise TypeError(f"non-integer aperture {aperture.dtype}")
+            return aperture.astype(np.int64) & 4 > 0
         except (TypeError, ValueError, AttributeError):
             return np.zeros(self.shape[1:], dtype=bool)
 

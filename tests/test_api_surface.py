@@ -244,3 +244,42 @@ def test_round3_member_additions_smoke():
     p0 = model.initial_guess()
     assert np.isclose(model.logp_prior(p0),
                       float(model.prior_penalty(np.asarray(p0))))
+
+
+def test_review_fixes_round3():
+    """Regression pins for the round-3 review findings: `hdu` shim import,
+    float-aperture background_mask, SearchResult extra repr columns."""
+    import warnings as _warnings
+    from lightkurve_tpu import LightCurve
+    from lightkurve_tpu.search import SearchResult
+    from lightkurve_tpu.utils import LightkurveDeprecationWarning
+    import tempfile, os as _os
+
+    # 1) lc.hdu re-opens the backing file (was: ImportError on a
+    #    nonexistent io.fits name)
+    lc = LightCurve(time=np.arange(5.0), flux=np.ones(5))
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "lc.fits")
+        lc.to_fits(path, overwrite=True)
+        lc2 = LightCurve(time=np.arange(5.0), flux=np.ones(5),
+                         meta={"FILENAME": path})
+        with pytest.warns(LightkurveDeprecationWarning):
+            hdul = lc2.hdu
+        assert len(hdul) >= 2
+
+    # 2) float (possibly NaN) aperture extensions give an all-False
+    #    background mask, like the reference's TypeError fallback —
+    #    never an int-cast of NaN
+    from synthetic import make_synthetic_tpf
+    tpf = make_synthetic_tpf(n_cadences=10, mission="TESS")
+    tpf._aperture = np.array([[np.nan, 4.0], [5.0, 0.0]])
+    bg = tpf.background_mask
+    assert bg.dtype == bool and not bg.any()
+
+    # 3) configured extra columns show up in the SearchResult repr
+    sr = SearchResult([dict(mission="TESS Sector 10", year=2019,
+                            author="SPOC", exptime=120,
+                            target_name="42", distance=3.0)])
+    sr.display_extra_columns = ["distance"]
+    assert "distance" in repr(sr)
+    assert "3.0" in repr(sr)

@@ -286,3 +286,29 @@ def test_chol_quadform_matches_solve(rng):
                          np.linalg.solve(A, b[..., None])[..., 0])
         got = np.asarray(_chol_quadform(jnp.asarray(A), jnp.asarray(b)))
         np.testing.assert_allclose(got, want, rtol=5e-5)
+
+
+def test_fastchi2_near_nyquist_no_blowup():
+    """Near the Nyquist frequency of a regular grid the multi-term normal
+    matrix is singular (sin(2ωt) aliases onto sin(ω't)); the extirpolated
+    (A, b) are inconsistent there, and without rank truncation the solve
+    reported power ~1e12 at a frequency whose true power is ~0 — stealing
+    argmax from the real peak (round-3 regression)."""
+    from lightkurve_tpu.ops.lombscargle import lombscargle_fastchi2
+    t = np.arange(300) * 0.02                       # Nyquist = 25 /d
+    y = (1.0 + 3e-3 * np.sin(2 * np.pi * t / 1.3)
+         + 1.5e-3 * np.sin(4 * np.pi * t / 1.3))
+    df = 1.0 / (t[-1] - t[0]) / 5.0
+    Nf = int(25.0 / df)                             # grid up to Nyquist
+    f0 = df
+    freqs = f0 + df * np.arange(Nf)
+    p = np.asarray(lombscargle_fastchi2(t, jnp.asarray(y), f0, df, Nf,
+                                        nterms=2, normalization="psd"))
+    assert np.isfinite(p).all()
+    # the true peak (P = 1.3 d) wins; nothing in the near-Nyquist tail
+    # exceeds it
+    assert abs(1.0 / freqs[np.argmax(p)] - 1.3) < 0.05
+    # powers are bounded by the total chi2 (weights=1: sum of squares of
+    # the centered flux) — the physical bound an untruncated solve broke
+    chi2_ref = np.sum((y - y.mean()) ** 2)
+    assert p.max() <= chi2_ref * 1.001
