@@ -135,12 +135,57 @@ def _fork_watchdog():
             os._exit(2 if m is None else 0)
 
 
+def _wait_for_device():
+    """Bounded pre-flight: probe the device in a SUBPROCESS and wait for
+    the tunnel to come back before arming the bench watchdogs.
+
+    The axon tunnel is observed to wedge for 0.5–2 h; a bench launched
+    into an outage would otherwise burn its whole watchdog budget on the
+    first device call and report a 0-valued line.  A subprocess probe
+    can't poison this process's TPU client, and an outage spent waiting
+    here costs nothing (the watchdog starts after).  Bounded by
+    LK_BENCH_TUNNEL_WAIT seconds (default 2400); CPU runs skip it.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    import subprocess
+    budget = float(os.environ.get("LK_BENCH_TUNNEL_WAIT", 2400))
+    t_end = _time.time() + budget
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.arange(4.0).sum()))")
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "6.0" in r.stdout:
+                if attempt > 1:
+                    print(f"# device probe ok after {attempt} attempts",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if _time.time() >= t_end:
+            print("# device probe still failing after "
+                  f"{budget:.0f}s; proceeding (watchdog will bound the "
+                  "run)", file=sys.stderr)
+            return
+        _time.sleep(60)
+
+
 def main():
+    _wait_for_device()   # before the watchdogs: outages don't eat budget
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_S)
     _fork_watchdog()     # fork FIRST: before any threads exist
     _thread_watchdog()
     import jax
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # the axon sitecustomize imports jax at interpreter start and
+        # freezes JAX_PLATFORMS=axon; CPU smoke runs must override via
+        # config (same recipe as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     from lightkurve_tpu.config import enable_persistent_compile_cache
     enable_persistent_compile_cache()
     import jax.numpy as jnp
