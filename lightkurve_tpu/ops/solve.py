@@ -18,7 +18,47 @@ import jax.numpy as jnp
 from .stats import sigma_clip_mask
 
 __all__ = ["solve_regression", "iterative_clipped_regression",
-           "randomized_pca"]
+           "randomized_pca", "chol_solve_small"]
+
+
+def chol_solve_small(A, b):
+    """``x = A⁻¹ b`` for a small static-k symmetric-PD system, unrolled.
+
+    Sibling of ``ops.lombscargle._chol_quadform_rows`` (which stops at
+    the quadform): batched ``jnp.linalg.solve`` lowers to scalar
+    LU-pivot loops on TPU, so for the k ≲ 16 systems of the PRF
+    Levenberg-Marquardt steps the O(k³/3) unrolled recurrences —
+    pure elementwise ops over any leading batch axes — are far faster.
+    ``A`` is (..., k, k), ``b`` is (..., k); returns (..., k).
+    """
+    M = A.shape[-1]
+    L = [[None] * M for _ in range(M)]
+    inv = [None] * M
+    for i in range(M):
+        d = A[..., i, i]
+        for kk in range(i):
+            d = d - L[i][kk] * L[i][kk]
+        Lii = jnp.sqrt(jnp.maximum(d, 1e-30))
+        inv[i] = 1.0 / Lii
+        L[i][i] = Lii
+        for j in range(i + 1, M):
+            s = A[..., j, i]
+            for kk in range(i):
+                s = s - L[j][kk] * L[i][kk]
+            L[j][i] = s * inv[i]
+    z = [None] * M                       # forward: L z = b
+    for i in range(M):
+        s = b[..., i]
+        for kk in range(i):
+            s = s - L[i][kk] * z[kk]
+        z[i] = s * inv[i]
+    x = [None] * M                       # back: Lᵀ x = z
+    for i in reversed(range(M)):
+        s = z[i]
+        for kk in range(i + 1, M):
+            s = s - L[kk][i] * x[kk]
+        x[i] = s * inv[i]
+    return jnp.stack(x, axis=-1)
 
 
 def _true_f32(fn):

@@ -565,7 +565,14 @@ class PRFPhotometry:
                 # Levenberg damping relative to the curvature scale
                 H = H + (damping * jnp.diag(jnp.diag(H))
                          + 1e-8 * jnp.eye(k, dtype=p.dtype))
-                delta = jnp.linalg.solve(H, g)
+                if k <= 16:
+                    # unrolled static Cholesky: jnp.linalg.solve lowers
+                    # to scalar LU-pivot loops on TPU (H is SPD — JᵀJ
+                    # plus damped diagonal)
+                    from ..ops.solve import chol_solve_small
+                    delta = chol_solve_small(H, g)
+                else:
+                    delta = jnp.linalg.solve(H, g)
                 # trust region: cap each step relative to the parameter
                 # magnitude so the fixed-iteration loop cannot run away
                 max_step = 0.5 * (jnp.abs(p) + 1.0)

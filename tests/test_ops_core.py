@@ -343,3 +343,16 @@ def test_segment_bounds_fill_scan(rng):
         lo, hi = _segment_bounds(jnp.asarray(brk), n)
         np.testing.assert_array_equal(np.asarray(lo), lo_ref)
         np.testing.assert_array_equal(np.asarray(hi), hi_ref)
+
+
+def test_chol_solve_small_matches_linalg_solve(rng):
+    """Unrolled static Cholesky solve (ops.solve.chol_solve_small) equals
+    jnp.linalg.solve on stacked SPD systems."""
+    from lightkurve_tpu.ops.solve import chol_solve_small
+    for k in (1, 3, 7):
+        X = rng.standard_normal((32, 24, k))
+        A = np.einsum("bni,bnj->bij", X, X) + 0.1 * np.eye(k)
+        b = rng.standard_normal((32, k))
+        want = np.linalg.solve(A, b[..., None])[..., 0]
+        got = np.asarray(chol_solve_small(jnp.asarray(A), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
