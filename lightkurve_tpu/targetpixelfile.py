@@ -445,6 +445,10 @@ class TargetPixelFile:
                                     centroid_method="moments"):
         """Aperture photometry → LightCurve (reference Kepler ``:2198-2254``,
         TESS ``:2861-2917``)."""
+        # resolve 'default' here so meta records the resolved NAME (e.g.
+        # 'threshold' for TESSCut-like products), as the reference does at
+        # targetpixelfile.py:2230+2251 — not the parsed boolean array
+        aperture_mask = self._resolve_default_aperture_mask(aperture_mask)
         flux, flux_err, centroid_col, centroid_row = \
             self._aperture_photometry(aperture_mask=aperture_mask,
                                       flux_method=flux_method,
@@ -454,7 +458,7 @@ class TargetPixelFile:
             quality=self.quality, cadenceno=self.cadenceno)
         meta = dict(self.meta)
         meta.update({
-            "APERTURE_MASK": self._last_aperture_mask,
+            "APERTURE_MASK": aperture_mask,
             "LABEL": self.meta.get("OBJECT"),
             "MISSION": self.mission,
             "RA": self.ra, "DEC": self.dec,
