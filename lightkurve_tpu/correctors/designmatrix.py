@@ -70,8 +70,10 @@ class DesignMatrix:
         if self.values_.shape[0] == 1 and self.values_.shape[1] > 1 and \
                 np.ndim(df) == 1:
             self.values_ = self.values_.T
+        # pandas gives integer RangeIndex columns for bare ndarrays
+        # (reference designmatrix.py:118 via pd.DataFrame)
         self.columns = (list(columns) if columns is not None
-                        else [str(i) for i in range(self.values_.shape[1])])
+                        else list(range(self.values_.shape[1])))
         self.name = name
         k = self.values_.shape[1]
         if isinstance(prior_mu, Quantity):

@@ -61,11 +61,16 @@ class SFFCorrector(RegressionCorrector):
         spline = create_sparse_spline_matrix if sparse \
             else create_spline_matrix
 
+        # Drop NaN centroid cadences first, THEN read the columns, so both
+        # arrays come from the same (final) light curve even when the NaNs
+        # do not co-occur (reference #827, ``sffcorrector.py:144-149``).
         if centroid_col is None:
             self.lc = self.lc.remove_nans(column="centroid_col")
-            centroid_col = self.lc["centroid_col"]
         if centroid_row is None:
             self.lc = self.lc.remove_nans(column="centroid_row")
+        if centroid_col is None:
+            centroid_col = self.lc["centroid_col"]
+        if centroid_row is None:
             centroid_row = self.lc["centroid_row"]
         centroid_col = np.asarray(Quantity(centroid_col).value, float)
         centroid_row = np.asarray(Quantity(centroid_row).value, float)

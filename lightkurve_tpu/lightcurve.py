@@ -506,8 +506,38 @@ class LightCurve:
     def __setitem__(self, key, value):
         if isinstance(key, str):
             self._set_column(key, value)
-        else:
-            raise TypeError("Row assignment is not supported; columns only.")
+            return
+        # Row assignment with a scalar, astropy-Table style: broadcast the
+        # value into the selected rows of EVERY column (the reference's
+        # ``lc[400:500] = np.nan``, tests/test_periodogram.py
+        # test_periodogram_basics). Non-float columns raise, as astropy's
+        # column casting does.
+        if isinstance(key, (int, np.integer, slice, list, np.ndarray)):
+            if not np.isscalar(value) and not (
+                    isinstance(value, float) and np.isnan(value)):
+                raise TypeError(
+                    "Row assignment only supports scalar values.")
+            from .time import TIME_FORMAT_OFFSETS
+            for name, col in list(self._cols.items()):
+                if isinstance(col, Time):
+                    jd2 = np.array(col._jd2, dtype=np.float64, copy=True)
+                    off = TIME_FORMAT_OFFSETS[col.format]
+                    jd2[key] = float(value) + off - col._jd1
+                    self._cols[name] = Time._from_jd12(
+                        col._jd1, jd2, col.format, col.scale)
+                elif isinstance(col, TimeDelta):
+                    arr = np.array(col.to_value("d"), copy=True)
+                    arr[key] = value
+                    self._cols[name] = TimeDelta(arr)
+                else:
+                    arr = np.array(getattr(col, "value", col), copy=True)
+                    arr[key] = value
+                    unit = col.unit if isinstance(col, Quantity) else None
+                    self._cols[name] = (Quantity(arr, unit)
+                                        if unit is not None else arr)
+            return
+        raise TypeError("Row assignment requires an int, slice, or index "
+                        "array; columns are assigned by name.")
 
     def __contains__(self, name):
         return name in self._cols
@@ -1243,8 +1273,13 @@ class LightCurve:
             corrector_func=None)
 
     def truncate(self, before=None, after=None, column="time"):
-        """Truncate to rows where before <= column <= after."""
-        vals = self._cols[column]
+        """Truncate to rows where before <= column <= after.
+
+        ``column`` may also name a plain attribute, like the reference's
+        ``getattr``-based lookup (``lightcurve.py:3155-3163``)."""
+        vals = self._cols.get(column)
+        if vals is None:
+            vals = getattr(self, column)
         vals = vals.value if isinstance(vals, (Quantity, Time)) \
             else np.asarray(vals)
         mask = np.ones(len(self), dtype=bool)
@@ -1318,6 +1353,10 @@ class LightCurve:
         return df.drop(columns=["time"])
 
     def to_csv(self, path_or_buf=None, **kwargs):
+        # pandas 2.x renamed ``line_terminator`` to ``lineterminator``;
+        # accept the old spelling used by the reference's test suite.
+        if "line_terminator" in kwargs:
+            kwargs["lineterminator"] = kwargs.pop("line_terminator")
         df = self.to_pandas()
         return df.to_csv(path_or_buf=path_or_buf, **kwargs)
 

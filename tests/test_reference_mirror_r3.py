@@ -3,6 +3,8 @@
 Each test re-implements the BEHAVIOR of a reference test (cited per test)
 on synthetic in-memory data — no network, no astropy.
 """
+import warnings
+
 import numpy as np
 import pytest
 
@@ -169,3 +171,330 @@ def test_cutout_quality_masking():
     tpf = make_synthetic_tpf(n_cadences=12, mission="TESS")
     cut = tpf.cutout(size=3)
     assert len(tpf) == len(cut)
+
+
+def test_designmatrix_from_numpy():
+    """Reference test_designmatrix.py:39: ndarray construction defaults."""
+    from lightkurve_tpu.correctors import DesignMatrix
+    dm = DesignMatrix(np.ones((10, 2)))
+    assert list(dm.columns) == [0, 1]
+    assert dm.name == "unnamed_matrix"
+    np.testing.assert_array_equal(np.asarray(dm[0]), np.ones(10))
+
+
+def test_designmatrix_from_dict():
+    """Reference test_designmatrix.py:48: dict construction."""
+    from lightkurve_tpu.correctors import DesignMatrix
+    dm = DesignMatrix({"centroid_col": np.ones(10),
+                       "centroid_row": np.ones(10)},
+                      name="motion_systematics")
+    assert dm.shape == (10, 2)
+    np.testing.assert_array_equal(np.asarray(dm["centroid_col"]),
+                                  np.ones(10))
+
+
+def test_sff_nan_centroids():
+    """Reference #827 (test_sffcorrector.py:232): NaN centroid columns
+    must not break SFF after remove_nans."""
+    rng = np.random.default_rng(3)
+    n = 300
+    t = np.arange(n) * 0.02
+    lc = LightCurve(time=t, flux=1 + 1e-3 * rng.standard_normal(n),
+                    flux_err=np.full(n, 1e-3))
+    cc = 450 + 0.5 * np.sin(2 * np.pi * t / 0.3)
+    cr = 600 + 0.5 * np.cos(2 * np.pi * t / 0.3)
+    cc[10] = np.nan
+    cr[20] = np.nan
+    lc["centroid_col"] = cc
+    lc["centroid_row"] = cr
+    corrected = lc[5:250].remove_nans().to_corrector("sff").correct(
+        windows=1)
+    assert np.isfinite(corrected.flux.value).all()
+
+
+def test_sff_designmatrix_prior_type():
+    """Reference #982 (test_sffcorrector.py:241): prior_mu/prior_sigma
+    are plain arrays, not Quantity objects."""
+    rng = np.random.default_rng(4)
+    size = 50
+    lc = LightCurve(time=np.arange(size, dtype=float),
+                    flux=rng.normal(loc=1.0, scale=0.1, size=size))
+    corr = lc.to_corrector("sff")
+    corr.correct(centroid_col=rng.normal(1.0, 0.1, size),
+                 centroid_row=rng.normal(1.0, 0.1, size), windows=1)
+    assert "Quantity" not in str(type(corr.design_matrix_collection.prior_mu))
+    assert "Quantity" not in str(
+        type(corr.design_matrix_collection.prior_sigma))
+
+
+def test_stellar_estimator_calls():
+    """Reference test_butler.py:288: TEFF from meta feeds the stellar
+    estimators without passing teff explicitly."""
+    from seismology.test_seismology import comb_spectrum
+    snr = comb_spectrum()
+    snr.meta = dict(snr.meta or {}, TEFF=3000)
+    butler = snr.to_seismology()
+    butler.estimate_numax()
+    butler.estimate_deltanu()
+    mass = butler.estimate_mass()
+    rad = butler.estimate_radius()
+    logg = butler.estimate_logg()
+    for q in (mass, rad, logg):
+        assert np.isfinite(q.value)
+
+
+def test_aperture_photometry_nan():
+    """Reference #648 (test_targetpixelfile.py:740): an all-NaN cadence
+    reports NaN flux/flux_err, not zero."""
+    tpf = make_synthetic_tpf(n_cadences=6, mission="TESS")
+    tpf._columns["FLUX"] = np.array(tpf._columns["FLUX"], dtype=float)
+    tpf._columns["FLUX_ERR"] = np.array(tpf._columns["FLUX_ERR"],
+                                        dtype=float)
+    tpf._columns["FLUX"][2] = np.nan
+    tpf._columns["FLUX_ERR"][2] = np.nan
+    lc = tpf.to_lightcurve(aperture_mask="all")
+    assert not np.isnan(lc.flux.value[1])
+    assert not np.isnan(lc.flux_err.value[1])
+    assert np.isnan(lc.flux.value[2])
+    assert np.isnan(lc.flux_err.value[2])
+
+
+def test_endianness():
+    """Reference #188 (test_targetpixelfile.py:707): big-endian FITS
+    columns survive to_lightcurve().to_pandas().describe()."""
+    tpf = make_synthetic_tpf(n_cadences=6, mission="TESS")
+    tpf._columns["FLUX"] = np.asarray(tpf._columns["FLUX"]).astype(">f4")
+    tpf.to_lightcurve().to_pandas().describe()
+
+
+def test_lightcurve_append():
+    """Reference test_lightcurve.py:test_lightcurve_append — append keeps
+    every column, including mission extras."""
+    lc = LightCurve(time=[1, 2, 3], flux=[1, 0.5, 1],
+                    flux_err=[0.1, 0.2, 0.3])
+    lc = lc.append(lc)
+    np.testing.assert_array_equal(lc.time.value, 2 * [1, 2, 3])
+    np.testing.assert_array_equal(lc.flux.value, 2 * [1, 0.5, 1])
+    np.testing.assert_array_equal(lc.flux_err.value, 2 * [0.1, 0.2, 0.3])
+    klc = KeplerLightCurve(
+        time=[1, 2, 3], flux=[1, 0.5, 1],
+        centroid_col=[4, 5, 6], centroid_row=[7, 8, 9],
+        cadenceno=[10, 11, 12], quality=[10, 20, 30])
+    klc = klc.append(klc)
+    np.testing.assert_array_equal(klc.time.value, 2 * [1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(klc.centroid_col), 2 * [4, 5, 6])
+    np.testing.assert_array_equal(np.asarray(klc.centroid_row), 2 * [7, 8, 9])
+    np.testing.assert_array_equal(np.asarray(klc.cadenceno), 2 * [10, 11, 12])
+    np.testing.assert_array_equal(np.asarray(klc.quality), 2 * [10, 20, 30])
+
+
+def test_lightcurve_append_multiple():
+    """Reference test_lightcurve_append_multiple: list append."""
+    lc = LightCurve(time=[1, 2, 3], flux=[1, 0.5, 1])
+    lc = lc.append([lc, lc, lc])
+    np.testing.assert_array_equal(lc.flux.value, 4 * [1, 0.5, 1])
+    np.testing.assert_array_equal(lc.time.value, 4 * [1, 2, 3])
+
+
+def test_to_csv():
+    """Reference test_to_csv, incl. the pandas-1.x ``line_terminator``
+    keyword spelling."""
+    lc = LightCurve(time=range(3), flux=np.ones(3), flux_err=np.zeros(3))
+    out = lc.to_csv(line_terminator="\n")
+    lines = out.strip().split("\n")
+    assert lines[0] == "time,flux,flux_err"
+    body = np.array([row.split(",") for row in lines[1:]], dtype=float)
+    np.testing.assert_array_equal(body,
+                                  [[0, 1, 0], [1, 1, 0], [2, 1, 0]])
+
+
+def test_initialization_with_table():
+    """Reference test_initialization_with_table: ``data=`` mapping merges
+    with the guaranteed columns."""
+    lc = LightCurve(time=[1, 2, 3],
+                    data={"flux": [1, 2, 11], "flux_err": [3, 4, 1],
+                          "c": [1, 1, 1]})
+    assert lc.colnames == ["time", "flux", "flux_err", "c"]
+
+
+def test_head_tail_truncate():
+    """Reference test_head_tail_truncate, incl. truncate on a column and
+    on a plain attribute."""
+    lc = LightCurve({"time": [1, 2, 3, 4, 5], "flux": [1, 2, 3, 4, 5]})
+    assert lc.head(1).flux.value == 1
+    assert lc.head(n=1).flux.value == 1
+    assert lc.tail(1).flux.value == 5
+    assert lc.tail(n=1).flux.value == 5
+    assert all(lc.truncate(2, 4).flux.value == [2, 3, 4])
+    assert lc.truncate(before=2).head(1).flux.value == 2
+    assert lc.truncate(after=3).tail(1).flux.value == 3
+    lc["cadenceno"] = [901, 902, 903, 904, 905]
+    assert all(lc.truncate(902, 904, column="cadenceno").flux.value
+               == [2, 3, 4])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        lc.cycle = [11, 12, 15, 14, 13]
+    assert all(lc.truncate(12, 14, column="cycle").flux.value == [2, 4, 5])
+
+
+def test_periodogram_basics():
+    """Reference test_periodogram.py:test_periodogram_basics — plotting,
+    properties, and NaN-row tolerance."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    rng = np.random.default_rng(7)
+    lc = LightCurve(time=np.arange(1000), flux=rng.normal(1, 0.1, 1000),
+                    flux_err=np.zeros(1000) + 0.1).normalize()
+    pg = lc.to_periodogram()
+    pg.plot()
+    plt.close("all")
+    pg.plot(view="period")
+    plt.close("all")
+    pg.show_properties()
+    pg.to_table()
+    str(pg)
+    lc[400:500] = np.nan
+    lc.to_periodogram()
+
+
+def test_periodogram_warnings_units():
+    """Reference test_periodogram_warnings: amplitude/psd units for a
+    ppm-normalized input."""
+    from lightkurve_tpu.units import uHz
+    rng = np.random.default_rng(8)
+    lc = LightCurve(time=np.arange(1000), flux=rng.normal(1, 0.1, 1000),
+                    flux_err=np.zeros(1000) + 0.1).normalize(unit="ppm")
+    pg = lc.to_periodogram(normalization="amplitude")
+    assert str(pg.power.unit) == "ppm"
+    pg = lc.to_periodogram(freq_unit=uHz, normalization="psd")
+    assert str(pg.power.unit) == "ppm2 / uHz"
+
+
+def test_regressioncorrector_priors():
+    """Reference test_regressioncorrector_priors: prior width steers the
+    posterior exactly as in the reference (dense and sparse)."""
+    from lightkurve_tpu.correctors import DesignMatrix, RegressionCorrector
+    lc1 = LightCurve(flux=[5, 10])
+    lc2 = LightCurve(flux=[5, 10], flux_err=[1, 1])
+    design_matrix = DesignMatrix({"a": [1, 1], "b": [1, 2]})
+    for dm in [design_matrix, design_matrix.to_sparse()]:
+        for lc in [lc1, lc2]:
+            rc = RegressionCorrector(lc)
+            rc.correct(dm)
+            np.testing.assert_almost_equal(rc.coefficients, [0, 5])
+            dm.prior_mu = [0, 5]
+            dm.prior_sigma = [1e-6, 1e-6]
+            rc.correct(dm)
+            np.testing.assert_almost_equal(rc.coefficients, [0, 5])
+            dm.prior_mu = [99, 99]
+            dm.prior_sigma = [1e-6, 1e-6]
+            rc.correct(dm)
+            np.testing.assert_almost_equal(rc.coefficients, [99, 99])
+            dm.prior_mu = [9, 9]
+            dm.prior_sigma = [1e6, 1e6]
+            rc.correct(dm)
+            np.testing.assert_almost_equal(rc.coefficients, [0, 5])
+
+
+def test_sinusoid_noise():
+    """Reference test_sinusoid_noise: regression removes an injected
+    sinusoid; works without flux_err; diagnose() runs."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from lightkurve_tpu.correctors import DesignMatrix, RegressionCorrector
+    size = 100
+    time = np.linspace(1, 100, size)
+    true_flux = np.ones(size)
+    noise = np.sin(time / 5)
+    true_lc = LightCurve(time=time, flux=true_flux,
+                         flux_err=0.1 * np.ones(size))
+    noisy_lc = LightCurve(time=time, flux=true_flux + noise,
+                          flux_err=true_lc.flux_err)
+    design_matrix = DesignMatrix(
+        {"noise": noise, "offset": np.ones(size)}, name="noise_model")
+    for dm in [design_matrix, design_matrix.to_sparse()]:
+        rc = RegressionCorrector(noisy_lc)
+        corrected_lc = rc.correct(dm)
+        np.testing.assert_almost_equal(corrected_lc.normalize().flux.value,
+                                       true_lc.flux.value)
+        rc.diagnose()
+        plt.close("all")
+        dm.prior_mu = [0.1, 0.1]
+        dm.prior_sigma = [1e6, 1e6]
+        corrected_lc = RegressionCorrector(noisy_lc).correct(dm)
+        np.testing.assert_almost_equal(corrected_lc.normalize().flux.value,
+                                       true_lc.flux.value)
+        no_err = LightCurve(time=time, flux=true_flux + noise)
+        corrected_lc = RegressionCorrector(no_err).correct(dm)
+        np.testing.assert_almost_equal(corrected_lc.normalize().flux.value,
+                                       true_lc.flux.value)
+
+
+def test_pld_zero_flux_cadence():
+    """Reference #873 (test_pldcorrector.py): a cadence that is entirely
+    zero flux must not break PLD."""
+    tpf = make_synthetic_tpf(n_cadences=120, mission="TESS")
+    flux = np.array(tpf._columns["FLUX"], dtype=float)
+    flux[7] = 0.0
+    tpf._columns["FLUX"] = flux
+    corrected = tpf.to_corrector("pld").correct()
+    assert np.isfinite(corrected.flux.value).any()
+
+
+def test_pld_allflux_err_nan():
+    """Reference test_tpf_with_allflux_err_NaN: all-NaN flux_err makes the
+    PLD fit impossible and raises ValueError."""
+    from lightkurve_tpu.correctors import PLDCorrector
+    tpf = make_synthetic_tpf(n_cadences=120, mission="TESS")
+    tpf._columns["FLUX_ERR"] = np.full_like(
+        np.asarray(tpf._columns["FLUX_ERR"], dtype=float), np.nan)
+    with pytest.raises(ValueError):
+        PLDCorrector(tpf).correct()
+
+
+def test_pld_someflux_err_nan():
+    """Reference test_tpf_with_someflux_err_NaN: scattered NaN flux_err
+    entries are masked out and PLD proceeds."""
+    tpf = make_synthetic_tpf(n_cadences=120, mission="TESS")
+    ferr = np.array(tpf._columns["FLUX_ERR"], dtype=float)
+    ferr[3, 1, 1] = np.nan
+    ferr[50, 2, 4] = np.nan
+    tpf._columns["FLUX_ERR"] = ferr
+    corrected = tpf.to_corrector("pld").correct()
+    assert np.isfinite(corrected.flux.value).any()
+
+
+def test_quality_flag_decoding_kepler():
+    """Reference test_utils.py:test_quality_flag_decoding_kepler."""
+    from lightkurve_tpu.utils import KeplerQualityFlags
+    flags = list(KeplerQualityFlags.STRINGS.items())
+    for key, value in flags:
+        assert KeplerQualityFlags.decode(key)[0] == value
+    assert KeplerQualityFlags.decode(flags[5][0] + flags[7][0]) == [
+        flags[5][1], flags[7][1]]
+    assert KeplerQualityFlags.decode(
+        flags[3][0] + flags[4][0] + flags[5][0]) == [
+        flags[3][1], flags[4][1], flags[5][1]]
+
+
+def test_quality_flag_decoding_tess():
+    """Reference test_utils.py:test_quality_flag_decoding_tess."""
+    from lightkurve_tpu.utils import TessQualityFlags
+    flags = list(TessQualityFlags.STRINGS.items())
+    for key, value in flags:
+        assert TessQualityFlags.decode(key)[0] == value
+    assert TessQualityFlags.decode(flags[5][0] + flags[7][0]) == [
+        flags[5][1], flags[7][1]]
+
+
+def test_lightkurve_warning_suppressible():
+    """Reference test_utils.py:test_lightkurve_warning — LightkurveWarning
+    obeys the standard warnings machinery."""
+    from lightkurve_tpu.utils import LightkurveWarning
+    with warnings.catch_warnings(record=True) as warns:
+        warnings.simplefilter("ignore", LightkurveWarning)
+        lc = LightCurve(time=[1, 2, 3], flux=[-1.0, -2.0, -3.0])
+        lc.normalize()  # negative median normally warns
+        assert len(warns) == 0
