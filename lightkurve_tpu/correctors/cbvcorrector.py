@@ -196,9 +196,17 @@ class CotrendingBasisVectors:
         if ax is None:
             _, ax = plt.subplots(1)
         if isinstance(cbv_indices, str):
+            if cbv_indices.lower() != "all":
+                raise ValueError(
+                    'cbv_indices must either be list of ints or "all"')
             cbv_indices = self.cbv_indices
+        elif 0 in list(cbv_indices):
+            raise ValueError("CBVs use 1-based indexing. Do not request "
+                             "CBV index '0'")
         good = ~np.asarray(self.gap_indicators, dtype=bool)
         for i, idx in enumerate(cbv_indices):
+            if idx not in self.cbv_indices:
+                continue  # the reference silently ignores unknown indices
             ax.plot(self.time.value[good],
                     self.columns[f"VECTOR_{idx}"][good] + 0.1 * i,
                     label=f"{idx}", **kwargs)

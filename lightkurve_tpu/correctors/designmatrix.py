@@ -107,7 +107,12 @@ class DesignMatrix:
         return deepcopy(self)
 
     def __getitem__(self, key):
-        return self.values_[:, self.columns.index(key)]
+        try:
+            idx = self.columns.index(key)
+        except ValueError:
+            # pandas DataFrames raise KeyError for unknown columns
+            raise KeyError(key) from None
+        return self.values_[:, idx]
 
     def __repr__(self):
         return f"{self.name} DesignMatrix {self.shape}"

@@ -71,12 +71,54 @@ def overfit_metric_lombscargle(original_lc, corrected_lc, n_samples=10,
 
 
 def _compute_correlation(flux_matrix):
-    """Pearson correlation matrix of the columns (reference ``:458-475``)."""
-    norm = flux_matrix - np.mean(flux_matrix, axis=0)
-    std = np.std(norm, axis=0)
-    std[std == 0] = 1.0
-    norm = norm / std
-    return (norm.T @ norm) / flux_matrix.shape[0]
+    """Target-to-target correlation matrix of the columns (reference
+    ``metrics.py:451-476``): each column is scaled by its RMS (NOT
+    mean-subtracted), then correlated by a normalized dot product."""
+    flux_matrix = np.asarray(flux_matrix, dtype=float)
+    n_cadences = flux_matrix.shape[0]
+    rms = np.sqrt(np.sum(flux_matrix ** 2.0, axis=0) / n_cadences)
+    rms[rms == 0.0] = np.inf
+    unit_norm = flux_matrix / rms
+    return (unit_norm.T @ unit_norm) / n_cadences
+
+
+def _align_to_lc(lc, ref_lc):
+    """Align ``lc`` to ``ref_lc`` by cadence number (reference
+    ``metrics.py:378-448``): cadences of ``ref_lc`` missing from ``lc``
+    appear as NaN-flux rows, cadences not in ``ref_lc`` are dropped, and
+    the result is sorted by ``cadenceno``."""
+    from ..lightcurve import LightCurve
+    from ..units import Quantity
+    if not isinstance(lc, LightCurve):
+        raise Exception("<lc> must be a LightCurve class")
+    if not isinstance(ref_lc, LightCurve):
+        raise Exception("<ref_lc> must be a LightCurve class")
+    if "cadenceno" not in lc._cols or "cadenceno" not in ref_lc._cols:
+        raise Exception("align requires cadence numbers for the "
+                        "light curve. NO ALIGNMENT OCCURRED")
+    cad = np.asarray(lc["cadenceno"])
+    ref_cad = np.asarray(ref_lc["cadenceno"])
+    aligned = lc[np.isin(cad, ref_cad)]
+    missing = ~np.isin(ref_cad, cad)
+    if missing.any():
+        add = aligned[:0].copy()
+        n = int(missing.sum())
+        cols = {}
+        for name, col in aligned._cols.items():
+            if name == "time":
+                cols[name] = ref_lc.time[missing]
+            elif name == "cadenceno":
+                cols[name] = ref_cad[missing]
+            else:
+                src = np.asarray(getattr(col, "value", col), dtype=float)
+                filler = np.full(n, np.nan)
+                unit = getattr(col, "unit", None)
+                cols[name] = (Quantity(filler, unit)
+                              if unit is not None else filler)
+        add._cols.update(cols)
+        aligned = aligned.append(add)
+    order = np.argsort(np.asarray(aligned["cadenceno"]))
+    return aligned[order]
 
 
 def underfit_metric_neighbors(corrected_lc, radius=6000, min_targets=30,

@@ -76,6 +76,10 @@ def read(path_or_url, filetype=None, **kwargs):
     log.debug(f"Opening {path_or_url}.")
     try:
         hdulist = open_fits(path_or_url)
+    except FileNotFoundError:
+        # a missing file is not a corrupt file (reference #540): surface
+        # the FileNotFoundError as-is, with the path in the message
+        raise
     except Exception as e:
         raise LightkurveError(
             f"The file {path_or_url} could not be read. It may be corrupt "

@@ -86,6 +86,15 @@ rmse.reduceat = _make_reduceat(rmse)
 nanstd.reduceat = _make_reduceat(nanstd)
 
 
+#: ASCII unified-I/O formats supported by LightCurve.read/write
+_ASCII_FORMAT_SEPARATORS = {
+    "ascii.csv": ",",
+    "csv": ",",
+    "ascii.tab": "\t",
+    "ascii.basic": " ",
+}
+
+
 def _format_to_filetype(format):
     """Map a ``.read(format=...)`` name to a reader-registry filetype
     (reference unified-I/O format names); None auto-detects, unknown
@@ -1149,10 +1158,52 @@ class LightCurve:
     @classmethod
     def read(cls, path, format=None, **kwargs):
         """Read a light-curve file, auto-detecting the product type
-        (reference astropy unified-I/O ``LightCurve.read``)."""
+        (reference astropy unified-I/O ``LightCurve.read``).  ASCII
+        table formats (``ascii.csv``, ``ascii.tab``, ``csv``) are read
+        directly, mirroring astropy Table's unified I/O (reference
+        io test_basic_ascii_io)."""
+        sep = _ASCII_FORMAT_SEPARATORS.get(format)
+        if sep is not None:
+            import pandas as pd
+            df = pd.read_csv(path, sep=sep)
+            cols = {c: df[c].to_numpy() for c in df.columns}
+            time = cols.pop("time", None)
+            flux = cols.pop("flux", None)
+            flux_err = cols.pop("flux_err", None)
+            lc = cls(time=time, flux=flux, flux_err=flux_err)
+            for name, values in cols.items():
+                lc[name] = values
+            return lc
         from .io import read as _read
         return _read(path, filetype=_format_to_filetype(format),
                      **kwargs)
+
+    def write(self, path, format="ascii.csv", overwrite=False, **kwargs):
+        """Write to an ASCII table or FITS file (subset of astropy Table's
+        unified-I/O formats used by the reference tests)."""
+        import os as _os
+        if _os.path.exists(_os.fspath(path)) and not overwrite:
+            raise OSError(
+                f"File {path} already exists. "
+                "If you mean to replace it then use the argument "
+                "\"overwrite=True\".")
+        if format == "fits":
+            return self.to_fits(path=path, overwrite=True, **kwargs)
+        sep = _ASCII_FORMAT_SEPARATORS.get(format)
+        if sep is None:
+            raise ValueError(
+                f"Unsupported write format {format!r}; supported: "
+                f"{sorted(_ASCII_FORMAT_SEPARATORS)} and 'fits'.")
+        import pandas as pd
+        data = {}
+        for name, col in self._cols.items():
+            if isinstance(col, Time):
+                data[name] = col.value
+            elif isinstance(col, TimeDelta):
+                data[name] = col.to_value("d")
+            else:
+                data[name] = np.asarray(getattr(col, "value", col))
+        pd.DataFrame(data).to_csv(path, sep=sep, index=False)
 
     def fill_gaps(self, method="gaussian_noise", seed=None):
         """Fill gaps in time with Gaussian noise (reference ``:1329-1427``).

@@ -37,6 +37,7 @@ class TargetPixelFile:
     (reference ``targetpixelfile.py:94-2068``)."""
 
     _quality_flags_cls = KeplerQualityFlags
+    _drops_nan_time_cadences = False
 
     def __init__(self, path_or_hdulist=None, quality_bitmask="default",
                  **kwargs):
@@ -72,6 +73,14 @@ class TargetPixelFile:
                 "cadences; it cannot be opened as a TargetPixelFile.")
         cols = {name.upper(): np.asarray(table.data[name])
                 for name in table.data.names}
+        # Verify the file format: a TPF must carry FLUX and QUALITY columns
+        # (reference ``targetpixelfile.py:216-233`` raises the same message
+        # when a light-curve file is opened as a TPF)
+        for key in ("FLUX", "QUALITY"):
+            if key not in cols:
+                raise ValueError(
+                    "File {} does not have a {} column, "
+                    "is this a target pixel file?".format(self.path, key))
         # raw, unmasked columns back the `hdu` property, which must expose
         # the file as stored (reference hdu semantics: properties index
         # hdu[1].data with quality_mask, reference targetpixelfile.py:330)
@@ -79,6 +88,13 @@ class TargetPixelFile:
         qual = cols.get("QUALITY", np.zeros(len(cols["TIME"]), dtype=int))
         self.quality_mask = self._quality_flags_cls.create_quality_mask(
             qual, bitmask=quality_bitmask)
+        if self._drops_nan_time_cadences and \
+                quality_bitmask not in (0, "none", None):
+            # Early TESS releases had time=NaN cadences with no QUALITY flag
+            # set; the reference drops them for any non-'none' bitmask
+            # (reference targetpixelfile.py:2796-2801, TESS class only).
+            self.quality_mask &= np.isfinite(
+                np.asarray(cols["TIME"], dtype=np.float64))
         m = self.quality_mask
         self._columns = {k: v[m] for k, v in cols.items()}
         # missing time values become 0, as in the reference (liberal
@@ -848,6 +864,7 @@ class TessTargetPixelFile(TargetPixelFile):
     """TESS TPF (reference ``targetpixelfile.py:2760-2941``)."""
 
     _quality_flags_cls = TessQualityFlags
+    _drops_nan_time_cadences = True
 
     @property
     def background_mask(self):

@@ -498,3 +498,245 @@ def test_lightkurve_warning_suppressible():
         lc = LightCurve(time=[1, 2, 3], flux=[-1.0, -2.0, -3.0])
         lc.normalize()  # negative median normally warns
         assert len(warns) == 0
+
+
+def test_cotrendingbasisvectors_nonretrieval():
+    """Reference test_cbvcorrector.py:test_CotrendingBasisVectors_nonretrieval:
+    constructor defaults, to_designmatrix, plot, align, interpolate."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.axes
+    import matplotlib.pyplot as plt
+    from lightkurve_tpu.correctors.cbvcorrector import CotrendingBasisVectors
+    from lightkurve_tpu.lightcurve import TessLightCurve
+    from lightkurve_tpu.time import Time
+
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": [1, 2, 3], "GAP": [False, True, False],
+              "VECTOR_1": [2.0, 3.0, 4.0], "VECTOR_3": [3.0, 4.0, 5.0]},
+        time=Time([443.51090033, 443.53133457, 443.55176891], format="bkjd"))
+    assert cbvs.cbv_indices == [1, 3]
+    assert np.allclose(cbvs.time.value,
+                       [443.51090033, 443.53133457, 443.55176891])
+
+    # auto-initialized GAP / CADENCENO
+    cbvs = CotrendingBasisVectors(
+        data={"VECTOR_3": [2.0, 3.0, 4.0], "VECTOR_12": [3.0, 4.0, 5.0]},
+        time=Time([443.51090033, 443.53133457, 443.55176891], format="bkjd"))
+    assert cbvs.cbv_indices == [3, 12]
+    assert np.all(np.asarray(cbvs.gap_indicators) == [False, False, False])
+    assert np.all(cbvs.cadenceno == [0, 1, 2])
+
+    # to_designmatrix drops unknown indices and keeps requested ones
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": [1, 2, 3], "GAP": [False, True, False],
+              "VECTOR_1": [1.0, 2.0, 3.0], "VECTOR_2": [4.0, 5.0, 6.0],
+              "VECTOR_3": [7.0, 8.0, 9.0]},
+        time=Time([1569.44053967, 1569.44192856, 1569.44331746],
+                  format="btjd"))
+    dm = cbvs.to_designmatrix(cbv_indices=[1, 3, 5], name="test cbv set")
+    assert dm.shape == (3, 2)
+    assert np.all(dm["VECTOR_1"] == [1.0, 2.0, 3.0])
+    assert np.all(dm["VECTOR_3"] == [7.0, 8.0, 9.0])
+    assert dm.name == "test cbv set"
+    with pytest.raises(KeyError):
+        dm["VECTOR_2"]
+
+    ax = cbvs.plot(cbv_indices=[1, 2], ax=None)
+    assert isinstance(ax, matplotlib.axes.Axes)
+    ax = cbvs.plot(cbv_indices=[1, 2, 5], ax=ax)
+    assert isinstance(ax, matplotlib.axes.Axes)
+    with pytest.raises(ValueError):
+        cbvs.plot(cbv_indices=[0, 1, 2], ax=ax)
+    with pytest.raises(ValueError):
+        cbvs.plot("Doh!")
+    plt.close("all")
+
+    # align: trims extraneous CBV cadences, gap-fills missing ones
+    sample_lc = TessLightCurve(time=[1, 2, 3, 4, 6, 7],
+                               flux=[1, 2, 3, 4, 6, 7],
+                               flux_err=[0.1] * 6,
+                               cadenceno=[1, 2, 3, 4, 6, 7])
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": [1, 2, 3, 5, 6],
+              "GAP": [False, True, False, False, False],
+              "VECTOR_1": [1.0, 2.0, 3.0, 5.0, 6.0]},
+        time=Time([1569.43915078, 1569.44053967, 1569.44192856,
+                   1569.44470635, 1569.44609524], format="btjd"))
+    cbvs = cbvs.align(sample_lc)
+    assert np.all(np.asarray(sample_lc["cadenceno"]) == cbvs.cadenceno)
+    assert len(cbvs.cadenceno) == 6
+    assert np.all(np.asarray(cbvs.gap_indicators, dtype=bool)[[1, 3, 5]])
+    dm = cbvs.to_designmatrix(cbv_indices=[1])
+    assert np.all(dm["VECTOR_1"][[0, 1, 2, 4]] == [1.0, 2.0, 3.0, 6.0])
+    assert np.all(np.isnan(dm["VECTOR_1"][[3, 5]]))
+
+    # interpolate onto a finer light curve; extrapolate=False zeros the tail
+    nlc = 20
+    x_lc = np.linspace(0.0, 2 * np.pi, num=nlc)
+    sample_lc = TessLightCurve(time=x_lc, flux=np.sin(x_lc),
+                               flux_err=np.full(nlc, 0.1),
+                               cadenceno=np.arange(nlc))
+    ncbv = 10
+    x_cbv = np.linspace(0.0, 2 * np.pi, num=ncbv)
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": np.arange(ncbv), "GAP": np.full(ncbv, False),
+              "VECTOR_1": np.cos(x_cbv),
+              "VECTOR_2": np.sin(x_cbv + np.pi * 0.125)},
+        time=Time(x_cbv, format="btjd"))
+    interp = cbvs.interpolate(sample_lc, extrapolate=False)
+    assert np.all(interp.time.value == sample_lc.time.value)
+
+    x_cbv = np.linspace(0.0, 1.5 * np.pi, num=ncbv)
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": np.arange(ncbv), "GAP": np.full(ncbv, False),
+              "VECTOR_1": np.cos(x_cbv),
+              "VECTOR_2": np.sin(x_cbv + np.pi * 0.125)},
+        time=Time(x_cbv, format="btjd"))
+    interp = cbvs.interpolate(sample_lc, extrapolate=False)
+    tail = np.nonzero(interp.time.value > 1.5 * np.pi)[0]
+    assert np.all(np.asarray(interp["VECTOR_1"])[tail] == 0.0)
+    interp = cbvs.interpolate(sample_lc, extrapolate=True)
+    assert np.all(np.asarray(interp["VECTOR_1"])[tail] != 0.0)
+
+
+def test_compute_correlation():
+    """Reference test_metrics.py:test_compute_correlation."""
+    from lightkurve_tpu.correctors.metrics import _compute_correlation
+    flux_matrix = np.ones((4, 4))
+    assert np.all(_compute_correlation(flux_matrix) == 1.0)
+    flux_matrix = np.array([[1.0, -1.0, 1.0, -1.0],
+                            [-1.0, 1.0, 1.0, -1.0],
+                            [1.0, -1.0, 1.0, -1.0],
+                            [-1.0, 1.0, -1.0, 1.0]])
+    truth = np.array([[1.0, -1.0, 0.5, -0.5],
+                      [-1.0, 1.0, -0.5, 0.5],
+                      [0.5, -0.5, 1.0, -1.0],
+                      [-0.5, 0.5, -1.0, 1.0]])
+    np.testing.assert_allclose(_compute_correlation(flux_matrix), truth)
+
+
+def test_align_to_lc():
+    """Reference test_metrics.py:test_align_to_lc."""
+    from lightkurve_tpu.correctors.metrics import _align_to_lc
+    time = np.arange(1, 100, 0.1)
+    n = len(time)
+    lc1 = LightCurve(time=time, flux=np.ones(n), flux_err=np.zeros(n))
+    lc1["cadenceno"] = np.arange(1, n + 1)
+    lc2 = LightCurve(time=time, flux=np.full(n, 2.0), flux_err=np.zeros(n))
+    lc2["cadenceno"] = np.arange(1, n + 1)
+    lc1 = lc1[0:10].append(lc1[20:100])
+    lc2 = lc2[0:50].append(lc2[70:100])
+    aligned_lc2 = _align_to_lc(lc2, lc1)
+    assert np.all(np.asarray(lc1["cadenceno"])
+                  == np.asarray(aligned_lc2["cadenceno"]))
+
+
+def test_filenotfound():
+    """Reference io/test_read.py:test_filenotfound (#540)."""
+    filename = "some/path/DOESNOTEXIST"
+    with pytest.raises(FileNotFoundError) as excinfo:
+        lk.read(filename)
+    assert filename in str(excinfo.value)
+
+
+@pytest.mark.parametrize("fits_name", [
+    "test-lc-tess-pimen-corrupted.fits",
+    "test-lc-tess-pimen-corrupted-at-header.fits",
+    "test-lc-tess-pimen-corrupted-at-header2.fits",
+    "test-tpf-kplr-tabby-corrupted.fits",
+    "test-tpf-kplr-tabby-corrupted-at-header.fits",
+    "test-tpf-kplr-tabby-corrupted-at-header2.fits",
+    "test-tpf-tess-pimen-corrupted.fits",
+    "test-tpf-tess-pimen-corrupted-at-header.fits",
+    "test-tpf-tess-pimen-corrupted-at-header2.fits",
+])
+def test_file_corrupted(fits_name):
+    """Reference io/test_read.py:test_file_corrupted (#1184): the error
+    for a corrupt file names the file."""
+    import os
+    path = os.path.join("/root/reference/tests/data", fits_name)
+    if not os.path.isfile(path):
+        pytest.skip("reference fixture not available")
+    with pytest.raises(BaseException) as excinfo:
+        lk.read(path)
+    assert path in str(excinfo.value)
+
+
+def test_basic_ascii_io(tmp_path):
+    """Reference io/test_read.py:test_basic_ascii_io: CSV in, tab
+    round-trip, extra string columns preserved."""
+    csvfile = tmp_path / "lc.csv"
+    csvfile.write_text(
+        "time,flux,flux_err,color\n1,2,3,red\n4,5,6,green\n7,8,9,blue")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        lc_csv = LightCurve.read(str(csvfile), format="ascii.csv")
+    assert lc_csv.time.value[0] == 1
+    assert lc_csv.flux.value[1] == 5
+    assert lc_csv.color[2] == "blue"
+    tabfile = tmp_path / "lc.tab"
+    lc_csv.write(str(tabfile), format="ascii.tab", overwrite=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        lc_rst = LightCurve.read(str(tabfile), format="ascii.tab")
+    assert lc_rst.color[2] == "blue"
+    assert np.all(lc_csv == lc_rst)
+
+
+def test_detect_filetype_fixture_files():
+    """Reference io/test_detect.py:test_detect_filetype."""
+    from lightkurve_tpu.io.detect import detect_filetype
+    from lightkurve_tpu.io.fits import open_fits
+    import os
+    D = "/root/reference/tests/data"
+    if not os.path.isdir(D):
+        pytest.skip("reference fixtures not available")
+    assert detect_filetype(
+        open_fits(os.path.join(D, "test-tpf-star.fits"))) \
+        == "KeplerTargetPixelFile"
+    assert detect_filetype(
+        open_fits(os.path.join(
+            D, "tess25155310-s01-first-cadences.fits.gz"))) \
+        == "TessTargetPixelFile"
+
+
+def test_lightcurve_scatter():
+    """Reference test_lightcurve_scatter (driven by a synthetic curve in
+    place of the remote Kepler-10 download): scatter on raw and folded
+    light curves, with per-point colors."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    rng = np.random.default_rng(11)
+    t = np.arange(0, 20, 0.01)
+    lc = LightCurve(time=t,
+                    flux=1 + 1e-4 * np.sin(2 * np.pi * t / 0.837491)
+                    + 1e-5 * rng.standard_normal(len(t)),
+                    flux_err=np.full(len(t), 1e-5)).flatten()
+    foldkw = dict(period=0.837491)
+    originaltime = LightCurve(time=lc.time, flux=lc.flux)
+    foldedtimeinorder = originaltime.fold(**foldkw).flux
+    fi, ax = plt.subplots(2, 2, figsize=(10, 6), sharey=True, sharex="col")
+    scatterkw = dict(s=5, cmap="winter")
+    lc.scatter(ax=ax[0, 0])
+    lc.fold(**foldkw).scatter(ax=ax[0, 1])
+    lc.scatter(ax=ax[1, 0], c=lc.time.value, **scatterkw)
+    lc.fold(**foldkw).scatter(ax=ax[1, 1], c=foldedtimeinorder.value,
+                              **scatterkw)
+    plt.close("all")
+
+
+def test_lightcurve_plots_unitless():
+    """Reference test_lightcurve_plots_unitless."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    lc = LightCurve(time=np.arange(10))
+    lc.flux = np.append(np.zeros(3), np.ones(7))
+    lc.flux_err = np.zeros(10)
+    lc.plot()
+    lc.scatter()
+    lc.errorbar()
+    lc.plot(normalize=True, clip_outliers=True)
+    plt.close("all")

@@ -272,3 +272,137 @@ def test_tpf_factory_reference_semantics():
     tpf = factory.get_tpf(hdu0_keywords={
         "creator": "Christina TargetPixelFileWriter", "TELESCOP": "TESS"})
     assert tpf.get_keyword("CREATOR") == "Christina TargetPixelFileWriter"
+
+
+FN_LC = os.path.join(TESTDATA, "test-lc-tess-pimen-100-cadences.fits")
+
+
+def test_load_bad_file():
+    """Opening a light-curve file as a TPF raises with the reference's
+    message (reference test_targetpixelfile.py:test_load_bad_file)."""
+    with pytest.raises(ValueError) as exc:
+        KeplerTargetPixelFile(FN_LC)
+    assert "is this a target pixel file?" in exc.value.args[0]
+    with pytest.raises(ValueError) as exc:
+        TessTargetPixelFile(FN_LC)
+    assert "is this a target pixel file?" in exc.value.args[0]
+
+
+@pytest.mark.parametrize("tpf_type", [KeplerTargetPixelFile,
+                                      TessTargetPixelFile])
+def test_tpf_slicing(tpf_type):
+    """Reference test_tpf_slicing: int/slice/bool-array indexing."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LightkurveWarning)
+        tpf = tpf_type(FN_ONE_CENTER)
+    assert tpf[0].time.value == tpf.time.value[0]
+    assert tpf[-1].time.value == tpf.time.value[-1]
+    assert tpf[5:10].shape == tpf.flux.value[5:10].shape
+    assert tpf[0].targetid == tpf.targetid
+    assert_array_equal(tpf[tpf.time.value < tpf.time.value[5]].time.value,
+                       tpf.time.value[0:5])
+    frame = tpf[5]
+    assert frame.shape[0] == 1
+    assert frame.shape[1:] == tpf.shape[1:]
+    assert_array_equal(frame.time.value[0], tpf.time.value[5])
+    assert_array_equal(frame.flux.value[0], tpf.flux.value[5])
+    frames = tpf[5:10]
+    assert frames.shape[0] == 5
+    assert frames.shape[1:] == tpf.shape[1:]
+    assert_array_equal(frames.time.value, tpf.time.value[5:10])
+    assert_array_equal(frames.flux.value, tpf.flux.value[5:10])
+
+
+def test_tpf_meta():
+    """Reference test_tpf_meta: keys are upper-case and case-sensitive.
+    (Delta: our meta is a plain dict rather than a read-only header view,
+    so writes do not raise.)"""
+    from lightkurve_tpu import read
+    tpf = read(FN_ONE_CENTER)
+    assert tpf.meta.get("MISSION") == "K2"
+    assert tpf.meta["MISSION"] == "K2"
+    assert tpf.meta.get("mission", None) is None
+    assert tpf.meta.get("CHANNEL") == 45
+
+
+def test_parse_aperture_masks():
+    """Reference test_parse_aperture_masks: every aperture spelling
+    yields a boolean ndarray (numpy>=1.25 regression)."""
+    from lightkurve_tpu import read
+    for fn in [FN_TABBY, FN_ONE_CENTER]:
+        tpf = read(fn)
+        for aperture in ["background", "threshold", "all", "empty", None]:
+            mask = tpf._parse_aperture_mask(aperture)
+            assert isinstance(mask, np.ndarray)
+            assert np.issubdtype(mask.dtype, bool)
+        for aperture in [np.zeros(tpf.shape[1:], bool),
+                         np.ones(tpf.shape[1:], bool),
+                         tpf.flux.value[0] > 0]:
+            mask = tpf._parse_aperture_mask(aperture)
+            assert np.issubdtype(mask.dtype, bool)
+        for aperture in [np.ones(tpf.shape[1:]), np.zeros(tpf.shape[1:])]:
+            mask = tpf._parse_aperture_mask(aperture)
+            assert np.issubdtype(mask.dtype, bool)
+    tpf = read(FN_ONE_CENTER)
+    with pytest.raises(ValueError) as exc:
+        tpf._parse_aperture_mask("pipeline")
+    assert "'pipeline' is requested, but it is missing or empty" \
+        in exc.value.args[0]
+    tpf = read(FN_TABBY)
+    mask = tpf._parse_aperture_mask("pipeline")
+    assert np.issubdtype(mask.dtype, bool)
+
+
+def test_threshold_aperture_mask():
+    """Reference test_threshold_aperture_mask: the exact pixel counts of
+    the MAD-threshold + nearest-contiguous-region algorithm."""
+    tpf = KeplerTargetPixelFile(FN_ONE_CENTER)
+    tpf.plot(aperture_mask="threshold")
+    plt.close("all")
+    lc = tpf.to_lightcurve(
+        aperture_mask=tpf.create_threshold_mask(threshold=1))
+    assert (lc.flux.value == 1).all()
+    tpf = TessTargetPixelFile(FN_TESS)
+    assert tpf.create_threshold_mask(threshold=2.0).sum() == 25
+    assert tpf.create_threshold_mask(
+        threshold=2.0, reference_pixel="center").sum() == 25
+    assert tpf.create_threshold_mask(
+        threshold=2.0, reference_pixel=None).sum() == 28
+    assert tpf.create_threshold_mask(
+        threshold=2.0, reference_pixel=(5, 0)).sum() == 2
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LightkurveWarning)
+        tpf = KeplerTargetPixelFile(FN_ZEROS)
+    assert tpf.create_threshold_mask().sum() == 9
+
+
+def test_tpf_tess():
+    """Reference test_tpf_tess: TESS sector-1 metadata and photometry."""
+    from lightkurve_tpu.lightcurve import TessLightCurve
+    tpf = TessTargetPixelFile(FN_TESS, quality_bitmask=None)
+    assert tpf.mission == "TESS"
+    assert tpf.targetid == 25155310
+    assert tpf.sector == 1
+    assert tpf.camera == 4
+    assert tpf.ccd == 1
+    assert tpf.pipeline_mask.sum() == 9
+    assert tpf.background_mask.sum() == 30
+    lc = tpf.to_lightcurve()
+    assert isinstance(lc, TessLightCurve)
+    assert_array_equal(lc.time.value, tpf.time.value)
+    assert tpf.time.scale == "tdb"
+    assert tpf.flux.value.shape == tpf.flux_err.value.shape
+    tpf.wcs
+    col, row = tpf.estimate_centroids()
+    assert (tpf.time.value == 0).sum() == 0
+
+
+def test_get_models():
+    """Reference test_get_models: a PRF model can be derived from a TPF
+    (all-zeros fixture)."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LightkurveWarning)
+        warnings.simplefilter("ignore", RuntimeWarning)
+        tpf = KeplerTargetPixelFile(FN_ZEROS, quality_bitmask=None)
+        prf = tpf.get_prf_model()
+    assert prf is not None
