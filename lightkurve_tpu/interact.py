@@ -18,7 +18,30 @@ from .utils import LightkurveError
 log = logging.getLogger(__name__)
 
 __all__ = ["show_interact_widget_bls", "show_skyview_widget",
-           "show_interact_widget"]
+           "show_interact_widget", "get_lightcurve_y_limits"]
+
+
+def get_lightcurve_y_limits(flux):
+    """Sensible Y-axis limits for a light-curve panel (reference
+    ``interact.py:252-270``): 5-sigma clip, 1/99 percentiles, 10%
+    margin.  NaN-safe (reference #679: limits must never be NaN).
+
+    Accepts a flux array or any mapping with a ``"flux"`` entry (the
+    reference takes a bokeh ColumnDataSource)."""
+    if isinstance(flux, dict):
+        flux = flux["flux"]
+    elif isinstance(getattr(flux, "data", None), dict):
+        flux = flux.data["flux"]       # bokeh-like ColumnDataSource
+    flux = np.asarray(getattr(flux, "value", flux), dtype=float)
+    finite = flux[np.isfinite(flux)]
+    # 5-sigma clip around the median, like astropy.stats.sigma_clip
+    med = np.median(finite)
+    std = np.std(finite)
+    if std > 0:
+        finite = finite[np.abs(finite - med) <= 5 * std]
+    low, high = np.nanpercentile(finite, (1, 99))
+    margin = 0.10 * (high - low)
+    return low - margin, high + margin
 
 
 def show_interact_widget_bls(lc, notebook_url=None, minimum_period=None,
@@ -65,20 +88,41 @@ def show_interact_widget_bls(lc, notebook_url=None, minimum_period=None,
 
 
 def show_interact_widget(tpf, aperture_mask="default", exported_filename=None,
-                         **kwargs):
+                         transform_func=None, ylim_func=None, **kwargs):
     """Static two-panel stand-in for the bokeh pixel-selector widget
     (reference ``interact.py:999-1318``): the median frame with the
     selected aperture outlined, linked to the aperture light-curve
     preview the widget would show live.  Returns the figure; pass
     ``exported_filename`` to also export the aperture light curve to
-    FITS (the widget's export button)."""
+    FITS (the widget's export button).  ``transform_func`` is applied
+    to the light curve before display and ``ylim_func`` maps it to the
+    (ymin, ymax) panel limits, like the live widget's arguments
+    (reference ``interact.py:1018-1040``)."""
     import matplotlib.pyplot as plt
+    if exported_filename is not None:
+        # reference behavior (interact.py:1070-1080): coerce to str and
+        # force a .fits suffix, warning on other extensions
+        exported_filename = str(exported_filename)
+        if not exported_filename.lower().endswith(".fits"):
+            if exported_filename:
+                log.warning("Exported filename will have a .fits suffix "
+                            "appended.")
+            exported_filename += ".fits"
     fig, (ax_img, ax_lc) = plt.subplots(
         1, 2, figsize=(11, 4), gridspec_kw={"width_ratios": [1, 2]})
     mask = tpf._parse_aperture_mask(aperture_mask)
     tpf.plot(ax=ax_img, aperture_mask=mask)
     lc = tpf.to_lightcurve(aperture_mask=mask)
+    if transform_func is not None:
+        lc = transform_func(lc)
     lc.scatter(ax=ax_lc, s=2)
+    if ylim_func is not None:
+        ax_lc.set_ylim(*(float(getattr(v, "value", v))
+                         for v in ylim_func(lc)))
+    else:
+        flux = np.asarray(lc.flux.value, dtype=float)
+        if np.isfinite(flux).any():
+            ax_lc.set_ylim(*get_lightcurve_y_limits(flux))
     ax_lc.set_title(f"aperture SAP preview ({int(mask.sum())} px)")
     fig.tight_layout()
     if exported_filename is not None:

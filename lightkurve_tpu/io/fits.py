@@ -448,6 +448,10 @@ def open_fits(path_or_buf, memmap=True):
     Accepts a path (optionally gzipped, by extension or magic number) or a
     bytes buffer.
     """
+    if isinstance(path_or_buf, HDUList):
+        # already-open in-memory HDU list (the reference's read() accepts
+        # an astropy HDUList, reference io/read.py:60-66)
+        return path_or_buf
     if isinstance(path_or_buf, (bytes, bytearray)):
         buf = bytes(path_or_buf)
     elif hasattr(path_or_buf, "read"):

@@ -98,8 +98,17 @@ def read(path_or_url, filetype=None, **kwargs):
     reader = READERS.get(filetype)
     if reader is None:
         raise LightkurveError(f"No reader registered for {filetype!r}")
-    lc = reader(hdulist if not isinstance(path_or_url, str)
-                else path_or_url, **kwargs)
+    try:
+        lc = reader(hdulist if not isinstance(path_or_url, str)
+                    else path_or_url, **kwargs)
+    except Exception as exc:
+        # wrap reader failures with the path in the message
+        # (reference io/read.py:141-148)
+        raise LightkurveError(
+            f"Error in reading Data product {path_or_url} of type "
+            f"{filetype} .\nThis file may be corrupt due to an interrupted "
+            "download. Please remove it from your disk and try again."
+        ) from exc
     return lc
 
 
@@ -127,7 +136,9 @@ def read_lc_collection(paths, **kwargs):
     for p in paths:
         try:
             obj = read(p, **kwargs)
-        except LightkurveError as e:
+        except Exception as e:
+            # the reference skips ANY unreadable path with a warning
+            # (reference io/read.py:188-191)
             log.warning(f"Skipping {p}: {e}")
             continue
         if isinstance(obj, LightCurve):
@@ -149,6 +160,7 @@ def read_tpf_collection(paths, **kwargs):
     for p in paths:
         try:
             tpfs.append(read(p, **kwargs))
-        except LightkurveError as e:
+        except Exception as e:
+            # skip ANY unreadable path (reference io/read.py:188-191)
             log.warning(f"Skipping {p}: {e}")
     return TargetPixelFileCollection(tpfs)

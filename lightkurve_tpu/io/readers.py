@@ -13,6 +13,7 @@ import numpy as np
 
 from ..lightcurve import KeplerLightCurve, LightCurve, TessLightCurve, \
     FoldedLightCurve
+from ..time import Time
 from ..utils import KeplerQualityFlags, TessQualityFlags
 from .generic import read_generic_lightcurve
 
@@ -66,15 +67,37 @@ def read_tess_lightcurve(filename, flux_column="pdcsap_flux",
 
 
 def read_qlp_lightcurve(filename, flux_column="sap_flux",
-                        flux_err_column="kspsap_flux_err",
-                        quality_bitmask="default"):
-    """MIT QLP light curve (reference ``io/qlp.py:12-66``)."""
+                        flux_err_column=None, quality_bitmask="default"):
+    """MIT QLP light curve (reference ``io/qlp.py:12-84``).
+
+    flux_err defaults to the sector-dependent detrended-flux error column
+    (``kspsap_flux_err`` for sectors 1-55, ``det_flux_err`` for 56+), and
+    the QLP-specific "low precision points" bit (13 for sectors 1-55, 31
+    for 56+) is added to the "hard"/"hardest" bitmasks."""
+    kwargs = ({} if flux_err_column is None
+              else {"flux_err_column": flux_err_column})
     lc = read_generic_lightcurve(filename, flux_column=flux_column,
-                                 flux_err_column=flux_err_column,
-                                 time_format="btjd")
-    lc = _apply_quality(lc, TessQualityFlags, quality_bitmask)
+                                 time_format="btjd", **kwargs)
+    if flux_err_column is None:
+        err_col = ("det_flux_err" if lc.meta.get("SECTOR", 0) >= 56
+                   else "kspsap_flux_err")
+        if err_col in lc._cols:
+            lc["flux_err"] = lc[err_col]
+    mask = TessQualityFlags.create_quality_mask(
+        quality_array=np.asarray(lc["quality"]), bitmask=quality_bitmask)
+    if quality_bitmask in ("hardest", "hard"):
+        qlp_low_precision_bitmask = (
+            2 ** 30 if lc.meta.get("SECTOR", 0) >= 56 else 2 ** 12)
+        mask &= TessQualityFlags.create_quality_mask(
+            quality_array=np.asarray(lc["quality"]),
+            bitmask=qlp_low_precision_bitmask)
+    lc = lc[mask]
+    lc.meta["QUALITY_BITMASK"] = quality_bitmask
+    lc.meta["QUALITY_MASK"] = mask
     lc.meta["AUTHOR"] = "QLP"
     lc.meta["TARGETID"] = lc.meta.get("TICID")
+    # QLP light curves are normalized by default (reference io/qlp.py:82)
+    lc.meta["NORMALIZED"] = True
     return TessLightCurve(data=lc, meta=lc.meta)
 
 
@@ -90,9 +113,10 @@ def read_k2sff_lightcurve(filename, ext="BESTAPER", **kwargs):
 
 def read_everest_lightcurve(filename, flux_column="flux",
                             quality_bitmask="default", **kwargs):
-    """EVEREST K2 light curve (reference ``io/everest.py:8-60``)."""
+    """EVEREST K2 light curve (reference ``io/everest.py:8-66``)."""
     lc = read_generic_lightcurve(filename, flux_column=flux_column,
                                  quality_column="quality",
+                                 cadenceno_column="cadn",
                                  time_format="bkjd")
     lc = _apply_quality(lc, KeplerQualityFlags, quality_bitmask)
     lc.meta["AUTHOR"] = "EVEREST"
@@ -101,13 +125,35 @@ def read_everest_lightcurve(filename, flux_column="flux",
 
 
 def read_cdips_lightcurve(filename, flux_column="IRM1",
-                          quality_column="IRQ1", **kwargs):
-    """CDIPS TESS light curve (reference ``io/cdips.py:15-80``)."""
-    lc = read_generic_lightcurve(filename, flux_column=flux_column.lower(),
-                                 quality_column=quality_column.lower(),
+                          include_inst_errs=False, quality_bitmask=None):
+    """CDIPS TESS light curve (reference ``io/cdips.py:16-84``).
+
+    The flux column's trailing digit selects the aperture: the error
+    column is ``ife#``/``ire#`` (flux vs magnitude, only when
+    ``include_inst_errs``) and the quality column is ``irq#``.  CDIPS
+    ships pre-filtered data with string quality flags; only cadences
+    flagged ``"G"``/``"0"`` are kept and ``quality_bitmask`` is ignored
+    (accepted for cross-reader compatibility)."""
+    ap = flux_column[-1]
+    if include_inst_errs:
+        flux_err_column = (f"ife{ap}" if flux_column[:-1].lower() == "ifl"
+                           else f"ire{ap}")
+    else:
+        flux_err_column = ""
+    lc = read_generic_lightcurve(filename, time_column="tmid_bjd",
+                                 flux_column=flux_column.lower(),
+                                 flux_err_column=flux_err_column,
+                                 quality_column=f"irq{ap}",
                                  time_format="btjd")
+    # CDIPS uses string quality keywords; Bouma+2019 filter out coarse
+    # point (4) and desat (32) — everything not marked good
+    quality = np.asarray(lc["quality"])
+    quality_mask = (quality == "G") | (quality == "0")
+    lc = lc[quality_mask]
     lc.meta["AUTHOR"] = "CDIPS"
     lc.meta["TARGETID"] = lc.meta.get("TICID")
+    lc.meta["QUALITY_BITMASK"] = 36
+    lc.meta["QUALITY_MASK"] = quality_mask
     return TessLightCurve(data=lc, meta=lc.meta)
 
 
@@ -120,6 +166,9 @@ def read_pathos_lightcurve(filename, flux_column="PSF_FLUX_COR",
     lc = _apply_quality(lc, TessQualityFlags, quality_bitmask)
     lc.meta["AUTHOR"] = "PATHOS"
     lc.meta["TARGETID"] = lc.meta.get("TICID")
+    # PATHOS light curves are normalized by default (reference
+    # io/pathos.py:70)
+    lc.meta["NORMALIZED"] = True
     return TessLightCurve(data=lc, meta=lc.meta)
 
 
@@ -130,6 +179,9 @@ def read_tasoc_lightcurve(filename, flux_column="FLUX_CORR",
                                  time_format="btjd")
     lc.meta["AUTHOR"] = "TASOC"
     lc.meta["TARGETID"] = lc.meta.get("TICID")
+    # TASOC light curves are normalized by default (reference
+    # io/tasoc.py:33)
+    lc.meta["NORMALIZED"] = True
     return TessLightCurve(data=lc, meta=lc.meta)
 
 
@@ -138,18 +190,46 @@ def read_kepseismic_lightcurve(filename, **kwargs):
     lc = read_generic_lightcurve(filename, time_format="mjd")
     lc.meta["AUTHOR"] = "KEPSEISMIC"
     lc.meta["TARGETID"] = lc.meta.get("KEPLERID")
+    # KEPSEISMIC light curves are normalized by default (reference
+    # io/kepseismic.py:30)
+    lc.meta["NORMALIZED"] = True
     return KeplerLightCurve(data=lc, meta=lc.meta)
 
 
 def read_tglc_lightcurve(filename, flux_column="cal_psf_flux",
                          quality_bitmask="default"):
-    """TGLC TESS light curve (reference ``io/tglc.py:12-70``)."""
+    """TGLC TESS light curve (reference ``io/tglc.py:13-96``).
+
+    Raw ``psf_flux``/``aperture_flux``/``background`` columns get the
+    conventional electron/s unit re-added (TGLC files carry no TUNITs);
+    the ``cal_*`` columns are normalized and stay dimensionless."""
+    from ..units import Quantity, electron_per_second, dimensionless
     lc = read_generic_lightcurve(filename, flux_column=flux_column.lower(),
                                  quality_column="tess_flags",
+                                 cadenceno_column="cadence_num",
                                  time_format="btjd")
+    for colname in ["psf_flux", "aperture_flux", "background"]:
+        if colname in lc.columns:
+            lc[colname] = Quantity(
+                np.asarray(lc[colname], dtype=np.float32),
+                electron_per_second)
+    for colname in ["cal_psf_flux", "cal_aper_flux"]:
+        if colname in lc.columns:
+            lc[colname] = Quantity(
+                np.asarray(lc[colname], dtype=np.float32), dimensionless)
     lc = _apply_quality(lc, TessQualityFlags, quality_bitmask)
     lc.meta["AUTHOR"] = "TGLC"
-    lc.meta["TARGETID"] = lc.meta.get("TICID")
+    lc.meta["TARGETID"] = lc.meta.get("OBJECT")
+    # TGLC cal_* fluxes are normalized by default (reference io/tglc.py:88)
+    lc.meta["NORMALIZED"] = True
+    tic = lc.meta.get("TICID")
+    if tic is not None:
+        tic = int(tic)
+        # SPOC/QLP-compatible target identification
+        lc.meta["TARGETID"] = tic
+        lc.meta["TICID"] = tic
+        lc.meta["OBJECT"] = f"TIC {tic}"
+        lc.meta["LABEL"] = f"TIC {tic}"
     return TessLightCurve(data=lc, meta=lc.meta)
 
 
@@ -236,8 +316,25 @@ def read_k2sc_lightcurve(filename, **kwargs):
 
 def read_folded_lightcurve(filename, time_format="jd", **kwargs):
     """Folded light curve saved by ``FoldedLightCurve.to_fits()``
-    (reference ``io/folded.py:8-40``)."""
+    (reference ``io/folded.py:8-43``): the fold ephemeris
+    (PERIOD/PHNORM/EPOCH/PHEPOCH) is restored from the primary header,
+    and a normalized-phase fold gets its dimensionless phase back."""
+    from ..units import Quantity
+    from .fits import open_fits
     lc = read_generic_lightcurve(filename, flux_column="flux",
                                  time_format=time_format)
-    out = FoldedLightCurve(data=dict(lc._cols), meta=lc.meta)
+    h0 = open_fits(filename)[0].header
+    meta = dict(lc.meta)
+    if "PERIOD" in h0:
+        meta["PERIOD"] = Quantity(float(h0["PERIOD"]), "d")
+    meta["NORMALIZE_PHASE"] = bool(h0.get("PHNORM", False))
+    if h0.get("EPOCH", "") != "":
+        meta["EPOCH_TIME"] = Time(float(h0["EPOCH"]), format="jd")
+    meta["EPOCH_PHASE"] = float(h0.get("PHEPOCH", 0.0))
+    cols = dict(lc._cols)
+    if meta["NORMALIZE_PHASE"] and "PERIOD" in meta:
+        cols["time"] = Time(
+            np.asarray(cols["time"].value, dtype=np.float64)
+            / meta["PERIOD"].value, format="jd")
+    out = FoldedLightCurve(data=cols, meta=meta)
     return out

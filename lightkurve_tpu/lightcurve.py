@@ -387,10 +387,7 @@ class LightCurve:
         warnings.warn("`SAP_FLUX` is deprecated, use "
                       "`select_flux('sap_flux')` instead.",
                       LightkurveDeprecationWarning)
-        lc = self.copy()
-        lc["flux"] = lc["sap_flux"]
-        lc["flux_err"] = lc["sap_flux_err"]
-        return lc
+        return self.select_flux("sap_flux")
 
     @property
     def PDCSAP_FLUX(self):
@@ -399,10 +396,7 @@ class LightCurve:
         warnings.warn("`PDCSAP_FLUX` is deprecated, use "
                       "`select_flux('pdcsap_flux')` instead.",
                       LightkurveDeprecationWarning)
-        lc = self.copy()
-        lc["flux"] = lc["pdcsap_flux"]
-        lc["flux_err"] = lc["pdcsap_flux_err"]
-        return lc
+        return self.select_flux("pdcsap_flux")
 
     @staticmethod
     def from_timeseries(ts):
@@ -1680,6 +1674,47 @@ class FoldedLightCurve(LightCurve):
         binned = super().bin(*args, **kwargs)
         binned.meta = deepcopy(self.meta)
         return binned
+
+    def to_fits(self, path=None, overwrite=False, **extra_data):
+        """Write the folded curve with its ephemeris in the primary
+        header — PERIOD/PHNORM/EPOCH/PHEPOCH plus a CREATOR tag the
+        filetype detector recognizes — so ``read()`` round-trips it back
+        to a FoldedLightCurve (reference ``lightcurve.py:3397-3460``,
+        ``io/folded.py:8-43``)."""
+        def _val(v):
+            return getattr(v, "value", v)
+
+        epoch_time = self.meta.get("EPOCH_TIME")
+        folded_specific = {
+            "OBJECT": "{}".format(self.meta.get("TARGETID")),
+            "MISSION": self.meta.get("MISSION"),
+            "RA_OBJ": self.meta.get("RA"),
+            "TARGETID": self.meta.get("TARGETID"),
+            "DEC_OBJ": self.meta.get("DEC"),
+            "PERIOD": float(_as_days(self.meta["PERIOD"])),
+            "CREATOR": "lightkurve_tpu.FoldedLightCurve.to_fits()",
+            "PHNORM": bool(self.meta.get("NORMALIZE_PHASE", False)),
+            "EPOCH": _val(epoch_time) if epoch_time is not None else "",
+            "PHEPOCH": float(_val(self.meta.get("EPOCH_PHASE", 0.0))),
+        }
+        if "centroid_col" in self._cols:
+            folded_specific["MOM_CENTR1"] = np.asarray(
+                _val(self._cols["centroid_col"]))
+            folded_specific["MOM_CENTR2"] = np.asarray(
+                _val(self._cols["centroid_row"]))
+        for kw, v in folded_specific.items():
+            extra_data.setdefault(kw, v)
+        lc = self
+        if folded_specific["PHNORM"]:
+            # store phase in days so the column is homogeneous with the
+            # un-normalized case; the reader divides it back out
+            lc = self.copy()
+            lc["time"] = Time(
+                self.time.value * folded_specific["PERIOD"],
+                format="jd", scale=self.time.scale)
+        from .io.writers import lightcurve_to_fits
+        return lightcurve_to_fits(lc, path=path, overwrite=overwrite,
+                                  **extra_data)
 
     def plot_river(self, period=None, epoch_time=None, **kwargs):
         """River diagram defaulting to the fold ephemeris

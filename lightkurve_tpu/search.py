@@ -48,8 +48,15 @@ class SearchResult:
     filetype.
     """
 
+    #: authors shown first, for v1 download() compatibility
+    #: (reference ``search.py:137``)
+    _SORT_PRIORITY = {"Kepler": 1, "K2": 1, "SPOC": 1, "KBONUS-BKG": 2,
+                      "TESS-SPOC": 2, "QLP": 3}
+
     def __init__(self, table=None):
         self.table = list(table or [])
+        if self.table:
+            self._sort_table()
         # extra columns appended to the repr, configurable via
         # ``conf.search_result_display_extra_columns`` (reference
         # ``search.py:124``)
@@ -58,6 +65,29 @@ class SearchResult:
                 conf.search_result_display_extra_columns or [])
         except Exception:
             self.display_extra_columns = []
+
+    def _sort_table(self):
+        """Sort by distance, pipeline priority, author, then chronology
+        (reference ``search.py:126-146``).  'year' alone cannot order TESS
+        sectors 99 vs 100 (#1557), hence the sequence_number tie-breaker;
+        'sequence_number' alone fails for Kepler, hence 'mission'."""
+        def _num(v, default=0.0):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                # exptime can be the v1 strings 'long'/'short'/'fast'
+                return {"fast": 20.0, "short": 60.0,
+                        "long": 1800.0}.get(str(v).lower(), default)
+
+        def _key(r):
+            return (_num(r.get("distance")),
+                    self._SORT_PRIORITY.get(r.get("author"), 9),
+                    str(r.get("author") or ""),
+                    _num(r.get("year")),
+                    _num(r.get("sequence_number"), -1.0),
+                    str(r.get("mission") or ""),
+                    _num(r.get("exptime")))
+        self.table.sort(key=_key)
 
     def __len__(self):
         return len(self.table)
@@ -107,7 +137,18 @@ class SearchResult:
 
     @property
     def exptime(self):
-        return self._col("exptime")
+        """Exposure times as a seconds Quantity (reference
+        ``search.py:251-254``)."""
+        from .units import Quantity
+        vals = []
+        for r in self.table:
+            v = r.get("exptime")
+            try:
+                vals.append(float(v))
+            except (TypeError, ValueError):
+                vals.append({"fast": 20.0, "short": 60.0,
+                             "long": 1800.0}.get(str(v).lower(), np.nan))
+        return Quantity(np.asarray(vals), "s")
 
     @property
     def year(self):
@@ -242,11 +283,18 @@ def _scan_dir(directory):
             rec["target_name"] = str(int(m.group(1)))
             rec["mission"] = "Kepler"
             rec["author"] = "Kepler"
+            ts = re.search(r"kplr\d{9}-(\d{4})\d{9}", name)
+            if ts:
+                rec["year"] = int(ts.group(1))
         m = re.search(r"ktwo(\d{9})", name)
         if m:
             rec["target_name"] = str(int(m.group(1)))
             rec["mission"] = "K2"
             rec["author"] = "K2"
+            c = re.search(r"-c0*(\d+)", name)
+            if c:
+                rec["sequence_number"] = int(c.group(1))
+                rec["mission"] = f"K2 Campaign {int(c.group(1)):02d}"
         if name.startswith("tess") or name.startswith("hlsp"):
             # SPOC files embed the TIC as a zero-padded 16-digit field
             m = re.search(r"-(\d{16})-", name) or \
@@ -255,20 +303,53 @@ def _scan_dir(directory):
                 rec["target_name"] = str(int(m.group(1)))
                 rec["mission"] = "TESS"
                 rec["author"] = "SPOC"
+            ts = re.search(r"^tess(\d{4})\d{9,}", name)
+            if ts:
+                rec["year"] = int(ts.group(1))
         m = re.search(r"-s0*(\d+)", name)
         if m:
             rec["mission"] = f"TESS Sector {int(m.group(1)):02d}"
+            rec["sequence_number"] = int(m.group(1))
         if "_tp" in name or "targ" in name:
             rec["filetype"] = "Target Pixel"
         elif "_lc" in name or "_llc" in name or "_slc" in name or \
-                "lightcurve" in name or "_klc" in name:
+                "fast-lc" in name or "lightcurve" in name or \
+                "_klc" in name:
             rec["filetype"] = "Lightcurve"
-        if "_slc" in name or "fast" in name:
-            rec["exptime"] = "short"
+        # numeric exposure times follow the mission conventions the
+        # reference gets from the MAST t_exptime field: Kepler 30-min
+        # long / 1-min short cadence; TESS 2-min _lc and 20-s fast-lc
+        if "fast" in name:
+            rec["exptime"] = 20.0
+        elif "_slc" in name:
+            rec["exptime"] = 60.0
+        elif name.startswith("tess") and ("_lc" in name or "_tp" in name):
+            rec["exptime"] = 120.0
         else:
-            rec["exptime"] = "long"
+            rec["exptime"] = 1800.0
         out.append(rec)
     return tuple(map(tuple, (r.items() for r in out)))
+
+
+def _exptime_match(value, exptime):
+    """Reference ``_mask_by_exptime`` (search.py:1387-1401): numeric →
+    exact match; 'fast' < 60 s; 'short' 60-200 s; 'long'/'ffi' ≥ 200 s."""
+    if exptime is None:
+        return True
+    try:
+        v = float(value)
+    except (TypeError, ValueError):
+        return False
+    if isinstance(exptime, (int, float)):
+        return v == float(exptime)
+    e = str(exptime).lower()
+    if e == "fast":
+        return v < 60
+    if e == "short":
+        return 60 <= v < 200
+    if e in ("long", "ffi"):
+        return v >= 200
+    return True
 
 
 def _search_products(target, filetype="Lightcurve", radius=None,
@@ -311,12 +392,15 @@ def _search_products(target, filetype="Lightcurve", radius=None,
         rows = [r for r in rows
                 if any(str(a).lower() == str(r["author"]).lower()
                        for a in authors)]
-    if exptime is not None and isinstance(exptime, str):
-        exptime = exptime.lower()
-        if exptime in ("fast", "short"):
-            rows = [r for r in rows if r["exptime"] == "short"]
-        elif exptime == "long":
-            rows = [r for r in rows if r["exptime"] == "long"]
+    if exptime is None and cadence is not None:
+        # `cadence=` is the deprecated v1 alias (reference search.py:648)
+        exptime = cadence
+    rows = [r for r in rows if _exptime_match(r.get("exptime"), exptime)]
+    seq = sector if sector is not None else (
+        campaign if campaign is not None else quarter)
+    if seq is not None:
+        wanted = {int(s) for s in np.atleast_1d(seq)}
+        rows = [r for r in rows if r.get("sequence_number") in wanted]
     if limit:
         rows = rows[: int(limit)]
     if not rows:

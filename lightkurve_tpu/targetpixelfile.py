@@ -292,9 +292,14 @@ class TargetPixelFile:
                 f"shape={self.shape}")
 
     def get_header(self, ext=0):
+        """Header of extension ``ext`` (reference
+        ``targetpixelfile.py:300-312``): 0 = primary (meta), 1 = cadence
+        table, 2+ = further extensions (e.g. APERTURE)."""
         if ext == 0:
             return self.meta
-        return self._ext_header
+        if ext == 1:
+            return self._ext_header
+        return self.hdu[ext].header
 
     def get_keyword(self, keyword, hdu=0, default=None):
         return self.get_header(hdu).get(keyword, default)
@@ -1047,6 +1052,7 @@ class TargetPixelFileFactory:
         tpf_cls = tpf_cls or KeplerTargetPixelFile
         factory = None
         carry_keywords = {}
+        wcs_kw = None
         for i, img in enumerate(images):
             hdul = img if isinstance(img, HDUList) else open_fits(img)
             hdu = hdul[extension] if len(hdul) > extension else hdul[0]
@@ -1059,6 +1065,12 @@ class TargetPixelFileFactory:
             if position is None:
                 ccol, crow = data.shape[1] // 2, data.shape[0] // 2
             else:
+                if not any(k in header for k in ("CRVAL1", "CD1_1",
+                                                 "CDELT1")):
+                    raise LightkurveError(
+                        "Requested a positional cutout but the image "
+                        "headers carry no WCS keywords (reference "
+                        "targetpixelfile.py:1661 raises here too).")
                 w = TanWCS.from_image_header(header)
                 x, y = w.world_to_pixel(position[0], position[1], origin=0)
                 ccol, crow = int(round(float(x))), int(round(float(y)))
@@ -1085,6 +1097,22 @@ class TargetPixelFileFactory:
                           "CAMERA", "CCD", "MISSION"):
                     if k in header:
                         carry_keywords[k] = header[k]
+                if any(k in header for k in ("CRVAL1", "CD1_1", "CDELT1")):
+                    # propagate the image WCS into the cutout as tabular
+                    # FLUX-column (colnum 5) keywords so tpf.wcs and
+                    # to_fits carry it (reference targetpixelfile.py:
+                    # 1833-1860 writes 1CRPX5-style cards)
+                    w0 = TanWCS.from_image_header(header)
+                    wcs_kw = {
+                        "1CRPX5": w0.crpix[0] - c0,
+                        "2CRPX5": w0.crpix[1] - r0,
+                        "1CRVL5": w0.crval[0], "2CRVL5": w0.crval[1],
+                        "1CDLT5": 1.0, "2CDLT5": 1.0,
+                        "11PC5": w0.cd[0, 0], "12PC5": w0.cd[0, 1],
+                        "21PC5": w0.cd[1, 0], "22PC5": w0.cd[1, 1],
+                        "1CTYP5": "RA---TAN", "2CTYP5": "DEC--TAN",
+                    }
         kw = dict(carry_keywords)
         kw.update(hdu0_keywords or {})
-        return factory.get_tpf(hdu0_keywords=kw, tpf_cls=tpf_cls, **kwargs)
+        return factory.get_tpf(hdu0_keywords=kw, ext_info=wcs_kw,
+                               tpf_cls=tpf_cls, **kwargs)

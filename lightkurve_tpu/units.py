@@ -238,7 +238,12 @@ class Quantity(np.ndarray):
         if isinstance(value, Quantity):
             value = value.to(unit)
             return value
-        obj = np.asarray(value, dtype=float).view(cls)
+        arr = np.asarray(value)
+        if arr.dtype.kind != "f":
+            # ints/bools/objects become float64; float32 mission data
+            # keeps its dtype like astropy Quantity does
+            arr = np.asarray(arr, dtype=float)
+        obj = arr.view(cls)
         obj._unit = Unit.parse(unit)
         return obj
 

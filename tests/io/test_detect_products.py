@@ -116,3 +116,236 @@ def test_detect_folded_and_generic(tmp_path):
     path2 = _write(tmp_path, "generic.fits", {"TELESCOP": "TESS"},
                    _base_table(cols={"FLUX": np.ones(n, np.float32)}))
     assert detect_filetype(open_fits(path2)) == "generic"
+
+
+@pytest.mark.parametrize(
+    "sector, flux_err_colname_expected, qlp_low_precision_bitmask", [
+        (11, "KSPSAP_FLUX_ERR", 2 ** 12),   # sectors 1-55
+        (56, "DET_FLUX_ERR", 2 ** 30),      # sectors 56+
+    ])
+def test_qlp(tmp_path, sector, flux_err_colname_expected,
+             qlp_low_precision_bitmask):
+    """Mirror of reference io/test_qlp.py:test_qlp on synthetic files:
+    sector-dependent flux_err column and the QLP low-precision bit that
+    only the hard/hardest bitmasks remove."""
+    from lightkurve_tpu.io.readers import read_qlp_lightcurve
+    n = 30
+    quality = np.zeros(n, np.int32)
+    quality[5] = qlp_low_precision_bitmask
+    sap = np.linspace(0.9, 1.1, n).astype(np.float32)
+    cols = {
+        "SAP_FLUX": sap,
+        "KSPSAP_FLUX_ERR": np.full(n, 0.1, np.float32),
+        "DET_FLUX_ERR": np.full(n, 0.2, np.float32),
+        "QUALITY": quality,
+    }
+    table = _base_table(cols=cols)
+    path = _write(tmp_path, "qlp.fits",
+                  {"ORIGIN": "MIT/QLP", "TICID": 7, "TELESCOP": "TESS",
+                   "SECTOR": sector}, table)
+    from lightkurve_tpu.io import open_fits
+    assert detect_filetype(open_fits(path)) == "QLP"
+    lc = read_qlp_lightcurve(path, quality_bitmask=0)
+    assert lc.meta["FLUX_ORIGIN"] == "sap_flux"
+    np.testing.assert_array_equal(lc.flux.value, sap)
+    expected_err = 0.1 if flux_err_colname_expected == "KSPSAP_FLUX_ERR" \
+        else 0.2
+    np.testing.assert_allclose(lc.flux_err.value, expected_err, rtol=1e-6)
+    assert (np.asarray(lc["quality"]) == qlp_low_precision_bitmask).any()
+    lc = read_qlp_lightcurve(path, quality_bitmask="default")
+    assert (np.asarray(lc["quality"]) & qlp_low_precision_bitmask).any()
+    lc = read_qlp_lightcurve(path, quality_bitmask="hard")
+    assert not (np.asarray(lc["quality"]) & qlp_low_precision_bitmask).any()
+    lc = read_qlp_lightcurve(path, quality_bitmask="hardest")
+    assert not (np.asarray(lc["quality"]) & qlp_low_precision_bitmask).any()
+    assert lc.meta["NORMALIZED"] is True
+
+
+def test_tasoc_ppm_units(tmp_path):
+    """Mirror of reference test_units.py:test_tasoc_ppm_units (#956): the
+    TASOC ppm column unit parses cleanly."""
+    n = 30
+    table = _base_table(cols={
+        "FLUX_CORR": np.ones(n, np.float32),
+        "FLUX_RAW": np.ones(n, np.float32)},
+        ext_extra={"TUNIT2": "ppm"})
+    path = _write(tmp_path, "tasoc.fits",
+                  {"ORIGIN": "TASOC/Aarhus", "TICID": 9,
+                   "TELESCOP": "TESS"}, table)
+    lc = read(path)
+    assert str(lc["flux_corr"].unit) == "ppm"
+    assert "Unrecognized" not in repr(lc["flux_corr"].unit)
+
+
+def test_read_cdips(tmp_path, rng):
+    """Mirror of reference io/test_cdips.py:test_read_cdips on a synthetic
+    file: every IFL#/IRM#/TFA#/PCA# aperture column is selectable, time
+    comes from TMID_BJD, the string quality flags of the SAME aperture
+    filter the rows, and time/flux stay consistent with the file through
+    QUALITY_MASK."""
+    from lightkurve_tpu.io.readers import read_cdips_lightcurve
+    n = 30
+    cols = {"TMID_BJD": 1500.0 + np.arange(n) * 0.02}
+    exts = [f"{kind}{ap}" for kind in ("IFL", "IRM", "TFA", "PCA")
+            for ap in (1, 2, 3)]
+    for i, ext in enumerate(exts):
+        cols[ext] = np.full(n, 10.0 + i, np.float32)
+    for ap in (1, 2, 3):
+        cols[f"IFE{ap}"] = np.full(n, 0.25, np.float32)
+        cols[f"IRE{ap}"] = np.full(n, 0.5, np.float32)
+        q = np.array(["G"] * n, dtype="S1")
+        q[ap] = b"B"          # a different bad cadence per aperture
+        cols[f"IRQ{ap}"] = q
+    table = _base_table(cols=cols)
+    path = _write(tmp_path, "cdips.fits",
+                  {"ORIGIN": "CDIPS pipeline", "TICID": 7,
+                   "TELESCOP": "TESS"}, table)
+    from lightkurve_tpu.io import open_fits
+    f = open_fits(path)
+    fluxes = []
+    for ext in exts:
+        lc = read_cdips_lightcurve(path, flux_column=ext)
+        assert type(lc).__name__ == "TessLightCurve"
+        assert lc.meta["FLUX_ORIGIN"] == ext.lower()
+        assert len(lc) == n - 1     # that aperture's "B" cadence dropped
+        np.testing.assert_array_equal(
+            f[1].data["TMID_BJD"][lc.meta["QUALITY_MASK"]], lc.time.value)
+        np.testing.assert_array_equal(
+            f[1].data[ext][lc.meta["QUALITY_MASK"]], lc.flux.value)
+        fluxes.append(lc.flux.value)
+    for i in range(len(exts) - 1):
+        assert not np.array_equal(fluxes[i], fluxes[i + 1])
+    assert lc.meta["QUALITY_BITMASK"] == 36
+    # instrumental errors only on request: flux columns get ife#,
+    # magnitude columns ire# (reference io/cdips.py:47-53); without them
+    # the standard flux_err column stays all-NaN
+    assert np.isnan(read_cdips_lightcurve(path).flux_err.value).all()
+    lc = read_cdips_lightcurve(path, flux_column="IFL2",
+                               include_inst_errs=True)
+    np.testing.assert_allclose(lc.flux_err.value, 0.25)
+    lc = read_cdips_lightcurve(path, flux_column="IRM2",
+                               include_inst_errs=True)
+    np.testing.assert_allclose(lc.flux_err.value, 0.5)
+
+
+def test_read_tasoc(tmp_path):
+    """Mirror of reference io/test_tasoc.py:test_read_tasoc: the
+    flux_column choice lands in flux and FLUX_ORIGIN; TASOC curves are
+    NORMALIZED."""
+    from lightkurve_tpu.io.readers import read_tasoc_lightcurve
+    n = 30
+    raw = np.linspace(90.0, 110.0, n).astype(np.float32)
+    table = _base_table(cols={"FLUX_CORR": np.ones(n, np.float32),
+                              "FLUX_RAW": raw})
+    path = _write(tmp_path, "tasoc.fits",
+                  {"ORIGIN": "TASOC/Aarhus", "TICID": 9,
+                   "TELESCOP": "TESS"}, table)
+    lc = read_tasoc_lightcurve(path, flux_column="FLUX_RAW")
+    assert lc.meta["FLUX_ORIGIN"] == "flux_raw"
+    np.testing.assert_array_equal(raw, lc.flux.value)
+    assert lc.meta["NORMALIZED"] is True
+
+
+def test_read_kepseismic(tmp_path):
+    """Mirror of reference io/test_kepseismic.py:test_read_kepseismic:
+    flux sums match the file; the product is NORMALIZED, on the MJD
+    scale, and a KeplerLightCurve."""
+    from lightkurve_tpu.io.readers import read_kepseismic_lightcurve
+    n = 30
+    flux = np.linspace(0.99, 1.01, n).astype(np.float32)
+    table = _base_table(time_format_card=("MJDREF", 0.0),
+                        cols={"FLUX": flux})
+    path = _write(tmp_path, "kepseismic.fits",
+                  {"ORIGIN": "CEA & SSI", "KEPLERID": 3,
+                   "TELESCOP": "Kepler"}, table)
+    lc = read_kepseismic_lightcurve(path)
+    assert type(lc).__name__ == "KeplerLightCurve"
+    assert lc.flux.value.dtype == np.float32   # file dtype preserved
+    assert np.sum(flux) == np.sum(lc.flux.value)
+    assert lc.time.format == "mjd"
+    assert lc.meta["NORMALIZED"] is True
+
+
+def test_read_k2sff_extensions(tmp_path):
+    """Mirror of reference io/test_k2sff.py:test_read_k2sff: each
+    extension (BESTAPER, CIRC_APER9, ...) is independently readable and
+    carries its own FCOR flux."""
+    from lightkurve_tpu.io.readers import read_k2sff_lightcurve
+    n = 30
+    hdus = [PrimaryHDU(header=Header({"KEPLERID": 5,
+                                      "TELESCOP": "Kepler"}))]
+    for i, extname in enumerate(["BESTAPER", "CIRC_APER9"]):
+        hdus.append(BinTableHDU(data={
+            "T": 2000.0 + np.arange(n) * 0.02,
+            "FRAW": np.ones(n, np.float32),
+            "FCOR": np.full(n, 1.0 + i, np.float32),
+            "ARCLENGTH": np.ones(n, np.float32)},
+            header=Header({"EXTNAME": extname, "BJDREFI": 2454833,
+                           "BJDREFF": 0.0, "TTYPE4": "ARCLENGTH"})))
+    path = str(tmp_path / "k2sff.fits")
+    write_fits(HDUList(hdus), path)
+    from lightkurve_tpu.io import open_fits
+    f = open_fits(path)
+    fluxes = []
+    for ext in ["BESTAPER", "CIRC_APER9"]:
+        lc = read_k2sff_lightcurve(path, ext=ext)
+        assert type(lc).__name__ == "KeplerLightCurve"
+        np.testing.assert_array_equal(f[ext].data["T"], lc.time.value)
+        np.testing.assert_array_equal(f[ext].data["FCOR"], lc.flux.value)
+        fluxes.append(lc.flux.value)
+    assert not np.array_equal(fluxes[0], fluxes[1])
+
+
+def test_read_tglc(tmp_path):
+    """Mirror of reference io/test_tglc.py:test_tglc plus the reader's
+    unit/meta repairs: cal_psf_flux default, integer cadenceno from
+    CADENCE_NUM, electron/s re-added on raw columns, TIC meta strings."""
+    from lightkurve_tpu.io.readers import read_tglc_lightcurve
+    n = 30
+    flags = np.zeros(n, np.int32)
+    flags[3] = 1      # AttitudeTweak: dropped by "default", kept by 0
+    cal = np.linspace(0.99, 1.01, n).astype(np.float32)
+    table = _base_table(cols={
+        "CAL_PSF_FLUX": cal,
+        "CAL_APER_FLUX": cal * 1.01,
+        "PSF_FLUX": (cal * 100).astype(np.float32),
+        "APERTURE_FLUX": (cal * 101).astype(np.float32),
+        "BACKGROUND": np.full(n, 5.0, np.float32),
+        "TESS_FLAGS": flags,
+        "CADENCE_NUM": np.arange(100, 100 + n, dtype=np.int32)})
+    path = _write(tmp_path, "tglc.fits",
+                  {"ORIGIN": "UCSB/TGLC", "TICID": 7, "TELESCOP": "TESS",
+                   "OBJECT": "gaiaid-462"}, table)
+    lc = read_tglc_lightcurve(path, quality_bitmask=0)
+    assert lc.meta["AUTHOR"] == "TGLC"
+    assert lc.meta["FLUX_ORIGIN"] == "cal_psf_flux"
+    np.testing.assert_array_equal(lc.flux.value, cal)
+    assert np.issubdtype(np.asarray(lc["cadenceno"]).dtype, np.integer)
+    # unit repairs (reference io/tglc.py:60-79)
+    assert str(lc["psf_flux"].unit) == "electron / s"
+    assert str(lc["background"].unit) == "electron / s"
+    assert str(lc["cal_aper_flux"].unit) == ""
+    # TIC meta compatibility block (reference io/tglc.py:88-95)
+    assert lc.meta["TARGETID"] == 7
+    assert lc.meta["OBJECT"] == "TIC 7"
+    assert lc.meta["LABEL"] == "TIC 7"
+    assert lc.meta["NORMALIZED"] is True
+    # default bitmask drops the flagged cadence
+    lc_def = read_tglc_lightcurve(path)
+    assert len(lc_def) == n - 1
+
+
+def test_read_everest_cadn(tmp_path):
+    """EVEREST's cadence numbers live in CADN (reference io/everest.py:45)."""
+    from lightkurve_tpu.io.readers import read_everest_lightcurve
+    n = 30
+    table = _base_table(time_format_card=("BJDREFI", 2454833), cols={
+        "FLUX": np.ones(n, np.float32),
+        "QUALITY": np.zeros(n, np.int32),
+        "CADN": np.arange(500, 500 + n)})
+    path = _write(tmp_path, "everest.fits",
+                  {"MISSION": "K2", "KEPLERID": 11, "TELESCOP": "Kepler"},
+                  table)
+    lc = read_everest_lightcurve(path)
+    np.testing.assert_array_equal(np.asarray(lc["cadenceno"]),
+                                  np.arange(500, 500 + n))

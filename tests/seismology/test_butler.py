@@ -191,3 +191,40 @@ def test_plot_echelle():
     ax = butler.plot_echelle()
     assert ax is not None
     plt.close("all")
+
+
+def test_asteroseismology_chain():
+    """Mirror of reference test_butler.py:test_asteroseismology, with a
+    synthetic multi-segment solar-like oscillator replacing the
+    KIC 11615890 download: normalize → flatten → append → remove_nans →
+    psd periodogram → SNR flatten → to_seismology → estimate_numax."""
+    from lightkurve_tpu import LightCurve
+
+    rng = np.random.default_rng(7)
+    numax_uhz = 2800.0
+    sigma = 0.25 * numax_uhz / 2.335
+    dnu = 0.294 * numax_uhz ** 0.772
+    mode_freqs = np.arange(numax_uhz - 3 * dnu, numax_uhz + 3 * dnu,
+                           dnu / 2)
+    amps = np.exp(-0.5 * ((mode_freqs - numax_uhz) / sigma) ** 2)
+
+    def make_segment(t0):
+        t_days = t0 + np.arange(4000) * (1.0 / 24 / 60)   # 1-min cadence
+        t_sec = t_days * 86400.0
+        flux = np.ones_like(t_days)
+        for f_uhz, a in zip(mode_freqs, amps):
+            flux += 2e-4 * a * np.sin(
+                2 * np.pi * f_uhz * 1e-6 * t_sec + rng.uniform(0, 2 * np.pi))
+        flux += 5e-5 * rng.standard_normal(t_days.size)
+        flux[rng.integers(0, t_days.size, 5)] = np.nan    # holes to clean
+        return LightCurve(time=t_days, flux=flux)
+
+    data = [make_segment(t0) for t0 in (0.0, 3.0, 6.0)]
+    lc = data[0].normalize().flatten()
+    for nlc in data[1:]:
+        lc = lc.append(nlc.normalize().flatten())
+    lc = lc.remove_nans()
+    pg = lc.to_periodogram(normalization="psd")
+    snr = pg.flatten()
+    numax = snr.to_seismology().estimate_numax()
+    assert np.isclose(numax.value, numax_uhz, rtol=0.25)

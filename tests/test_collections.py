@@ -259,3 +259,23 @@ def test_stitch_repr():
     lc = LightCurve(time=np.arange(5), flux=np.ones(5),
                     cadenceno=np.arange(70445, 70450))
     repr(LightCurveCollection((lc, lc)).stitch())
+
+
+def test_combine_kepler_tess():
+    """Mirror of reference test_lightcurve.py:test_combine_kepler_tess:
+    a TESS light curve can be appended to / stitched with a Kepler one
+    despite the different time formats and mission columns."""
+    from lightkurve_tpu import KeplerLightCurve, TessLightCurve
+    lc_kplr = KeplerLightCurve(
+        time=np.arange(100.0, 110.0, 0.5), flux=np.ones(20),
+        quality=np.zeros(20, int))
+    lc_kplr.meta["MISSION"] = "Kepler"
+    lc_tess = TessLightCurve(
+        time=np.arange(1500.0, 1510.0, 0.5), flux=np.ones(20),
+        quality=np.zeros(20, int))
+    lc_tess.meta["MISSION"] = "TESS"
+    lc = lc_kplr.append(lc_tess)
+    assert len(lc) == len(lc_kplr) + len(lc_tess)
+    coll = LightCurveCollection((lc_kplr, lc_tess))
+    lc = coll.stitch()
+    assert len(lc) == len(lc_kplr) + len(lc_tess)

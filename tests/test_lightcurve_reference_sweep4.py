@@ -221,3 +221,92 @@ def test_bin_edges_last_fencepost_inclusive():
     assert len(binned) == 2
     # last bin holds t=10,15,20 → mean (3+4+10)/3
     np.testing.assert_allclose(binned.flux.value[1], (3 + 4 + 10) / 3)
+
+
+def test_ylim_with_nans():
+    """Mirror of reference test_interact.py:test_ylim_with_nans (#679):
+    y limits must not be NaN."""
+    from lightkurve_tpu.interact import get_lightcurve_y_limits
+    ymin, ymax = get_lightcurve_y_limits({"flux": [-1, np.nan, 1]})
+    assert ymin == -1.176
+    assert ymax == 1.176
+
+
+def test_read_memory_usage(tmp_path):
+    """Mirror of reference io/test_read.py:test_read_memory_usage
+    (#1388): repeated read() must not leak — post-warmup traced memory
+    stays flat across iterations."""
+    import gc
+    import tracemalloc
+    from tests.io.test_fits import make_tess_lc_file
+    from lightkurve_tpu.io import read
+    path = str(tmp_path / "leakcheck_lc.fits")
+    make_tess_lc_file(path, n=2000)
+
+    def do_read():
+        return len(read(path))
+
+    tracemalloc.start()
+    try:
+        for _ in range(3):          # warmup: caches, interned headers
+            do_read()
+        gc.collect()
+        post_warmup, _ = tracemalloc.get_traced_memory()
+        for _ in range(5):
+            do_read()
+        gc.collect()
+        final, _ = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    # allow slack for allocator noise; a real leak grows by the size of
+    # the table (~hundreds of KB) per iteration
+    assert final - post_warmup < 200_000, \
+        f"memory grew {final - post_warmup} bytes over 5 reads"
+
+
+def test_interact_custom_aperture_mask():
+    """Mirror of reference test_interact.py:test_custom_aperture_mask:
+    boolean-array, None, and 'threshold' apertures all render."""
+    import matplotlib.pyplot as plt
+    from tests.synthetic import make_synthetic_tpf
+    tpf = make_synthetic_tpf(n_cadences=20)
+    for mask in [np.asarray(tpf.flux[0]) == np.asarray(tpf.flux[0]),
+                 None, "threshold"]:
+        fig = tpf.interact(aperture_mask=mask)
+        plt.close(fig)
+
+
+def test_interact_custom_exported_filename(tmp_path):
+    """Mirror of reference test_interact.py:test_custom_exported_filename:
+    non-.fits suffixes are coerced, sliced TPFs work, and non-str names
+    are accepted."""
+    import matplotlib.pyplot as plt
+    from tests.synthetic import make_synthetic_tpf
+    tpf = make_synthetic_tpf(n_cadences=20)
+    for name in ["demo.fits", "string_only", "demo2.FITS", "demo3.png"]:
+        fig = tpf[0:2].interact(exported_filename=str(tmp_path / name))
+        plt.close(fig)
+    import os
+    assert os.path.exists(tmp_path / "demo.fits")
+    assert os.path.exists(tmp_path / "string_only.fits")
+    assert os.path.exists(tmp_path / "demo3.png.fits")
+    fig = tpf.interact(exported_filename=str(tmp_path / "210690913"))
+    plt.close(fig)
+    mask = np.asarray(tpf.time.value) == np.asarray(tpf.time.value)
+    fig = tpf[mask].interact()
+    plt.close(fig)
+
+
+def test_interact_transform_and_ylim_funcs():
+    """Mirror of reference test_interact.py:test_transform_and_ylim_funcs."""
+    import matplotlib.pyplot as plt
+    from tests.synthetic import make_synthetic_tpf
+    tpf = make_synthetic_tpf(n_cadences=30)
+    for kwargs in [
+        {"transform_func": lambda lc: lc.normalize()},
+        {"transform_func": lambda lc: lc.flatten().normalize()},
+        {"transform_func": lambda lc: lc, "ylim_func": lambda lc: (0, 2)},
+        {"ylim_func": lambda lc: (0, lc.flux.max())},
+    ]:
+        fig = tpf.interact(**kwargs)
+        plt.close(fig)

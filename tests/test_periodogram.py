@@ -547,3 +547,29 @@ def test_unknown_kwargs_and_methods_raise(rng):
         lc.to_periodogram(method="bls", frequecy_factor=100)
     with pytest.raises(ValueError):
         lc.to_periodogram(ls_method="fastt")
+
+
+def _create_beta_lyr_like_lc(dtype=np.float64):
+    """Beta-Lyrae-like curve (reference test_periodogram.py:460-465)."""
+    from lightkurve_tpu.time import Time
+    t = np.arange(0, 30, 0.1)
+    f = np.array(np.sin(t * 2 + np.pi / 2) + np.sin(t) + 1, dtype=dtype)
+    return LightCurve(time=Time(t + 2457000, format="jd"),
+                      flux=f).normalize()
+
+
+@pytest.mark.parametrize("flux_dtype, ls_method, nterms, expected_period", [
+    (np.float64, "fast", 1, np.pi),
+    (np.float64, "fastchi2", 2, np.pi * 2),
+    # fastnifty requires nifty-ls in the reference; the repo's dispatch
+    # downgrades it to 'fast' (reference periodogram.py:917-930)
+    (np.float32, "fast", 1, np.pi),
+])
+def test_ls_method_basics(flux_dtype, ls_method, nterms, expected_period):
+    """Reference test_ls_method_basics: period recovery across methods,
+    plus the #1567 nterms passthrough."""
+    lc = _create_beta_lyr_like_lc(dtype=flux_dtype)
+    pg = lc.to_periodogram(method="ls", ls_method=ls_method, nterms=nterms)
+    np.testing.assert_almost_equal(pg.period_at_max_power.to("d").value,
+                                   expected_period, decimal=1)
+    assert pg.nterms == nterms

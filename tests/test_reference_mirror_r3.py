@@ -432,7 +432,7 @@ def test_sinusoid_noise():
                                        true_lc.flux.value)
 
 
-def test_pld_zero_flux_cadence():
+def test_tpf_with_zero_flux_cadence():
     """Reference #873 (test_pldcorrector.py): a cadence that is entirely
     zero flux must not break PLD."""
     tpf = make_synthetic_tpf(n_cadences=120, mission="TESS")
@@ -740,3 +740,51 @@ def test_lightcurve_plots_unitless():
     lc.errorbar()
     lc.plot(normalize=True, clip_outliers=True)
     plt.close("all")
+
+
+def test_regression_346(tmp_path):
+    """Mirror of reference test_lightcurve.py:test_regression_346 (#346):
+    the v1 file-shim chain KeplerLightCurveFile → .PDCSAP_FLUX →
+    remove_nans → to_corrector → correct → estimate_cdpp must run
+    without IndexError."""
+    import warnings
+    import lightkurve_tpu as lk
+    from lightkurve_tpu.utils import LightkurveDeprecationWarning
+    from lightkurve_tpu.io.fits import (BinTableHDU, Header, HDUList,
+                                        PrimaryHDU, write_fits)
+    rng = np.random.default_rng(4)
+    n = 300
+    t = 2000.0 + np.arange(n) * 0.0204
+    arclength = np.sin(2 * np.pi * t / 0.3)   # K2 roll systematics proxy
+    flux = (1.0 + 0.002 * arclength
+            + 50e-6 * rng.standard_normal(n)).astype(np.float64)
+    flux[10] = np.nan
+    tab = BinTableHDU(data={
+        "TIME": t, "SAP_FLUX": flux, "PDCSAP_FLUX": flux,
+        "SAP_QUALITY": np.zeros(n, np.int32),
+        "MOM_CENTR1": 25.0 + 0.01 * arclength,
+        "MOM_CENTR2": 25.0 + 0.01 * np.cos(2 * np.pi * t / 0.3)},
+        header=Header({"EXTNAME": "LIGHTCURVE", "BJDREFI": 2454833,
+                       "BJDREFF": 0.0, "TELESCOP": "Kepler"}))
+    path = str(tmp_path / "kplr2_lc.fits")
+    write_fits(HDUList([PrimaryHDU(header=Header({
+        "TELESCOP": "Kepler", "KEPLERID": 346, "OBSMODE": "long cadence",
+        "CREATOR": "FluxExporter2PipelineModule",
+        "MISSION": "K2"})), tab]), path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", LightkurveDeprecationWarning)
+        cdpp = (lk.KeplerLightCurveFile(path).PDCSAP_FLUX.remove_nans()
+                .to_corrector().correct().estimate_cdpp())
+    assert np.isfinite(float(cdpp))
+
+
+def test_lightcurvefile_repr(tmp_path):
+    """Mirror of reference test_lightcurvefile_repr: __str__/__repr__ on
+    read mission products."""
+    from lightkurve_tpu import KeplerLightCurve, TessLightCurve
+    from tests.io.test_fits import make_tess_lc_file
+    path = str(tmp_path / "t_lc.fits")
+    make_tess_lc_file(path)
+    lcf = TessLightCurve.read(path)
+    str(lcf)
+    repr(lcf)

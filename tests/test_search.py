@@ -86,3 +86,94 @@ def test_empty_searchresult():
         assert sr.download() is None
     with pytest.warns(LightkurveWarning, match="empty search"):
         assert sr.download_all() is None
+
+
+def test_searchresult_sort_order():
+    """Mirror of reference test_search.py:test_searchresult_sort_order
+    (#1557): same-year 2-digit and 3-digit TESS sectors must sort
+    chronologically (year alone cannot order sector 99 vs 100)."""
+    rows = []
+    for sector in [100, 37, 101, 99]:          # deliberately shuffled
+        for exptime in [120, 20]:
+            rows.append({"mission": f"TESS Sector {sector}",
+                         "author": "SPOC", "year": 2026 if sector >= 99
+                         else 2021, "sequence_number": sector,
+                         "exptime": exptime, "target_name": "15445551"})
+    sr = SearchResult(rows)
+    actual = [f'{r["mission"]} | {r["exptime"]:.0f}' for r in sr.table]
+    assert actual == [
+        "TESS Sector 37 | 20",
+        "TESS Sector 37 | 120",
+        "TESS Sector 99 | 20",
+        "TESS Sector 99 | 120",
+        "TESS Sector 100 | 20",
+        "TESS Sector 100 | 120",
+        "TESS Sector 101 | 20",
+        "TESS Sector 101 | 120",
+    ]
+
+
+def test_searchresult_author_priority():
+    """Official-pipeline products sort first for v1 download()
+    compatibility (reference search.py:126-146)."""
+    rows = [{"mission": "TESS Sector 26", "author": a, "year": 2020,
+             "sequence_number": 26, "exptime": 1800,
+             "target_name": "x"} for a in ["QLP", "TESS-SPOC", "SPOC"]]
+    sr = SearchResult(rows)
+    assert [r["author"] for r in sr.table] == ["SPOC", "TESS-SPOC", "QLP"]
+
+
+@pytest.fixture
+def exptime_archive(tmp_path):
+    """SPOC 2-min + 20-s fast files for the same TIC/sector."""
+    tic, sector = 44172373, 27
+    make_tess_lc_file(str(
+        tmp_path / f"tess2020-s{sector:04d}-{tic:016d}-0123-s_lc.fits"))
+    make_tess_lc_file(str(
+        tmp_path
+        / f"tess2020-s{sector:04d}-{tic:016d}-0123-a_fast-lc.fits"))
+    return str(tmp_path)
+
+
+def test_exptime_filtering(exptime_archive):
+    """Mirror of reference test_search.py:test_exptime_filtering: 'fast',
+    'short', numeric, and MiXeD-case exptime strings, plus the deprecated
+    cadence= alias."""
+    res = search_lightcurve("AU Mic" if False else "44172373",
+                            archive_dir=exptime_archive, exptime="fast")
+    assert len(res) == 1
+    assert res.exptime[0].value == 20
+    res = search_lightcurve("44172373", archive_dir=exptime_archive,
+                            exptime="SHoRt")
+    assert len(res) == 1
+    assert res.exptime[0].value == 120
+    res = search_lightcurve("44172373", archive_dir=exptime_archive,
+                            exptime=20)
+    assert len(res) == 1
+    assert "fast" in res.filename[0]
+    res = search_lightcurve("44172373", archive_dir=exptime_archive,
+                            cadence="fast")
+    assert len(res) == 1
+    assert res.exptime[0].value == 20
+
+
+def test_search_sector_filter(exptime_archive, tmp_path):
+    """sector= filters on the sequence number parsed from filenames."""
+    res = search_lightcurve("44172373", archive_dir=exptime_archive,
+                            sector=27)
+    assert len(res) == 2
+    with pytest.raises(SearchError):
+        search_lightcurve("44172373", archive_dir=exptime_archive,
+                          sector=5)
+    res = search_lightcurve("44172373", archive_dir=exptime_archive,
+                            sector=[5, 27])
+    assert len(res) == 2
+
+
+def test_search_slicing_regression(exptime_archive):
+    """Mirror of reference test_search_slicing_regression: slicing after
+    __repr__ must keep working."""
+    res = search_lightcurve("44172373", archive_dir=exptime_archive)
+    res.__repr__()
+    sliced = res[res.exptime.value < 100]
+    assert len(sliced) == 1

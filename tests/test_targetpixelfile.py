@@ -4,6 +4,7 @@ import pytest
 
 from lightkurve_tpu import KeplerLightCurve, TessLightCurve
 from lightkurve_tpu.targetpixelfile import (KeplerTargetPixelFile,
+                                            TargetPixelFile,
                                             TargetPixelFileFactory,
                                             TessTargetPixelFile)
 from synthetic import make_synthetic_tpf, sine_signal, transit_signal
@@ -322,3 +323,51 @@ def test_pld_with_zero_flux_cadence(tpf):
         quality_bitmask="none")
     corrected = PLDCorrector(tpf2).correct()
     assert np.isfinite(np.asarray(corrected.flux.value)).sum() > 0
+
+
+def test_tpf_wcs_from_images(tmp_path):
+    """Mirror of reference test_targetpixelfile.py:test_tpf_wcs_from_images:
+    positional cutouts require WCS in the image headers, and the product
+    TPF carries a working WCS (reference asserts 1CRPX5 is defined)."""
+    from lightkurve_tpu.io.fits import (HDUList, Header, ImageHDU,
+                                        PrimaryHDU, write_fits)
+    from lightkurve_tpu.utils import LightkurveError
+    rng = np.random.default_rng(11)
+    # no WCS at all → raises
+    bare = []
+    for i in range(3):
+        hdr = Header({"TELESCOP": "TESS", "TIME": 100.0 + i})
+        p = str(tmp_path / f"bare{i}.fits")
+        write_fits(HDUList([PrimaryHDU(),
+                            ImageHDU(data=rng.standard_normal(
+                                (30, 30)).astype(np.float32),
+                                header=hdr)]), p)
+        bare.append(p)
+    with pytest.raises(LightkurveError):
+        TargetPixelFile.from_fits_images(bare, position=(23.23, 45.23),
+                                         size=(3, 3))
+    # with a TAN WCS → works and the cutout WCS round-trips
+    ra0, dec0 = 23.2334, 45.2333
+    paths = []
+    for i in range(3):
+        hdr = Header({"TELESCOP": "TESS", "TIME": 100.0 + i,
+                      "CRPIX1": 15.0, "CRPIX2": 15.0,
+                      "CRVAL1": ra0, "CRVAL2": dec0,
+                      "CDELT1": -0.001111, "CDELT2": 0.001111,
+                      "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN"})
+        p = str(tmp_path / f"wcs{i}.fits")
+        write_fits(HDUList([PrimaryHDU(),
+                            ImageHDU(data=rng.standard_normal(
+                                (30, 30)).astype(np.float32),
+                                header=hdr)]), p)
+        paths.append(p)
+    tpf = TargetPixelFile.from_fits_images(paths, position=(ra0, dec0),
+                                           size=(5, 5))
+    assert tpf.get_keyword("1CRPX5", hdu=1) is not None
+    # the reference position lands inside the 5x5 cutout
+    x, y = tpf.wcs.world_to_pixel(ra0, dec0)
+    assert -0.5 <= float(x) <= 4.5
+    assert -0.5 <= float(y) <= 4.5
+    ra_back, dec_back = tpf.wcs.pixel_to_world(float(x), float(y))
+    np.testing.assert_allclose([float(ra_back), float(dec_back)],
+                               [ra0, dec0], atol=1e-6)
