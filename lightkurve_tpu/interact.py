@@ -44,11 +44,28 @@ def get_lightcurve_y_limits(flux):
     return low - margin, high + margin
 
 
+def _preprocess_lc_for_bls(lc):
+    """Clean a light curve for the BLS panel (reference
+    ``interact_bls.py:588-599``): drop NaNs and bring the flux to
+    normalized dimensionless scale so it overlays the BLS model."""
+    from .units import dimensionless
+    clean = lc.remove_nans()
+    if not clean.meta.get("NORMALIZED", False):
+        clean = clean.normalize()
+    elif clean.flux.unit != dimensionless:
+        clean = clean.copy()
+        clean["flux"] = clean.flux.to(dimensionless)
+        if clean.flux_err is not None:
+            clean["flux_err"] = clean.flux_err.to(dimensionless)
+    return clean
+
+
 def show_interact_widget_bls(lc, notebook_url=None, minimum_period=None,
                              maximum_period=None, resolution=2000):
     """Static three-panel BLS explorer (stand-in for the bokeh widget at
     reference ``interact_bls.py:602-1004``)."""
     import matplotlib.pyplot as plt
+    lc = _preprocess_lc_for_bls(lc)
     # the reference sizes the period grid as
     # linspace(min_p, max_p, resolution) (interact_bls.py:630-660)
     tv = lc.time.value.astype(np.float64)
@@ -100,17 +117,25 @@ def show_interact_widget(tpf, aperture_mask="default", exported_filename=None,
     (reference ``interact.py:1018-1040``)."""
     import matplotlib.pyplot as plt
     if exported_filename is not None:
-        # reference behavior (interact.py:1070-1080): coerce to str and
-        # force a .fits suffix, warning on other extensions
+        # reference behavior (interact.py:1096-1104): coerce to str and
+        # ensure a .fits suffix.  (The live widget also defaults the name
+        # to '<basename>-custom-aperture-mask.fits', but only writes on
+        # button press — this static panel only writes when asked.)
         exported_filename = str(exported_filename)
-        if not exported_filename.lower().endswith(".fits"):
-            if exported_filename:
-                log.warning("Exported filename will have a .fits suffix "
-                            "appended.")
+        if ".fits" not in exported_filename.lower():
             exported_filename += ".fits"
     fig, (ax_img, ax_lc) = plt.subplots(
         1, 2, figsize=(11, 4), gridspec_kw={"width_ratios": [1, 2]})
     mask = tpf._parse_aperture_mask(aperture_mask)
+    if not mask.any():
+        # reference interact.py:1087-1094: empty mask falls back to the
+        # threshold mask, then to all pixels
+        log.error("No pixels in `aperture_mask`, finding optimum aperture "
+                  "using `tpf.create_threshold_mask`.")
+        mask = tpf.create_threshold_mask()
+    if not mask.any():
+        log.error("No pixels in `aperture_mask`, using all pixels.")
+        mask = tpf._parse_aperture_mask("all")
     tpf.plot(ax=ax_img, aperture_mask=mask)
     lc = tpf.to_lightcurve(aperture_mask=mask)
     if transform_func is not None:

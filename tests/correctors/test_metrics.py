@@ -69,3 +69,47 @@ def test_underfit_shape_mismatch(rng):
     with pytest.raises(ValueError, match="same shape"):
         underfit_metric_neighbors(
             lc, neighbor_flux=[np.zeros(10), np.zeros(20)])
+
+
+def test_overfit_metric_reference_sanity():
+    """The reference's exact sanity checks (reference
+    tests/correctors/test_metrics.py:14-35): unchanged curves score 1,
+    flat->sine scores 0, and pre-existing noise softens the penalty."""
+    time = np.arange(1, 100, 0.1)
+    lc_flat = LightCurve(time=time, flux=np.ones(time.size),
+                         flux_err=np.zeros(time.size))
+    lc_sine = LightCurve(time=time, flux=np.sin(time) + 1,
+                         flux_err=np.zeros(time.size))
+    assert overfit_metric_lombscargle(lc_flat, lc_flat) == 1.0
+    assert overfit_metric_lombscargle(lc_sine, lc_sine) == 1.0
+    # sine -> flat removed power, introduced none: still perfect
+    assert overfit_metric_lombscargle(lc_sine, lc_flat) == 1.0
+    # flat -> sine introduced spurious power: worst score
+    assert overfit_metric_lombscargle(lc_flat, lc_sine) == 0.0
+    # but if the curves were noisy to begin with it's less damning
+    lc_flat.flux_err = lc_flat.flux_err.value + 0.5
+    lc_sine.flux_err = lc_sine.flux_err.value + 0.5
+    assert overfit_metric_lombscargle(lc_flat, lc_sine) > 0.5
+
+
+def test_compute_correlation_reference_truth():
+    """Correlation matrix pinned to the reference's hand-computed truth
+    (reference tests/correctors/test_metrics.py:58-82)."""
+    from lightkurve_tpu.correctors.metrics import _compute_correlation
+
+    flux_matrix = np.ones((4, 4))
+    assert np.all(_compute_correlation(flux_matrix) == 1.0)
+
+    flux_matrix = np.array([
+        [1.0, -1.0, 1.0, -1.0],
+        [-1.0, 1.0, 1.0, -1.0],
+        [1.0, -1.0, 1.0, -1.0],
+        [-1.0, 1.0, -1.0, 1.0],
+    ])
+    truth = np.array([
+        [1.0, -1.0, 0.5, -0.5],
+        [-1.0, 1.0, -0.5, 0.5],
+        [0.5, -0.5, 1.0, -1.0],
+        [-0.5, 0.5, -1.0, 1.0],
+    ])
+    np.testing.assert_allclose(_compute_correlation(flux_matrix), truth)

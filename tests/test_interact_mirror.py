@@ -1,0 +1,117 @@
+"""Mirrors of the reference's bokeh-free-testable interact behaviors
+(reference tests/test_interact.py) against the static matplotlib panel.
+"""
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from lightkurve_tpu.interact import get_lightcurve_y_limits  # noqa: E402
+from lightkurve_tpu.targetpixelfile import TargetPixelFileFactory  # noqa: E402
+
+
+@pytest.fixture
+def tpf(rng):
+    fac = TargetPixelFileFactory(n_cadences=20, n_rows=5, n_cols=5)
+    for i in range(20):
+        img = rng.normal(10.0, 0.5, (5, 5)).astype(np.float32)
+        img[2, 2] += 100.0
+        fac.add_cadence(frameno=i, flux=img,
+                        flux_err=np.ones((5, 5), np.float32),
+                        header={"TIME": i * 0.02})
+    return fac.get_tpf()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_custom_aperture_mask(tpf):
+    """Boolean / None / 'threshold' masks all render
+    (reference test_interact.py:65-79); an empty mask falls back to the
+    threshold mask (reference interact.py:1087-1094)."""
+    mask = tpf.flux.value[0] == tpf.flux.value[0]
+    for m in [mask, None, "threshold", np.zeros((5, 5), bool)]:
+        fig = tpf.interact(aperture_mask=m)
+        assert fig is not None
+        plt.close("all")
+
+
+def test_custom_exported_filename(tmp_path, tpf):
+    """exported_filename is coerced to str and given a .fits suffix
+    (reference test_interact.py:83-101, interact.py:1096-1104)."""
+    for name, expected in [
+        ("demo.fits", "demo.fits"),
+        ("string_only", "string_only.fits"),
+        ("demo2.FITS", "demo2.FITS"),
+        ("demo3.png", "demo3.png.fits"),
+        (210690913, "210690913.fits"),
+    ]:
+        tpf.interact(exported_filename=str(tmp_path / str(name)))
+        assert (tmp_path / expected).exists(), expected
+        plt.close("all")
+    # sliced TPFs still render/export
+    tpf[0:2].interact()
+    tpf[tpf.time.value == tpf.time.value].interact()
+    plt.close("all")
+
+
+def test_transform_and_ylim_funcs(tpf):
+    """transform_func/ylim_func are honored
+    (reference test_interact.py:104-115)."""
+    tpf.interact(transform_func=lambda lc: lc.normalize())
+    tpf.interact(transform_func=lambda lc: lc.flatten().normalize())
+    fig = tpf.interact(transform_func=lambda lc: lc,
+                       ylim_func=lambda lc: (0, 2))
+    ax = fig.axes[1]
+    assert ax.get_ylim() == (0.0, 2.0)
+    tpf.interact(ylim_func=lambda lc: (0, lc.flux.value.max()))
+    plt.close("all")
+
+
+def test_ylim_with_nans():
+    """Regression mirror for reference #679: y limits are never NaN, and
+    match the reference's exact values for [-1, nan, 1]
+    (reference test_interact.py:290-298)."""
+    ymin, ymax = get_lightcurve_y_limits({"flux": [-1, np.nan, 1]})
+    assert ymin == pytest.approx(-1.176)
+    assert ymax == pytest.approx(1.176)
+
+
+def test_get_lightcurve_y_limits_basic(rng):
+    """Limits bracket the bulk of the flux and ignore 5-sigma outliers
+    (reference interact.py:252-270)."""
+    flux = rng.normal(1.0, 0.01, 1000)
+    flux[0] = 50.0  # extreme outlier must not blow up the limits
+    lo, hi = get_lightcurve_y_limits(flux)
+    assert 0.9 < lo < 1.0 < hi < 1.1
+
+
+def test_preprocess_lc():
+    """BLS preprocessing removes NaNs and normalizes to dimensionless
+    (reference test_interact_bls.py:76-97)."""
+    from lightkurve_tpu import LightCurve
+    from lightkurve_tpu.interact import _preprocess_lc_for_bls
+    from lightkurve_tpu.units import dimensionless
+
+    t = np.linspace(0, 10, 100)
+    flux = 1000.0 + np.sin(t)
+    flux[5] = np.nan
+    lc = LightCurve(time=t, flux=flux,
+                    flux_err=np.full(t.size, 0.1))
+    clean = _preprocess_lc_for_bls(lc)
+    assert not np.isnan(np.asarray(clean.flux.value)).any()
+    assert clean.meta.get("NORMALIZED", False)
+    assert clean.flux.unit == dimensionless
+
+    # already normalized but in percent: converted back to unscaled
+    lc_pct = lc.normalize(unit="percent")
+    clean = _preprocess_lc_for_bls(lc_pct)
+    assert not np.isnan(np.asarray(clean.flux.value)).any()
+    assert clean.meta.get("NORMALIZED", False)
+    assert clean.flux.unit == dimensionless
+    np.testing.assert_allclose(np.median(np.asarray(clean.flux.value)),
+                               1.0, rtol=1e-3)

@@ -123,3 +123,33 @@ def test_bin_quality_and_centroids():
     np.testing.assert_allclose(np.asarray(binned.centroid_col), [0.5, 0.5])
     np.testing.assert_allclose(np.asarray(binned.centroid_row), [1, 1])
     np.testing.assert_array_equal(np.asarray(binned["quality"]), [1, 3])
+
+
+def test_pickle_mission_data_and_folds():
+    """Pickling real mission data, plain and folded (normalized or not),
+    round-trips columns and meta (reference test_lightcurve.py:2114-2152,
+    #1527)."""
+    import pickle
+
+    lc = read("/root/reference/tests/data/"
+              "test-lc-tess-pimen-100-cadences.fits")
+    for obj, label in [
+        (lc, "plain"),
+        (lc.fold(epoch_time=lc.time.value[3], period=2), "folded"),
+        (lc.fold(epoch_time=lc.time.value[3], period=2,
+                 normalize_phase=True), "folded-normalized"),
+    ]:
+        back = pickle.loads(pickle.dumps(obj))
+        assert type(back) is type(obj), label
+        assert len(back) == len(obj), label
+        np.testing.assert_array_equal(
+            np.asarray(back.flux.value), np.asarray(obj.flux.value),
+            err_msg=label)
+        np.testing.assert_array_equal(back.time.value, obj.time.value,
+                                      err_msg=label)
+        assert back.meta.get("MISSION") == obj.meta.get("MISSION"), label
+    refolded = pickle.loads(pickle.dumps(
+        lc.fold(epoch_time=lc.time.value[3], period=2,
+                normalize_phase=True)))
+    assert refolded.normalize_phase == True  # noqa: E712
+    assert np.abs(refolded.time.value).max() <= 0.5 + 1e-9
