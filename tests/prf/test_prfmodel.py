@@ -96,3 +96,66 @@ def test_gradient_shapes():
     assert len(grads) == 6
     for g in grads:
         assert g.shape == (11, 13)
+
+
+def _write_synthetic_calibration(prf_dir, channel, sigma=1.5 / 2.3548,
+                                 oversample=50, radius=6):
+    """Write a kplrMM.O_prf.fits calibration file whose five PRF images
+    are the supersampled Gaussian that GaussianPRF uses internally, so a
+    KeplerPRF loaded from it evaluates identically to
+    GaussianPRF(sigma=sigma, oversample=oversample)."""
+    from lightkurve_tpu.io.fits import (Header, HDUList, ImageHDU,
+                                        PrimaryHDU)
+    from lightkurve_tpu.utils import channel_to_module_output
+
+    n = 2 * radius * oversample + 1
+    ax = (np.arange(n) - (n - 1) / 2) / oversample
+    xx, yy = np.meshgrid(ax, ax)
+    img = np.exp(-(xx ** 2 + yy ** 2) / (2 * sigma ** 2))
+    img = (img / img.sum() * oversample ** 2).astype(">f4")
+    hdus = [PrimaryHDU(header=Header({"SIMPLE": True}))]
+    for crval1, crval2 in [(12, 20), (12, 1044), (1111, 20),
+                           (1111, 1044), (550, 532)]:
+        hdus.append(ImageHDU(data=img, header=Header(
+            {"CRVAL1P": crval1, "CRVAL2P": crval2})))
+    module, output = channel_to_module_output(channel)
+    path = os.path.join(prf_dir,
+                        f"kplr{module:02}.{output}_2011265_prf.fits")
+    HDUList(hdus).writeto(path, overwrite=True)
+    return path
+
+
+def test_keplerprf_gradient_against_simplekeplerprf(tmp_path):
+    """KeplerPRF's gradient in the shared (col,row,flux) parameters matches
+    the analytic model's at identity rotation/scale (reference
+    tests/prf/test_prfmodel.py:77-86; the reference loads stsci
+    calibration files, we write an equivalent local calibration file)."""
+    kwargs = {"shape": (15, 15), "column": 0, "row": 0}
+    params = {"center_col": 7.0, "center_row": 7.0, "flux": 1.0}
+    _write_synthetic_calibration(str(tmp_path), channel=56)
+    analytic = GaussianPRF(sigma=1.5 / 2.3548, oversample=50, **kwargs)
+    prf = KeplerPRF(channel=56, prf_dir=str(tmp_path), **kwargs)
+    # sanity: the calibration-file PRF evaluates like the analytic one
+    np.testing.assert_allclose(
+        np.asarray(prf(**params)), np.asarray(analytic(**params)),
+        rtol=1e-4, atol=1e-7)
+    prf_grad = prf.gradient(rotation_angle=0.0, scale_col=1.0,
+                            scale_row=1.0, **params)
+    analytic_grad = analytic.gradient(**params)
+    for g_full, g_simple in zip(prf_grad[:3], analytic_grad[:3]):
+        np.testing.assert_allclose(np.asarray(g_full),
+                                   np.asarray(g_simple),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_simple_kepler_prf_interpolation_consistency():
+    """The evaluated PRF integrates to the requested flux and peaks at the
+    requested center — the local analogue of the reference's
+    calibration-file consistency check (reference
+    tests/prf/test_prfmodel.py:45-57)."""
+    sprf = SimpleKeplerPRF(channel=56, shape=(15, 15), column=0, row=0)
+    img = np.asarray(sprf(center_col=7.5, center_row=7.5, flux=1.0))
+    assert img.shape == (15, 15)
+    np.testing.assert_allclose(img.sum(), 1.0, rtol=2e-2)
+    peak = np.unravel_index(np.argmax(img), img.shape)
+    assert abs(peak[0] - 7.5) <= 1.0 and abs(peak[1] - 7.5) <= 1.0

@@ -177,3 +177,39 @@ def test_search_slicing_regression(exptime_archive):
     res.__repr__()
     sliced = res[res.exptime.value < 100]
     assert len(sliced) == 1
+
+
+def test_customize_search_result_display():
+    """display_extra_columns from conf and per-object assignment control
+    the repr (reference test_search.py:616-663; offline rows instead of
+    live MAST queries)."""
+    rows = [
+        {"target_name": "1", "mission": "TESS Sector 11", "year": 2019,
+         "author": "SPOC", "exptime": 120, "sequence_number": 11,
+         "proposal_id": "G012345", "distance": 0.0},
+        {"target_name": "1", "mission": "TESS Sector 12", "year": 2019,
+         "author": "SPOC", "exptime": 120, "sequence_number": 12,
+         "distance": 0.0},
+    ]
+    sr = SearchResult(rows)
+    assert "proposal_id" not in repr(sr)
+
+    # runtime config change applies to newly built results
+    import lightkurve_tpu as lk
+    try:
+        lk.conf.search_result_display_extra_columns = ["sequence_number"]
+        sr2 = SearchResult(rows)
+        assert "sequence_number" in repr(sr2)
+    finally:
+        lk.conf.search_result_display_extra_columns = []
+
+    # per-object customization, multiple columns
+    sr.display_extra_columns = []
+    assert "proposal_id" not in repr(sr)
+    sr.display_extra_columns = ["sequence_number", "proposal_id"]
+    assert "proposal_id" in repr(sr)
+    assert "sequence_number" in repr(sr)
+
+    # nonexistent columns are ignored without error (reference :653-663)
+    sr.display_extra_columns = ["foo_col"]
+    assert "foo_col" not in repr(sr)
