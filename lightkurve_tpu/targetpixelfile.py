@@ -632,8 +632,10 @@ class TargetPixelFile:
 
     def plot_pixels(self, ax=None, periodogram=False, aperture_mask=None,
                     show_flux=False, corrector_func=None, style=None,
-                    title=None, markersize=0.5, **kwargs):
-        """Grid of per-pixel light curves (reference ``:1869-2068``)."""
+                    normalize=False, title=None, markersize=0.5, **kwargs):
+        """Grid of per-pixel light curves (reference ``:1869-2068``).
+        ``normalize=True`` divides each pixel's series by its median
+        before plotting (reference ``:1928-1934``)."""
         import matplotlib.pyplot as plt
         mask = self._parse_aperture_mask(aperture_mask) \
             if aperture_mask is not None else None
@@ -646,6 +648,10 @@ class TargetPixelFile:
             for c in range(w):
                 ax = axs[h - 1 - r][c]
                 y = flux[:, r, c]
+                if normalize:
+                    med = np.nanmedian(y)
+                    if med != 0 and np.isfinite(med):
+                        y = y / med
                 if periodogram:
                     lc = LightCurve(time=tv, flux=np.nan_to_num(y))
                     try:

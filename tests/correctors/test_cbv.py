@@ -148,3 +148,109 @@ def test_custom_cbv_object():
     assert cbvs.cbv_indices == [1, 2]
     dm = cbvs.to_designmatrix()
     assert dm.shape == (50, 2)
+
+
+def test_CotrendingBasisVectors_nonretrieval():
+    """Mirror of the reference's offline CotrendingBasisVectors test
+    (reference tests/correctors/test_cbvcorrector.py:40-197):
+    constructor defaults, to_designmatrix selection, plot validation,
+    align gap insertion, interpolate extrapolation."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+    from lightkurve_tpu import TessLightCurve
+    from lightkurve_tpu.correctors import CotrendingBasisVectors
+    from lightkurve_tpu.time import Time
+
+    # constructor with explicit CADENCENO/GAP
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": [1, 2, 3], "GAP": [False, True, False],
+              "VECTOR_1": [2.0, 3.0, 4.0], "VECTOR_3": [3.0, 4.0, 5.0]},
+        time=Time([443.51090033, 443.53133457, 443.55176891],
+                  format="bkjd"))
+    assert cbvs.cbv_indices == [1, 3]
+    np.testing.assert_allclose(
+        cbvs.time.value, [443.51090033, 443.53133457, 443.55176891])
+
+    # auto-initialized GAP and CADENCENO
+    cbvs = CotrendingBasisVectors(
+        data={"VECTOR_3": [2.0, 3.0, 4.0], "VECTOR_12": [3.0, 4.0, 5.0]},
+        time=Time([443.51, 443.53, 443.55], format="bkjd"))
+    assert cbvs.cbv_indices == [3, 12]
+    assert np.all(np.asarray(cbvs.gap_indicators) == False)  # noqa: E712
+    assert np.all(np.asarray(cbvs.cadenceno) == [0, 1, 2])
+
+    # to_designmatrix: missing CBV index 5 silently ignored
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": [1, 2, 3], "GAP": [False, True, False],
+              "VECTOR_1": [1.0, 2.0, 3.0], "VECTOR_2": [4.0, 5.0, 6.0],
+              "VECTOR_3": [7.0, 8.0, 9.0]},
+        time=Time([1569.44053967, 1569.44192856, 1569.44331746],
+                  format="btjd"))
+    dm = cbvs.to_designmatrix(cbv_indices=[1, 3, 5], name="test cbv set")
+    assert dm.shape == (3, 2)
+    assert dm.name == "test cbv set"
+    vals = np.asarray(dm.values)
+    np.testing.assert_allclose(vals[:, 0], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(vals[:, 1], [7.0, 8.0, 9.0])
+    assert list(dm.columns) == ["VECTOR_1", "VECTOR_3"]
+
+    # plot: unknown index ignored, 0-based request and bad strings raise
+    ax = cbvs.plot(cbv_indices=[1, 2], ax=None)
+    assert isinstance(ax, matplotlib.axes.Axes)
+    ax = cbvs.plot(cbv_indices=[1, 2, 5], ax=ax)
+    with pytest.raises(ValueError):
+        cbvs.plot(cbv_indices=[0, 1, 2], ax=ax)
+    with pytest.raises(ValueError):
+        cbvs.plot("Doh!")
+    plt.close("all")
+
+    # align: LC cadences missing from the CBVs become NaN gap rows
+    sample_lc = TessLightCurve(time=[1, 2, 3, 4, 6, 7],
+                               flux=[1, 2, 3, 4, 6, 7],
+                               flux_err=[0.1] * 6,
+                               cadenceno=[1, 2, 3, 4, 6, 7])
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": [1, 2, 3, 5, 6], "GAP": [False, True, False,
+                                                    False, False],
+              "VECTOR_1": [1.0, 2.0, 3.0, 5.0, 6.0]},
+        time=Time([1569.43915078, 1569.44053967, 1569.44192856,
+                   1569.44470635, 1569.44609524], format="btjd"))
+    aligned = cbvs.align(sample_lc)
+    assert np.all(np.asarray(sample_lc["cadenceno"])
+                  == np.asarray(aligned.cadenceno))
+    assert len(aligned.cadenceno) == 6
+    assert np.all(np.asarray(aligned.gap_indicators)[[1, 3, 5]])
+    dm = aligned.to_designmatrix(cbv_indices=[1])
+    v1 = np.asarray(dm.values)[:, 0]
+    np.testing.assert_allclose(v1[[0, 1, 2, 4]], [1.0, 2.0, 3.0, 6.0])
+    assert np.all(np.isnan(v1[[3, 5]]))
+
+    # interpolate: out-of-range values zeroed unless extrapolate=True
+    n_lc = 20
+    x_lc = np.linspace(0.0, 2 * np.pi, num=n_lc)
+    sample_lc = TessLightCurve(time=x_lc, flux=np.sin(x_lc),
+                               flux_err=np.full(n_lc, 0.1),
+                               cadenceno=np.arange(n_lc))
+    n_cbv = 10
+    x_cbv = np.linspace(0.0, 2 * np.pi, num=n_cbv)
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": np.arange(n_cbv),
+              "GAP": np.full(n_cbv, False),
+              "VECTOR_1": np.cos(x_cbv),
+              "VECTOR_2": np.sin(x_cbv + np.pi * 0.125)},
+        time=Time(x_cbv, format="btjd"))
+    interp = cbvs.interpolate(sample_lc, extrapolate=False)
+    np.testing.assert_allclose(interp.time.value, sample_lc.time.value)
+
+    x_cbv = np.linspace(0.0, 1.5 * np.pi, num=n_cbv)
+    cbvs = CotrendingBasisVectors(
+        data={"CADENCENO": np.arange(n_cbv),
+              "GAP": np.full(n_cbv, False),
+              "VECTOR_1": np.cos(x_cbv),
+              "VECTOR_2": np.sin(x_cbv + np.pi * 0.125)},
+        time=Time(x_cbv, format="btjd"))
+    outside = np.nonzero(sample_lc.time.value > 1.5 * np.pi)[0]
+    interp = cbvs.interpolate(sample_lc, extrapolate=False)
+    assert np.all(np.asarray(interp["VECTOR_1"])[outside] == 0.0)
+    interp = cbvs.interpolate(sample_lc, extrapolate=True)
+    assert np.all(np.asarray(interp["VECTOR_1"])[outside] != 0.0)

@@ -72,9 +72,10 @@ def test_underfit_shape_mismatch(rng):
 
 
 def test_overfit_metric_reference_sanity():
-    """The reference's exact sanity checks (reference
-    tests/correctors/test_metrics.py:14-35): unchanged curves score 1,
-    flat->sine scores 0, and pre-existing noise softens the penalty."""
+    """The reference's exact sanity checks (mirrors reference
+    test_overfit_metric_lombscargle, tests/correctors/test_metrics.py:14-35):
+    unchanged curves score 1, flat->sine scores 0, and pre-existing noise
+    softens the penalty."""
     time = np.arange(1, 100, 0.1)
     lc_flat = LightCurve(time=time, flux=np.ones(time.size),
                          flux_err=np.zeros(time.size))

@@ -71,7 +71,9 @@ def test_keplerprf_missing_calibration():
     "rotation_angle",
 ])
 def test_prf_gradient_against_calculus(param_to_test):
-    """Is the autodiff gradient consistent with finite differences?"""
+    """Is the autodiff gradient consistent with finite differences?
+    (mirrors reference test_keplerprf_gradient_against_calculus,
+    tests/prf/test_prfmodel.py:101-140, on the calibration-free PRF)"""
     params = OrderedDict([
         ("center_col", 7.0), ("center_row", 7.0), ("flux", 1000.0),
         ("scale_col", 1.0), ("scale_row", 1.0), ("rotation_angle", 0.0)])
