@@ -98,6 +98,9 @@ _LAZY = {
     "estimate_radius": ".seismology.stellar_estimators",
     "estimate_mass": ".seismology.stellar_estimators",
     "estimate_logg": ".seismology.stellar_estimators",
+    "export_interact_bls_html": ".interact_html",
+    "export_interact_html": ".interact_html",
+    "export_interact_echelle_html": ".interact_html",
 }
 
 

@@ -61,9 +61,20 @@ def _preprocess_lc_for_bls(lc):
 
 
 def show_interact_widget_bls(lc, notebook_url=None, minimum_period=None,
-                             maximum_period=None, resolution=2000):
+                             maximum_period=None, resolution=2000,
+                             html=None):
     """Static three-panel BLS explorer (stand-in for the bokeh widget at
-    reference ``interact_bls.py:602-1004``)."""
+    reference ``interact_bls.py:602-1004``).
+
+    Pass ``html="path.html"`` to instead write a standalone *live*
+    widget (no bokeh, no server — see
+    :func:`lightkurve_tpu.interact_html.export_interact_bls_html`)."""
+    if html is not None:
+        from .interact_html import export_interact_bls_html
+        return export_interact_bls_html(
+            lc, html, minimum_period=minimum_period,
+            maximum_period=maximum_period,
+            resolution=max(int(resolution), 20000))
     import matplotlib.pyplot as plt
     lc = _preprocess_lc_for_bls(lc)
     # the reference sizes the period grid as
@@ -105,7 +116,8 @@ def show_interact_widget_bls(lc, notebook_url=None, minimum_period=None,
 
 
 def show_interact_widget(tpf, aperture_mask="default", exported_filename=None,
-                         transform_func=None, ylim_func=None, **kwargs):
+                         transform_func=None, ylim_func=None, html=None,
+                         **kwargs):
     """Static two-panel stand-in for the bokeh pixel-selector widget
     (reference ``interact.py:999-1318``): the median frame with the
     selected aperture outlined, linked to the aperture light-curve
@@ -114,7 +126,14 @@ def show_interact_widget(tpf, aperture_mask="default", exported_filename=None,
     FITS (the widget's export button).  ``transform_func`` is applied
     to the light curve before display and ``ylim_func`` maps it to the
     (ymin, ymax) panel limits, like the live widget's arguments
-    (reference ``interact.py:1018-1040``)."""
+    (reference ``interact.py:1018-1040``).
+
+    Pass ``html="path.html"`` to instead write a standalone *live*
+    pixel-selector widget (see
+    :func:`lightkurve_tpu.interact_html.export_interact_html`)."""
+    if html is not None:
+        from .interact_html import export_interact_html
+        return export_interact_html(tpf, html, aperture_mask=aperture_mask)
     import matplotlib.pyplot as plt
     if exported_filename is not None:
         # reference behavior (interact.py:1096-1104): coerce to str and

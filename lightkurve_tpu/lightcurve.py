@@ -1432,11 +1432,11 @@ class LightCurve:
                                   **extra_data)
 
     def interact_bls(self, notebook_url=None, minimum_period=None,
-                     maximum_period=None, resolution=2000):
+                     maximum_period=None, resolution=2000, html=None):
         from .interact import show_interact_widget_bls
         return show_interact_widget_bls(
             self, notebook_url=notebook_url, minimum_period=minimum_period,
-            maximum_period=maximum_period, resolution=resolution)
+            maximum_period=maximum_period, resolution=resolution, html=html)
 
     # ------------------------------------------------------------------
     # plotting

@@ -244,7 +244,27 @@ class Seismology:
         ``n_panels`` mini-echelles spanning ±25% of it, so the
         Δν-sensitivity of the ridge structure is visible at a glance.
         Returns the matplotlib figure.
+
+        Pass ``html="path.html"`` to instead write a standalone *live*
+        echelle widget with a working slider (see
+        :func:`lightkurve_tpu.interact_html.export_interact_echelle_html`).
         """
+        if kwargs.get("html") is not None:
+            from ..interact_html import export_interact_echelle_html
+            html = kwargs.pop("html")
+            # like the live reference widget (core.py:585-596), default
+            # the slider to the estimated deltanu or max_frequency/30
+            dnu_default = getattr(
+                self, "deltanu",
+                self.periodogram.frequency.max() / 30)
+            return export_interact_echelle_html(
+                self, html,
+                deltanu=kwargs.pop("deltanu", dnu_default),
+                numax=kwargs.pop("numax", None),
+                minimum_frequency=kwargs.pop("minimum_frequency", None),
+                maximum_frequency=kwargs.pop("maximum_frequency", None),
+                smooth_filter_width=kwargs.pop("smooth_filter_width", 0.1))
+        kwargs.pop("html", None)
         import matplotlib.pyplot as plt
         max_f = float(self.periodogram.frequency.max().value)
         # like the reference widget, default the view to the full

@@ -1,0 +1,210 @@
+"""Tests for the self-contained HTML widgets (``interact_html.py``).
+
+No browser exists in CI, so these tests pin the *data contract*: the
+JSON arrays embedded in the page must equal the device-computed
+periodogram / photometry outputs, and the client-side math the JS
+performs (phase fold, box model, SAP pixel sum) is re-executed here in
+Python from the embedded data and compared against the library's own
+results.  The JS itself is dependency-free vanilla code.
+"""
+import json
+import re
+
+import numpy as np
+import pytest
+
+from lightkurve_tpu import LightCurve
+from lightkurve_tpu.interact_html import (export_interact_bls_html,
+                                          export_interact_echelle_html,
+                                          export_interact_html)
+from lightkurve_tpu.periodogram import SNRPeriodogram
+from lightkurve_tpu.units import Quantity, Unit
+
+from .synthetic import make_synthetic_tpf, transit_signal
+
+
+def _embedded(html):
+    """Parse the ``const D = {...};`` data blob back out of the page."""
+    m = re.search(r"const D = (\{.*?\});\n", html, re.S)
+    assert m, "no embedded data blob found"
+    blob = m.group(1)
+    # the blob is strict JSON except for unquoted keys
+    blob = re.sub(r"([,{])([A-Za-z_][A-Za-z0-9_]*):", r'\1"\2":', blob)
+    return json.loads(blob)
+
+
+@pytest.fixture(scope="module")
+def transit_lc():
+    rng = np.random.default_rng(7)
+    t = np.arange(0, 20, 0.02)
+    P, t0, dur, dep = 3.3, 1.1, 0.15, 0.01
+    phase = np.abs((t - t0 + P / 2) % P - P / 2)
+    f = 1.0 - dep * (phase < dur / 2) + 5e-4 * rng.standard_normal(t.size)
+    return LightCurve(time=t, flux=f, flux_err=np.full(t.size, 5e-4))
+
+
+def test_bls_html_data_contract(transit_lc, tmp_path):
+    path = str(tmp_path / "bls.html")
+    out = export_interact_bls_html(transit_lc, path, resolution=3000)
+    assert out == path
+    html = open(path).read()
+    D = _embedded(html)
+
+    # embedded power equals a fresh periodogram on the same grid
+    periods = np.linspace(D["pmin"], D["pmax"], len(D["power"]))
+    pg = transit_lc.normalize().to_periodogram(method="bls", period=periods)
+    power = np.asarray(pg.power.value, float)
+    emb = np.array([np.nan if v is None else v for v in D["power"]])
+    assert np.allclose(emb, power, rtol=2e-5, atol=1e-8)
+    assert D["best"] == int(np.nanargmax(power))
+    # the selected peak recovers the injected period
+    assert abs(periods[D["best"]] - 3.3) / 3.3 < 0.02
+
+    # replicate the JS fold + in-transit highlight for the best period
+    P = periods[D["best"]]
+    t0 = D["t0"][D["best"]]
+    dur = D["dur"][D["best"]]
+    t = np.array(D["t"], float)
+    ph = (t - t0 + 0.5 * P) % P - 0.5 * P
+    in_transit = np.abs(ph) < 0.5 * dur
+    # the injected transit cadences are the highlighted ones
+    truth = np.abs((t - 1.1 + 3.3 / 2) % 3.3 - 3.3 / 2) < 0.075
+    agree = (in_transit == truth).mean()
+    assert agree > 0.98
+
+    # three canvases + interaction hooks present
+    for el in ('id="power"', 'id="folded"', 'id="full"',
+               "addEventListener('click'", "addEventListener('wheel'"):
+        assert el in html
+
+
+def test_bls_html_resolution_and_decimation(transit_lc, tmp_path):
+    path = str(tmp_path / "bls_small.html")
+    export_interact_bls_html(transit_lc, path, resolution=500, max_points=300)
+    D = _embedded(open(path).read())
+    assert len(D["power"]) == 500
+    assert len(D["t"]) <= 300
+    # decimation is uniform-stride: embedded times are a subset
+    tv = transit_lc.time.value
+    assert np.allclose(D["t"][:3], tv[:: int(np.ceil(tv.size / 300))][:3])
+
+
+def test_tpf_html_sap_matches_photometry(tmp_path):
+    tpf = make_synthetic_tpf(n_cadences=120, shape=(5, 5),
+                             signal=transit_signal(2.0, 0.5, 0.1, 0.02))
+    path = str(tmp_path / "tpf.html")
+    export_interact_html(tpf, path, aperture_mask="threshold")
+    D = _embedded(open(path).read())
+    R, C = D["shape"]
+    assert (R, C) == (5, 5)
+    assert len(D["pix"]) == R * C
+    assert len(D["t"]) == 120          # below max_cadences: unbinned
+
+    # replicate the JS SAP sum over the initial mask and compare with
+    # the library's aperture photometry on the same mask
+    mask = np.array(D["init"], bool).reshape(R, C)
+    pix = np.array([[np.nan if v is None else v for v in row]
+                    for row in D["pix"]]).reshape(R, C, -1)
+    sap_js = np.nansum(pix[mask], axis=0)
+    lc = tpf.to_lightcurve(aperture_mask=mask)
+    # embedded values are rounded to 6 significant digits
+    assert np.allclose(sap_js, lc.flux.value, rtol=5e-5)
+
+    # pipeline mask: embedded when present and non-empty, else null
+    pipe = tpf.pipeline_mask
+    if pipe is not None and np.asarray(pipe, bool).any():
+        assert (np.array(D["pipeline"], bool).reshape(R, C)
+                == np.asarray(pipe, bool)).all()
+    else:
+        assert D["pipeline"] is None
+    thr = np.array(D["threshold"], bool).reshape(R, C)
+    assert (thr == tpf.create_threshold_mask()).all()
+    for el in ('id="img"', 'id="lc"', 'id="export"', "download selection"):
+        assert el in open(path).read()
+
+
+def test_tpf_html_bins_long_cubes(tmp_path):
+    tpf = make_synthetic_tpf(n_cadences=700, shape=(4, 4))
+    path = str(tmp_path / "tpf_binned.html")
+    export_interact_html(tpf, path, max_cadences=200)
+    D = _embedded(open(path).read())
+    assert len(D["t"]) <= 350          # 700/ceil(700/200)=175
+    # bin means preserve the overall flux scale
+    cube = np.asarray(tpf.flux.value, float)
+    total = np.nanmean(np.nansum(cube, axis=(1, 2)))
+    emb_total = np.nanmean(np.nansum(
+        np.array([[np.nan if v is None else v for v in row]
+                  for row in D["pix"]]), axis=0))
+    assert abs(emb_total - total) / total < 0.01
+
+
+def test_echelle_html_slider_and_spectrum(tmp_path):
+    rng = np.random.default_rng(3)
+    freq = np.arange(1.0, 300.0, 0.05)
+    dnu = 11.0
+    comb = sum(np.exp(-0.5 * ((freq - k * dnu) / 0.3) ** 2)
+               for k in range(5, 25))
+    pw = 1 + 50 * np.exp(-0.5 * ((freq - 150) / 30) ** 2) * comb \
+        + 0.1 * rng.random(freq.size)
+    pg = SNRPeriodogram(Quantity(freq, Unit.parse("uHz")),
+                        Quantity(pw, None))
+    seis = pg.to_seismology()
+    path = str(tmp_path / "ech.html")
+    export_interact_echelle_html(seis, path, deltanu=dnu,
+                                 minimum_frequency=80,
+                                 maximum_frequency=220)
+    html = open(path).read()
+    D = _embedded(html)
+    assert D["fmin"] == 80 and D["fmax"] == 220
+    assert D["unit"] == "uHz"
+    # embedded spectrum is the smoothed periodogram (default width 0.1)
+    sm = pg.smooth(filter_width=0.1)
+    emb = np.array([np.nan if v is None else v for v in D["p"]])
+    assert emb.size == freq.size
+    assert np.allclose(emb, sm.power.value, rtol=2e-5)
+    # regular-grid contract the JS powerAt() relies on
+    assert np.isclose(D["f0"], freq[0])
+    assert np.isclose(D["df"], 0.05, rtol=1e-6)
+    # slider centred on the requested deltanu
+    m = re.search(r'id="dnu" min="([\d.e+-]+)" max="([\d.e+-]+)"\s+'
+                  r'step="[\d.e+-]+" value="([\d.e+-]+)"', html)
+    assert m
+    smin, smax, val = map(float, m.groups())
+    assert smin <= dnu <= smax
+    assert val == pytest.approx(dnu)
+
+
+def test_html_kwarg_wiring(transit_lc, tmp_path):
+    """The static widget entry points accept ``html=`` and delegate."""
+    from lightkurve_tpu.interact import (show_interact_widget,
+                                         show_interact_widget_bls)
+    p = show_interact_widget_bls(transit_lc, html=str(tmp_path / "a.html"),
+                                 resolution=1000)
+    assert p.endswith("a.html")
+    D = _embedded(open(p).read())
+    assert len(D["power"]) >= 20000     # html path enforces a dense grid
+
+    tpf = make_synthetic_tpf(n_cadences=60, shape=(4, 4))
+    p = show_interact_widget(tpf, html=str(tmp_path / "b.html"))
+    assert p.endswith("b.html")
+
+    freq = np.arange(1.0, 100.0, 0.1)
+    pg = SNRPeriodogram(Quantity(freq, Unit.parse("uHz")),
+                        Quantity(1 + np.sin(freq), None))
+    seis = pg.to_seismology()
+    # no deltanu estimated: falls back to max_frequency/30 like the
+    # reference's live slider default (core.py:585-596)
+    p = seis.interact_echelle(html=str(tmp_path / "c.html"))
+    assert p.endswith("c.html")
+    html = open(p).read()
+    m = re.search(r'value="([\d.e+-]+)"', html)
+    assert float(m.group(1)) == pytest.approx(freq[-1] / 30, rel=0.05)
+
+
+def test_echelle_html_requires_deltanu(tmp_path):
+    freq = np.arange(1.0, 50.0, 0.1)
+    pg = SNRPeriodogram(Quantity(freq, Unit.parse("uHz")),
+                        Quantity(np.ones_like(freq), None))
+    seis = pg.to_seismology()
+    with pytest.raises(AttributeError, match="estimate_deltanu"):
+        export_interact_echelle_html(seis, str(tmp_path / "x.html"))
