@@ -101,6 +101,7 @@ _LAZY = {
     "export_interact_bls_html": ".interact_html",
     "export_interact_html": ".interact_html",
     "export_interact_echelle_html": ".interact_html",
+    "export_interact_sky_html": ".interact_html",
 }
 
 

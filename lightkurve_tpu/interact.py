@@ -176,6 +176,23 @@ def show_interact_widget(tpf, aperture_mask="default", exported_filename=None,
 
 
 def show_skyview_widget(tpf, *args, **kwargs):
+    """Sky-view widget (reference ``interact.py:1319``).
+
+    The live bokeh+Gaia variant needs network access; pass
+    ``html="path.html"`` plus an offline ``catalog`` (dict/rows with
+    ra/dec and optional mag/id/pmra/pmdec) to write the standalone
+    HTML sky widget instead (see
+    :func:`lightkurve_tpu.interact_html.export_interact_sky_html`)."""
+    if kwargs.get("html") is not None:
+        from .interact_html import export_interact_sky_html
+        return export_interact_sky_html(
+            tpf, kwargs.pop("html"),
+            catalog=kwargs.pop("catalog", None),
+            magnitude_limit=kwargs.pop("magnitude_limit", 18.0),
+            aperture_mask=kwargs.pop("aperture_mask", "empty"),
+            catalog_epoch=kwargs.pop("catalog_epoch", 2016.0))
     raise LightkurveError(
         "tpf.interact_sky() requires `bokeh` and network access to the "
-        "Gaia archive, which are unavailable in this environment.")
+        "Gaia archive, which are unavailable in this environment. "
+        "Pass html='path.html' and an offline `catalog` to write a "
+        "standalone sky widget instead.")

@@ -40,7 +40,7 @@ import numpy as np
 from .utils import LightkurveError
 
 __all__ = ["export_interact_bls_html", "export_interact_html",
-           "export_interact_echelle_html"]
+           "export_interact_echelle_html", "export_interact_sky_html"]
 
 
 # ----------------------------------------------------------------------
@@ -660,3 +660,201 @@ def export_interact_echelle_html(seismology, path, deltanu=None, numax=None,
     return _page("Echelle explorer",
                  f"{freq.size} frequency bins embedded; fold runs in JS.",
                  body, data_js, _ECH_JS, path)
+
+
+# ----------------------------------------------------------------------
+# Sky view (reference interact.py:1319-1480 — offline-catalog variant)
+# ----------------------------------------------------------------------
+
+_SKY_JS = r"""
+const R = D.shape[0], C = D.shape[1];
+const cv = document.getElementById('sky');
+const ctx = cv.getContext('2d');
+const cell = Math.min(56, Math.floor(560 / Math.max(R, C)));
+cv.width = C * cell + 1; cv.height = R * cell + 1;
+const tip = document.getElementById('tip');
+const stretch = document.getElementById('stretch');
+let selected = -1;
+
+function draw(){
+  const gain = parseFloat(stretch.value);
+  ctx.clearRect(0, 0, cv.width, cv.height);
+  for (let r = 0; r < R; r++){
+    for (let c = 0; c < C; c++){
+      const v = D.img[r*C + c];
+      let s = 0;
+      if (v !== null){
+        const x = Math.max(0, Math.min(1, (v - D.imglo)/(D.imghi - D.imglo || 1)));
+        s = Math.pow(x, 1.0/gain);
+      }
+      const g = Math.round(248 - 200*s);
+      ctx.fillStyle = 'rgb(' + g + ',' + g + ',' + Math.min(255, g+8) + ')';
+      ctx.fillRect(c*cell, (R-1-r)*cell, cell-1, cell-1);
+      if (D.aper && D.aper[r*C + c]){
+        ctx.strokeStyle = 'rgba(224,49,49,0.7)'; ctx.lineWidth = 1.5;
+        ctx.strokeRect(c*cell+1, (R-1-r)*cell+1, cell-3, cell-3);
+      }
+    }
+  }
+  // catalog sources: circle area scales with brightness, like the
+  // reference's Gaia overlay size rule
+  for (let i = 0; i < D.src.length; i++){
+    const s = D.src[i];
+    const x = (s.col + 0.5) * cell, y = (R - 1 - s.row + 0.5) * cell;
+    ctx.beginPath();
+    ctx.arc(x, y, s.r * cell * 0.18 + 2, 0, 2*Math.PI);
+    ctx.strokeStyle = i === selected ? '#e8590c' : '#1971c2';
+    ctx.lineWidth = i === selected ? 2.5 : 1.5;
+    ctx.stroke();
+  }
+}
+function nearest(ev){
+  const rect = cv.getBoundingClientRect();
+  const mx = ev.clientX - rect.left, my = ev.clientY - rect.top;
+  let best = 1e9, bi = -1;
+  for (let i = 0; i < D.src.length; i++){
+    const s = D.src[i];
+    const x = (s.col + 0.5) * cell, y = (R - 1 - s.row + 0.5) * cell;
+    const d = Math.hypot(mx - x, my - y);
+    if (d < best){ best = d; bi = i; }
+  }
+  return best < Math.max(14, cell*0.6) ? bi : -1;
+}
+cv.addEventListener('mousemove', ev => {
+  const i = nearest(ev);
+  if (i < 0){ tip.style.display = 'none'; return; }
+  const s = D.src[i];
+  tip.style.display = 'block';
+  tip.style.left = (ev.pageX + 12) + 'px';
+  tip.style.top = (ev.pageY + 12) + 'px';
+  tip.innerHTML = (s.id ? ('<b>' + s.id + '</b><br>') : '') +
+    'RA ' + fmt(s.ra) + '&deg;  Dec ' + fmt(s.dec) + '&deg;<br>' +
+    (s.mag !== null ? ('mag ' + fmt(s.mag) + '<br>') : '') +
+    'pixel (' + fmt(s.col) + ', ' + fmt(s.row) + ')' +
+    (D.pm ? '<br><i>proper-motion corrected</i>' : '');
+});
+cv.addEventListener('mouseleave', () => { tip.style.display = 'none'; });
+cv.addEventListener('click', ev => { selected = nearest(ev); draw();
+  const s = selected >= 0 ? D.src[selected] : null;
+  document.getElementById('ro').textContent = s ?
+    ('selected: ' + (s.id || 'source ' + selected) + '  mag ' +
+     (s.mag === null ? '?' : fmt(s.mag))) : '';
+});
+stretch.addEventListener('input', draw);
+draw();
+"""
+
+
+def export_interact_sky_html(tpf, path, catalog=None, magnitude_limit=18.0,
+                             aperture_mask="empty", catalog_epoch=2016.0):
+    """Write a standalone sky-view widget over the TPF to ``path``.
+
+    Offline-catalog variant of the reference's Gaia widget
+    (``interact.py:1319-1480``): instead of querying the Gaia archive
+    (no network egress here), the caller supplies ``catalog`` — a dict
+    of arrays (or list of row dicts) with keys ``ra``/``dec`` (deg) and
+    optionally ``mag``/``gmag``, ``id``/``source_id``, ``pmra``/``pmdec``
+    (mas/yr).  Sources are proper-motion propagated from
+    ``catalog_epoch`` (Julian year; Gaia DR2/DR3 ≈ 2015.5/2016.0) to the
+    TPF's first cadence — linearly, the same small-angle approximation
+    the reference applies via ``apply_space_motion``
+    (``interact.py:91-120``) — then projected onto pixels with the TPF's
+    own tangent-plane WCS.  The widget shows the median frame with a
+    stretch slider, magnitude-scaled source circles, hover tooltips and
+    click-to-select — all client-side.
+
+    Returns the path written.
+    """
+    cube = np.asarray(getattr(tpf.flux, "value", tpf.flux), dtype=np.float64)
+    R, C = cube.shape[1], cube.shape[2]
+    with np.errstate(invalid="ignore", all="ignore"):
+        img = np.nanmedian(cube, axis=0)
+    finite = img[np.isfinite(img)]
+    lo, hi = (np.percentile(finite, (1, 99)) if finite.size else (0.0, 1.0))
+
+    # normalize the catalog to column arrays
+    if catalog is None:
+        catalog = {}
+    if isinstance(catalog, (list, tuple)):
+        cols = {}
+        for row in catalog:
+            for k, v in dict(row).items():
+                cols.setdefault(k, []).append(v)
+        catalog = cols
+    get = {k.lower(): np.atleast_1d(np.asarray(v))
+           for k, v in dict(catalog).items()}
+    ra = np.asarray(get.get("ra", []), dtype=float)
+    dec = np.asarray(get.get("dec", []), dtype=float)
+    n = ra.size
+    mag = np.asarray(get.get("mag", get.get("gmag",
+                     np.full(n, np.nan))), dtype=float)
+    ids = get.get("id", get.get("source_id", np.array([""] * n)))
+    pmra = np.asarray(get.get("pmra", np.zeros(n)), dtype=float)
+    pmdec = np.asarray(get.get("pmdec", np.zeros(n)), dtype=float)
+
+    # proper-motion propagation to the observation epoch (linear; the
+    # reference uses SkyCoord.apply_space_motion, interact.py:91-120)
+    pm_applied = bool(n and (np.any(pmra != 0) or np.any(pmdec != 0)))
+    if pm_applied:
+        t0_jd = float(np.atleast_1d(tpf.time.jd)[0])
+        dt_yr = (t0_jd - 1721045.0) / 365.25 - float(catalog_epoch)
+        dec_r = np.deg2rad(dec)
+        ra = ra + np.nan_to_num(pmra) * dt_yr / 3.6e6 / \
+            np.maximum(np.cos(dec_r), 1e-6)
+        dec = dec + np.nan_to_num(pmdec) * dt_yr / 3.6e6
+
+    # project through the TPF's own WCS; keep sources on (or just off)
+    # the postage stamp and above the magnitude limit
+    if n:
+        col, row = tpf.wcs.world_to_pixel(ra, dec, origin=0)
+        keep = ((col > -1.5) & (col < C + 0.5) & (row > -1.5)
+                & (row < R + 0.5)
+                & (np.isnan(mag) | (mag <= float(magnitude_limit))))
+    else:
+        col = row = keep = np.array([], dtype=float)
+
+    srcs = []
+    for i in np.flatnonzero(keep):
+        m = None if not math.isfinite(mag[i]) else round(float(mag[i]), 3)
+        # circle size grows toward bright sources, like the reference's
+        # 1/2**(gmag/5) scaling (interact.py add_gaia_figure_elements)
+        rsize = 2.0 ** ((float(magnitude_limit) -
+                         (mag[i] if math.isfinite(mag[i]) else
+                          float(magnitude_limit))) / 5.0)
+        srcs.append({"ra": round(float(ra[i]), 7),
+                     "dec": round(float(dec[i]), 7),
+                     "col": round(float(col[i]), 3),
+                     "row": round(float(row[i]), 3),
+                     "mag": m, "r": round(min(float(rsize), 12.0), 3),
+                     "id": str(ids[i]) if i < len(ids) else ""})
+
+    try:
+        aper = tpf._parse_aperture_mask(aperture_mask)
+        aper_js = json.dumps([int(v) for v in aper.ravel().tolist()]) \
+            if aper.any() else "null"
+    except Exception:
+        aper_js = "null"
+
+    label = str(tpf.meta.get("OBJECT") or getattr(tpf, "targetid", "")
+                or "TPF")
+    data_js = (
+        "const D = {"
+        f"shape:[{R},{C}],img:{_js_array(img)},"
+        f"imglo:{float(lo)!r},imghi:{float(hi)!r},"
+        f"src:{json.dumps(srcs, separators=(',', ':'))},"
+        f"aper:{aper_js},pm:{json.dumps(pm_applied)}"
+        "};")
+    body = """
+<div class="readout" id="ro"></div>
+<div>stretch: <input type="range" id="stretch" min="0.3" max="4"
+     step="0.05" value="1"></div>
+<canvas id="sky"></canvas>
+<div id="tip" style="display:none;position:absolute;background:#fff;
+     border:1px solid #999;border-radius:4px;padding:4px 8px;
+     font-size:12px;pointer-events:none;box-shadow:0 1px 4px #0003"></div>
+<p class="hint">hover a circle for source details; click to select.</p>
+"""
+    return _page(f"Sky view — {label}",
+                 f"{len(srcs)} catalog sources projected through the TPF "
+                 "WCS (offline catalog; no Gaia query).",
+                 body, data_js, _SKY_JS, path)

@@ -700,9 +700,17 @@ class TargetPixelFile:
         return show_interact_widget(self, *args, **kwargs)
 
     def interact_sky(self, *args, **kwargs):
+        """Sky-view widget (reference ``interact.py:1319``).  The live
+        bokeh+Gaia variant is network-gated; ``html=`` + an offline
+        ``catalog`` writes a standalone HTML sky widget instead."""
+        if kwargs.get("html") is not None:
+            from .interact import show_skyview_widget
+            return show_skyview_widget(self, *args, **kwargs)
         raise NotImplementedError(
             "interact_sky() requires `bokeh` and network access to Gaia, "
-            "which are unavailable in this environment.")
+            "which are unavailable in this environment. Pass "
+            "html='path.html' and an offline `catalog` to write a "
+            "standalone sky widget instead.")
 
     # ------------------------------------------------------------------
     # PRF photometry (reference :2347-2403)

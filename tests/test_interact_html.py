@@ -201,6 +201,87 @@ def test_html_kwarg_wiring(transit_lc, tmp_path):
     assert float(m.group(1)) == pytest.approx(freq[-1] / 30, rel=0.05)
 
 
+REFDATA = "/root/reference/tests/data"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REFDATA),
+                    reason="reference fixture data not present")
+def test_sky_html_projects_catalog_through_wcs(tmp_path):
+    """Offline interact_sky: catalog sources land where the TPF WCS says."""
+    import os
+    from lightkurve_tpu import read
+    from lightkurve_tpu.interact_html import export_interact_sky_html
+
+    tpf = read(os.path.join(REFDATA, "test-tpf-star.fits"))
+    R, C = tpf.flux.shape[1], tpf.flux.shape[2]
+    # build a catalog from the TPF's own WCS: one source at pixel
+    # (1.0, 2.0), one bright source at the stamp center, one far away
+    ra1, dec1 = tpf.wcs.pixel_to_world(1.0, 2.0)
+    ra2, dec2 = tpf.wcs.pixel_to_world((C - 1) / 2, (R - 1) / 2)
+    catalog = {"ra": [float(ra1), float(ra2), float(ra2) + 5.0],
+               "dec": [float(dec1), float(dec2), float(dec2)],
+               "mag": [15.0, 11.0, 9.0],
+               "id": ["src-a", "src-b", "far-away"]}
+    path = str(tmp_path / "sky.html")
+    export_interact_sky_html(tpf, path, catalog=catalog)
+    html = open(path).read()
+    D = _embedded(html)
+    assert len(D["src"]) == 2           # the 5-degree-away source is cut
+    a = next(s for s in D["src"] if s["id"] == "src-a")
+    b = next(s for s in D["src"] if s["id"] == "src-b")
+    assert a["col"] == pytest.approx(1.0, abs=0.01)
+    assert a["row"] == pytest.approx(2.0, abs=0.01)
+    # brighter source draws bigger (reference's 2**(dmag/5) area rule)
+    assert b["r"] > a["r"]
+    assert D["pm"] is False
+    for el in ('id="sky"', 'id="stretch"', 'id="tip"'):
+        assert el in html
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REFDATA),
+                    reason="reference fixture data not present")
+def test_sky_html_proper_motion_and_maglimit(tmp_path):
+    import os
+    from lightkurve_tpu import read
+    from lightkurve_tpu.interact_html import export_interact_sky_html
+
+    tpf = read(os.path.join(REFDATA, "test-tpf-star.fits"))
+    ra0, dec0 = tpf.wcs.pixel_to_world(2.0, 2.0)
+    # pmra=3600e3 mas/yr = 1 deg/yr: over the epoch gap the source must
+    # move east by dt_yr/cos(dec) degrees exactly (linear propagation)
+    t0_jyear = 2000.0 + (float(np.atleast_1d(tpf.time.jd)[0])
+                         - 2451545.0) / 365.25
+    dt_yr = t0_jyear - 2016.0
+    catalog = {"ra": [float(ra0), float(ra0)],
+               "dec": [float(dec0), float(dec0)],
+               "mag": [10.0, 19.5],
+               "pmra": [3600.0e3, 0.0], "pmdec": [0.0, 0.0],
+               "id": ["mover", "too-faint"]}
+    path = str(tmp_path / "sky_pm.html")
+    export_interact_sky_html(tpf, path, catalog=catalog,
+                             magnitude_limit=18.0)
+    D = _embedded(open(path).read())
+    assert D["pm"] is True
+    # mag 19.5 > limit: dropped.  mover kept only if still on the stamp
+    assert all(s["id"] != "too-faint" for s in D["src"])
+    if D["src"]:
+        m = D["src"][0]
+        exp_ra = float(ra0) + dt_yr / np.cos(np.deg2rad(float(dec0)))
+        assert m["ra"] == pytest.approx(exp_ra, abs=1e-5)
+
+
+def test_sky_entrypoint_gating(tmp_path):
+    """interact_sky raises without html=, writes the widget with it."""
+    tpf = make_synthetic_tpf(n_cadences=40, shape=(5, 5))
+    with pytest.raises(NotImplementedError, match="offline"):
+        tpf.interact_sky()
+    p = tpf.interact_sky(html=str(tmp_path / "s.html"),
+                         catalog={"ra": [], "dec": []})
+    assert p.endswith("s.html")
+    D = _embedded(open(p).read())
+    assert D["src"] == []
+
+
 def test_echelle_html_requires_deltanu(tmp_path):
     freq = np.arange(1.0, 50.0, 0.1)
     pg = SNRPeriodogram(Quantity(freq, Unit.parse("uHz")),
