@@ -392,6 +392,31 @@ def main():
     _companion_checkpoint()
 
     try:
+        # seismology 2D-ACF: the reference loops np.correlate over ~300
+        # window centers per star (numax_estimators.py:175-182); here one
+        # vmapped batched-FFT autocorrelation covers a whole target batch
+        from lightkurve_tpu.ops.acf import autocorrelate_windows
+        Bs, m, c, win = 64, 50_000, 256, 2048
+        rng2 = np.random.default_rng(7)
+        spectra = jnp.asarray(
+            rng2.standard_normal((Bs, m)).astype(np.float32) ** 2)
+        starts = jnp.asarray(
+            np.linspace(0, m - win, c).astype(np.int32))
+        run_acf = jax.jit(jax.vmap(
+            lambda p: autocorrelate_windows(p, starts, win)[0]))
+        acf = run_acf(spectra)
+        float(jnp.sum(acf))
+        t0 = _time.time()
+        for _ in range(3):
+            acf = run_acf(spectra)
+        float(jnp.sum(acf))
+        dt_acf = (_time.time() - t0) / 3
+        detail["seismo_acf_windows_per_sec"] = round(Bs * c / dt_acf, 1)
+    except Exception as exc:   # pragma: no cover
+        detail["seismo_acf_error"] = str(exc)[:120]
+    _companion_checkpoint()
+
+    try:
         # fastchi2 vs direct chi2 (nterms=3) — the reference dispatches
         # nterms>1 to astropy's FFT-accelerated fastchi2
         # (periodogram.py:930-958); ours must beat the direct
@@ -420,31 +445,6 @@ def main():
             (dt_direct / Nf_direct) / (dt_fast / Nf_fast), 1)
     except Exception as exc:   # pragma: no cover
         detail["fastchi2_error"] = str(exc)[:120]
-    _companion_checkpoint()
-
-    try:
-        # seismology 2D-ACF: the reference loops np.correlate over ~300
-        # window centers per star (numax_estimators.py:175-182); here one
-        # vmapped batched-FFT autocorrelation covers a whole target batch
-        from lightkurve_tpu.ops.acf import autocorrelate_windows
-        Bs, m, c, win = 64, 50_000, 256, 2048
-        rng2 = np.random.default_rng(7)
-        spectra = jnp.asarray(
-            rng2.standard_normal((Bs, m)).astype(np.float32) ** 2)
-        starts = jnp.asarray(
-            np.linspace(0, m - win, c).astype(np.int32))
-        run_acf = jax.jit(jax.vmap(
-            lambda p: autocorrelate_windows(p, starts, win)[0]))
-        acf = run_acf(spectra)
-        float(jnp.sum(acf))
-        t0 = _time.time()
-        for _ in range(3):
-            acf = run_acf(spectra)
-        float(jnp.sum(acf))
-        dt_acf = (_time.time() - t0) / 3
-        detail["seismo_acf_windows_per_sec"] = round(Bs * c / dt_acf, 1)
-    except Exception as exc:   # pragma: no cover
-        detail["seismo_acf_error"] = str(exc)[:120]
     _companion_checkpoint()
 
     detail.pop("companion_error", None)   # all companions done
