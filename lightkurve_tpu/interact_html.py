@@ -400,11 +400,24 @@ function stretch(v){
   const x = Math.max(0, Math.min(1, (v - lo) / (hi - lo || 1)));
   return Math.sqrt(x);
 }
+// frame slider: -1 = median image, k = cadence k (the reference widget
+// steps through cadences the same way, interact.py:999-1080)
+const frame = document.getElementById('frame');
+frame.max = T - 1;
+function pixval(r, c){
+  const k = parseInt(frame.value);
+  return k < 0 ? D.img[r*C + c] : D.pix[r*C + c][k];
+}
+function frameLabel(){
+  const k = parseInt(frame.value);
+  document.getElementById('flab').textContent =
+    k < 0 ? 'median frame' : ('cadence ' + k + '  t=' + fmt(D.t[k]));
+}
 function drawImg(){
   ictx.clearRect(0, 0, img.width, img.height);
   for (let r = 0; r < R; r++){
     for (let c = 0; c < C; c++){
-      const s = stretch(D.img[r*C + c]);
+      const s = stretch(pixval(r, c));
       const g = Math.round(245 - 190*s);
       ictx.fillStyle = 'rgb(' + g + ',' + g + ',' + Math.min(255,g+10) + ')';
       // row 0 at the bottom, like tpf.plot()
@@ -455,6 +468,8 @@ document.getElementById('all').addEventListener('click', () => {
   mask = mask.map(() => 1); drawImg(); drawLC(); });
 document.getElementById('none').addEventListener('click', () => {
   mask = mask.map(() => 0); drawImg(); drawLC(); });
+frame.addEventListener('input', () => { frameLabel(); drawImg(); });
+frameLabel();
 document.getElementById('export').addEventListener('click', () => {
   const out = {target: D.label, shape: D.shape,
                aperture_mask: Array.from({length: R}, (_, r) =>
@@ -537,6 +552,8 @@ def export_interact_html(tpf, path, aperture_mask="default",
 <button id="export">download selection</button>
 </div>
 <canvas id="img"></canvas>
+<div>frame: <input type="range" id="frame" min="-1" max="1" step="1"
+     value="-1"> <span class="hint" id="flab"></span></div>
 <div class="readout" id="ro"></div>
 <canvas id="lc" width="940" height="260"></canvas>
 <p class="hint">click pixels to toggle them in the aperture; the SAP

@@ -119,8 +119,10 @@ def test_tpf_html_sap_matches_photometry(tmp_path):
         assert D["pipeline"] is None
     thr = np.array(D["threshold"], bool).reshape(R, C)
     assert (thr == tpf.create_threshold_mask()).all()
-    for el in ('id="img"', 'id="lc"', 'id="export"', "download selection"):
-        assert el in open(path).read()
+    html = open(path).read()
+    for el in ('id="img"', 'id="lc"', 'id="export"', "download selection",
+               'id="frame"'):       # per-cadence frame slider
+        assert el in html
 
 
 def test_tpf_html_bins_long_cubes(tmp_path):
