@@ -230,16 +230,20 @@ def main():
 
     # warmup/compile
     power, _ = step(time_d, flux_d, dy_d)
-    np.asarray(power)
+    power.block_until_ready()
     # Best-of-N: the tunnel adds stochastic multi-hundred-ms stalls that
     # grow over a run (measured 1.36 -> 3.18 s/step across 5 back-to-back
     # reps on an otherwise idle chip); the minimum is the reproducible
     # on-chip rate, and all reps are published alongside for honesty.
+    # Timing uses block_until_ready, NOT a host pull: np.asarray of the
+    # (B, P) power matrix is 33.5 MB over the ~30 MB/s tunnel (~1.2 s of
+    # pure transfer), and the production SweepRunner pulls only O(B)
+    # winner scalars per chunk after a device-side reduction.
     reps = []
     for _ in range(5):
         t0 = _time.time()
         power, periods_out = step(time_d, flux_d, dy_d)
-        np.asarray(power)
+        power.block_until_ready()
         reps.append(_time.time() - t0)
     dt = min(reps)
 
@@ -280,8 +284,12 @@ def main():
                  done=False)
 
     def _companion_checkpoint():
-        # refresh the fork watchdog's snapshot so companions that already
-        # finished survive into its partial line
+        # refresh ALL watchdogs between companions: each companion gets a
+        # fresh `extra`-second window (the primary metric is already safe
+        # in _measured), so one slow remote compile can't starve the
+        # companions behind it
+        signal.alarm(extra)
+        _deadline[0] = _time.time() + extra + 10
         _write_state(deadline=_time.time() + extra + 20,
                      measured=_measured, done=False)
 
