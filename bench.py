@@ -41,9 +41,10 @@ def _failure_line():
                             "(device unreachable or compile hang; the "
                             "axon tunnel is known to wedge for 0.5-2h)",
                    "last_measured": {
-                       "value": 8738043.0, "vs_baseline": 4.19502,
-                       "date": "2026-08-17",
+                       "value": 11170110.0, "vs_baseline": 5.36165,
+                       "date": "2026-08-18",
                        "device": "TPU v5 lite0",
+                       "timing": "block_until_ready",
                        "config": {"B": 512, "N": 8192, "P": 16384}}}})
 
 
@@ -253,8 +254,12 @@ def main():
     ok = abs(rec - P_true) / P_true < 0.05
 
     rate = B * P / dt
+    # timing: 'block_until_ready' since r3 (values before 2026-08-18 used
+    # np.asarray, which added ~1.2 s of host transfer per step — see the
+    # methodology note in docs/performance.md before comparing rounds)
     detail = {"B": B, "N": N, "P": P, "seconds_per_step": round(dt, 3),
               "step_times_all_reps": [round(r, 3) for r in reps],
+              "timing": "block_until_ready",
               "recovered_period_ok": bool(ok),
               "device": str(jax.devices()[0])}
     try:
@@ -262,6 +267,27 @@ def main():
         detail["hbm"] = hbm_stats()
     except Exception:
         pass
+
+    # analytic roofline for the primary kernel (lightkurve_tpu.roofline):
+    # mfu = analytic FLOPs / (dt x published bf16 peak), membw_frac =
+    # minimum HBM bytes / (dt x published HBM bandwidth)
+    def _roof(name, cost, seconds):
+        try:
+            from lightkurve_tpu.roofline import fractions_of_peak
+            fr = fractions_of_peak(cost, seconds, jax.devices()[0])
+            detail[f"{name}_mfu"] = fr["mfu"]
+            detail[f"{name}_membw_frac"] = fr["membw_frac"]
+            detail[f"{name}_flops"] = float(f"{fr['flops']:.3e}")
+        except Exception as exc:     # pragma: no cover
+            detail[f"{name}_roofline_error"] = str(exc)[:80]
+
+    try:
+        from lightkurve_tpu.roofline import bls_shared_uniform_cost
+        _roof("bls", bls_shared_uniform_cost(N, B, periods, durations,
+                                             oversample=10, bucket=True),
+              dt)
+    except Exception as exc:         # pragma: no cover
+        detail["bls_roofline_error"] = str(exc)[:80]
 
     # the primary metric is measured: if a companion bench hangs/compiles
     # past the watchdog, report THIS result instead of a 0-valued timeout
@@ -283,21 +309,36 @@ def main():
     _write_state(deadline=_time.time() + extra + 20, measured=_measured,
                  done=False)
 
+    # total companion budget: per-companion watchdog refreshes would
+    # otherwise let worst-case wall time grow to WATCHDOG_S + 7·extra
+    # (~30 extra minutes), risking an outer-harness SIGKILL before the
+    # measured primary line prints.  Once the cumulative companion time
+    # passes 2·WATCHDOG_S, the remaining companions are skipped.
+    companion_t_end = _time.time() + 2 * WATCHDOG_S
+
     def _companion_checkpoint():
         # refresh ALL watchdogs between companions: each companion gets a
         # fresh `extra`-second window (the primary metric is already safe
         # in _measured), so one slow remote compile can't starve the
-        # companions behind it
+        # companions behind it — bounded by the total budget above
         signal.alarm(extra)
         _deadline[0] = _time.time() + extra + 10
         _write_state(deadline=_time.time() + extra + 20,
                      measured=_measured, done=False)
+        if _time.time() >= companion_t_end:
+            detail["companions_skipped"] = (
+                "total companion budget (2x watchdog) exhausted")
+            return False
+        return True
 
     # companion kernel rates (best-effort; failures never break the
-    # primary metric)
-    try:
+    # primary metric).  Each companion is a closure run by the loop at
+    # the bottom: the loop refreshes the watchdogs between companions
+    # and stops once the total companion budget is exhausted.
+    def _c_flatten():
         from lightkurve_tpu.ops.detrend import flatten_batch
         from lightkurve_tpu.ops.savgol import savgol_design_matrix
+        from lightkurve_tpu.roofline import flatten_cost
         H = jnp.asarray(savgol_design_matrix(101, 2), dtype)
         tt = jnp.broadcast_to(time_d, (B, N))
         m = jnp.ones((B, N), bool)
@@ -309,16 +350,16 @@ def main():
             tr, _ = flatten_batch(tt, flux_d, m, H, jnp.asarray(5.0, dtype),
                                   jnp.asarray(3.0, dtype), niters=3)
         float(jnp.sum(tr))
-        detail["flatten_curves_per_sec"] = round(
-            3 * B / (_time.time() - t0), 1)
-    except Exception as exc:   # pragma: no cover
-        detail["flatten_error"] = str(exc)[:120]
-    _companion_checkpoint()
-    try:
+        dt_fl = (_time.time() - t0) / 3
+        detail["flatten_curves_per_sec"] = round(B / dt_fl, 1)
+        _roof("flatten", flatten_cost(N, B, 101, niters=3), dt_fl)
+
+    def _c_photometry_pld():
         # BASELINE config 5: aperture photometry + batched PLD over 10^3
         # targets (reference hot loop targetpixelfile.py:868-932 +
         # pldcorrector.py:125-287), all on device
         from lightkurve_tpu.batch import TPFStack
+        from lightkurve_tpu.roofline import pld_photometry_cost
         Bt, Tt, Hh, Ww = 1000, 1000, 6, 6
         key = jax.random.PRNGKey(0)
         cube = 1.0 + 0.01 * jax.random.normal(key, (Bt, Tt, Hh, Ww),
@@ -340,12 +381,12 @@ def main():
         t0 = _time.time()
         f_out = phot_pld()
         float(jnp.sum(f_out))
-        detail["photometry_pld_targets_per_sec"] = round(
-            Bt / (_time.time() - t0), 1)
-    except Exception as exc:   # pragma: no cover
-        detail["photometry_pld_error"] = str(exc)[:120]
-    _companion_checkpoint()
-    try:
+        dt_pld = _time.time() - t0
+        detail["photometry_pld_targets_per_sec"] = round(Bt / dt_pld, 1)
+        _roof("photometry_pld", pld_photometry_cost(Bt, Tt, Hh, Ww, 3),
+              dt_pld)
+
+    def _c_prf():
         # Batched MAP PRF photometry: B=10^3 cadence-fits of a two-star
         # scene in one vmapped LM loop (replaces the reference's
         # multiprocessing pool, prf/tpfmodel.py:738-795)
@@ -380,11 +421,10 @@ def main():
         detail["prf_two_star_flux_ok"] = bool(
             abs(med[2] - truth[2]) / truth[2] < 0.05
             and abs(med[5] - truth[5]) / truth[5] < 0.05)
-    except Exception as exc:   # pragma: no cover
-        detail["prf_error"] = str(exc)[:120]
-    _companion_checkpoint()
-    try:
+
+    def _c_ls():
         from lightkurve_tpu.ops.lombscargle import lombscargle_fast
+        from lightkurve_tpu.roofline import ls_fast_cost
         Nf = 16384
         f0, df_ = 0.05, 60.0 / Nf / float(t[-1] - t[0] + 1)
         pw = lombscargle_fast(t, flux_d, f0, df_, Nf, dy=dy_d)
@@ -395,15 +435,14 @@ def main():
         float(jnp.sum(pw))
         dt_ls = (_time.time() - t0) / 3
         detail["ls_freq_evals_per_sec"] = round(B * Nf / dt_ls, 1)
-    except Exception as exc:   # pragma: no cover
-        detail["ls_error"] = str(exc)[:120]
-    _companion_checkpoint()
+        _roof("ls", ls_fast_cost(N, B, Nf), dt_ls)
 
-    try:
+    def _c_seismo_acf():
         # seismology 2D-ACF: the reference loops np.correlate over ~300
         # window centers per star (numax_estimators.py:175-182); here one
         # vmapped batched-FFT autocorrelation covers a whole target batch
         from lightkurve_tpu.ops.acf import autocorrelate_windows
+        from lightkurve_tpu.roofline import acf_windows_cost
         Bs, m, c, win = 64, 50_000, 256, 2048
         rng2 = np.random.default_rng(7)
         spectra = jnp.asarray(
@@ -420,40 +459,88 @@ def main():
         float(jnp.sum(acf))
         dt_acf = (_time.time() - t0) / 3
         detail["seismo_acf_windows_per_sec"] = round(Bs * c / dt_acf, 1)
-    except Exception as exc:   # pragma: no cover
-        detail["seismo_acf_error"] = str(exc)[:120]
-    _companion_checkpoint()
+        _roof("seismo_acf", acf_windows_cost(Bs, c, win), dt_acf)
 
-    try:
+    def _c_bls_cliff():
+        # the fused-kernel cliff (VERDICT r3 weak #6): the same shape run
+        # through (a) the uniform count-histogram path the primary metric
+        # uses, (b) the general weighted kernel (per-sample weights —
+        # 2x the fold FLOPs, Pallas window scan), and (c) a ragged batch
+        # (B not a multiple of 128), which the kernel now pads with
+        # zero-weight rows to stay on the fused window path.  P is
+        # reduced 4x to keep the companion cheap; rates scale linearly.
+        Pc = max(P // 4, 1024)
+        pc_d = jnp.asarray(periods[:Pc], dtype)
+        dy_var = jnp.asarray(
+            np.full((B, N), 2e-4) * (1.0 + 0.1 * rng.random((B, N))),
+            dtype)
+
+        def run_case(name, Yc, dyc, uniform):
+            def stepc():
+                o = bls_power_shared_batch(
+                    time_d, Yc, dyc, pc_d, durations_d, oversample=10,
+                    chunk=8, uniform_weights=uniform,
+                    bucket=bool(uniform))
+                return o["power"]
+            stepc().block_until_ready()
+            t0 = _time.time()
+            stepc().block_until_ready()
+            dt_c = _time.time() - t0
+            detail[f"bls_{name}_evals_per_sec"] = round(
+                Yc.shape[0] * Pc / dt_c, 1)
+            return dt_c
+
+        dt_u = run_case("uniform", flux_d, dy_d, True)
+        dt_g = run_case("weighted_fallback", flux_d, dy_var, False)
+        detail["bls_weighted_fallback_slowdown"] = round(dt_g / dt_u, 2)
+        # ragged batch: 500 rows (not %128); auto-padded to 512 inside
+        dt_r = run_case("ragged_b500", flux_d[:500], dy_var[:500], False)
+        detail["bls_ragged_slowdown_vs_uniform"] = round(
+            (dt_r / 500) / (dt_u / B), 2)
+
+    def _c_fastchi2():
         # fastchi2 vs direct chi2 (nterms=3) — the reference dispatches
         # nterms>1 to astropy's FFT-accelerated fastchi2
         # (periodogram.py:930-958); ours must beat the direct
         # normal-equation solve by >=100x per frequency at Nf=1e5
         from lightkurve_tpu.ops.lombscargle import (lombscargle_chi2,
                                                     lombscargle_fastchi2)
+        from lightkurve_tpu.roofline import fastchi2_cost
         Nf_fast, Nf_direct = 100_000, 2048
         f0 = 0.05
         df_ = 2.0 / float(t[-1] - t[0]) / 50.0   # ~50x oversampled grid
         y1 = flux_d[0]
         pw = lombscargle_fastchi2(t, y1, f0, df_, Nf_fast, nterms=3)
-        np.asarray(pw)
+        pw.block_until_ready()
         t0 = _time.time()
         pw = lombscargle_fastchi2(t, y1, f0, df_, Nf_fast, nterms=3)
-        np.asarray(pw)
+        pw.block_until_ready()
         dt_fast = _time.time() - t0
         freqs_d = jnp.asarray(f0 + df_ * np.arange(Nf_direct), dtype)
         pw2 = lombscargle_chi2(jnp.asarray(t, dtype), y1, freqs_d, nterms=3)
-        np.asarray(pw2)
+        pw2.block_until_ready()
         t0 = _time.time()
         pw2 = lombscargle_chi2(jnp.asarray(t, dtype), y1, freqs_d, nterms=3)
-        np.asarray(pw2)
+        pw2.block_until_ready()
         dt_direct = _time.time() - t0
         detail["fastchi2_freq_evals_per_sec"] = round(Nf_fast / dt_fast, 1)
         detail["fastchi2_speedup_vs_chi2_per_freq"] = round(
             (dt_direct / Nf_direct) / (dt_fast / Nf_fast), 1)
-    except Exception as exc:   # pragma: no cover
-        detail["fastchi2_error"] = str(exc)[:120]
-    _companion_checkpoint()
+        _roof("fastchi2", fastchi2_cost(N, 1, Nf_fast, 3), dt_fast)
+
+    for name, fn in [("flatten", _c_flatten),
+                     ("photometry_pld", _c_photometry_pld),
+                     ("prf", _c_prf),
+                     ("ls", _c_ls),
+                     ("seismo_acf", _c_seismo_acf),
+                     ("bls_cliff", _c_bls_cliff),
+                     ("fastchi2", _c_fastchi2)]:
+        if not _companion_checkpoint():
+            break
+        try:
+            fn()
+        except Exception as exc:   # pragma: no cover
+            detail[f"{name}_error"] = str(exc)[:120]
 
     detail.pop("companion_error", None)   # all companions done
     _deadline[0] = None      # disarm the thread watchdog

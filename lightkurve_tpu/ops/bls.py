@@ -804,11 +804,25 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     dtype = Y.dtype
     periods = jnp.asarray(periods, dtype)
     durations_np = np.asarray(durations, dtype=np.float64)
+    B_orig = Y.shape[0]
+    pad_rows = 0
     if not uniform_weights:
         if dy is None:
             W = jnp.ones_like(Y)
         else:
             W = 1.0 / jnp.square(jnp.asarray(dy, dtype))
+        # RAGGED batches (B not a multiple of the 128 MXU lanes) would
+        # fall off the fused Pallas window path onto the ~13-HBM-pass XLA
+        # scan; pad with zero-weight rows instead (power sorts to -inf
+        # there and the rows are sliced off on return).  The w_scale
+        # normalization below is exactly undone on the outputs, so
+        # padding rows (weight 0) change nothing but the mean's divisor.
+        if jax.default_backend() == "tpu" and B_orig % 128 != 0:
+            pad_rows = (-B_orig) % 128
+            Y = jnp.concatenate(
+                [Y, jnp.zeros((pad_rows, Y.shape[1]), dtype)])
+            W = jnp.concatenate(
+                [W, jnp.zeros((pad_rows, W.shape[1]), dtype)])
         # normalize weights for f32-safe accumulation; undo on outputs
         w_scale = jnp.mean(jnp.where(jnp.isfinite(W), W, 0.0))
         Wn = jnp.where(jnp.isfinite(W), W / w_scale, 0.0)
@@ -970,9 +984,11 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
     out["log_likelihood"] = out["log_likelihood"] * s
     out["power"] = out["log_likelihood"] if objective == "likelihood" \
         else out["depth_snr"]
+    if pad_rows:
+        out = {k: v[:B_orig] for k, v in out.items()}
     out["transit_time"] = out["transit_time"] + t_min
     out["period"] = jnp.broadcast_to(periods[None, :],
-                                     (Y.shape[0], periods.shape[0]))
+                                     (B_orig, periods.shape[0]))
     return out
 
 

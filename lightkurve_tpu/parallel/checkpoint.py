@@ -124,6 +124,18 @@ class SweepRunner:
                 data["periods"], self.periods):
             log.warning("Checkpoint grid differs; starting fresh.")
             return
+        # next_chunk is a chunk INDEX, meaningful only under the chunking
+        # it was written with: resuming a mid-sweep checkpoint under a
+        # different chunk_periods would silently skip (or redo) part of
+        # the grid.  Legacy checkpoints without the field restart fresh.
+        ckpt_cp = int(data["chunk_periods"]) if "chunk_periods" in data \
+            else -1
+        if ckpt_cp != self.chunk_periods:
+            log.warning(
+                "Checkpoint chunk_periods %s differs from configured %d; "
+                "starting fresh to keep grid coverage exact.", ckpt_cp,
+                self.chunk_periods)
+            return
         for f in _FIELDS:
             self.state[f] = data[f]
         self.next_chunk = int(data["next_chunk"])
@@ -133,7 +145,8 @@ class SweepRunner:
     def _save(self):
         tmp = self.checkpoint_path + ".tmp.npz"   # .npz suffix: savez
         np.savez(tmp, periods=self.periods,        # won't append another
-                 next_chunk=self.next_chunk, **self.state)
+                 next_chunk=self.next_chunk,
+                 chunk_periods=self.chunk_periods, **self.state)
         os.replace(tmp, self.checkpoint_path)
 
     def _make_step(self):

@@ -63,6 +63,49 @@ def test_sweep_checkpoint_resume(tmp_path, rng):
     assert abs(resumed["period"][0] - 2.3) < 0.1
 
 
+def test_sweep_checkpoint_chunking_change_restarts_fresh(tmp_path, rng):
+    """A mid-sweep checkpoint written under one chunk_periods must NOT be
+    resumed under a different chunking: next_chunk is a chunk index, and
+    reinterpreting it would silently skip part of the period grid
+    (advisor finding r3).  The runner restarts fresh instead, and the
+    full-grid result is identical to an uninterrupted run."""
+    stack = _make_stack(rng)
+    periods = np.linspace(1.5, 3.5, 64)
+    durations = np.array([0.1])
+    ckpt = str(tmp_path / "sweep.npz")
+
+    full = SweepRunner(stack, periods, durations, ckpt + ".ref",
+                       chunk_periods=16).run()
+    # pause a 16-periods/chunk sweep at chunk 2/4
+    r1 = SweepRunner(stack, periods, durations, ckpt, chunk_periods=16)
+    r1.run(max_chunks=2)
+    assert not r1.done
+    # a runner configured with chunk_periods=32 would see next_chunk=2 ==
+    # n_chunks=2 and (pre-fix) declare the sweep done with half the grid
+    # never searched
+    r2 = SweepRunner(stack, periods, durations, ckpt, chunk_periods=32)
+    assert r2.next_chunk == 0, "chunking change must restart fresh"
+    out = r2.run()
+    assert r2.done
+    np.testing.assert_allclose(out["power"], full["power"], rtol=1e-9)
+    np.testing.assert_allclose(out["period"], full["period"], rtol=1e-12)
+
+
+def test_sweep_checkpoint_legacy_without_chunk_field_restarts(tmp_path, rng):
+    """Checkpoints from before the chunk_periods field restart fresh."""
+    stack = _make_stack(rng)
+    periods = np.linspace(1.5, 3.5, 64)
+    durations = np.array([0.1])
+    ckpt = str(tmp_path / "sweep.npz")
+    r1 = SweepRunner(stack, periods, durations, ckpt, chunk_periods=16)
+    r1.run(max_chunks=2)
+    data = dict(np.load(ckpt))
+    data.pop("chunk_periods")
+    np.savez(ckpt, **data)
+    r2 = SweepRunner(stack, periods, durations, ckpt, chunk_periods=16)
+    assert r2.next_chunk == 0
+
+
 def test_config_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path))
     from lightkurve_tpu.config import Conf, get_cache_dir

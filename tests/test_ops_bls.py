@@ -139,6 +139,33 @@ def test_uniform_path_matches_general(rng, dy_case):
                                    err_msg=f"{dy_case}/{k}")
 
 
+def test_general_path_ragged_batch_padding(rng, monkeypatch):
+    """On TPU the general weighted kernel pads ragged batches (B not a
+    multiple of 128) with zero-weight rows to stay on the fused window
+    path; outputs must be identical to the unpadded run and keep the
+    caller's B.  Forced on here by faking the backend check."""
+    import jax
+    from lightkurve_tpu.ops import bls as bls_mod
+    B, n = 5, 300
+    t = np.sort(rng.uniform(0, 10, n))
+    Y = 1.0 + 5e-4 * rng.normal(size=(B, n))
+    dy = rng.uniform(4e-4, 9e-4, (B, n))       # heteroscedastic → general
+    periods = np.linspace(1.2, 3.0, 17)
+    durations = np.array([0.1, 0.2])
+    ref = bls_mod.bls_power_shared_batch(t, Y, dy, periods, durations,
+                                         uniform_weights=False)
+    monkeypatch.setattr(bls_mod.jax, "default_backend", lambda: "tpu")
+    padded = bls_mod.bls_power_shared_batch(
+        t, Y, dy, periods, durations, uniform_weights=False,
+        window_impl="xla")     # pallas needs a real TPU; padding is what
+    monkeypatch.undo()         # this test checks
+    for k in ("power", "depth", "depth_err", "depth_snr",
+              "log_likelihood", "duration", "transit_time", "period"):
+        a, b = np.asarray(ref[k]), np.asarray(padded[k])
+        assert b.shape[0] == B, f"{k} kept padding rows"
+        np.testing.assert_allclose(a, b, rtol=1e-6, err_msg=k)
+
+
 def test_uniform_pallas_window_matches_xla(rng):
     """The uniform-path Pallas window kernel (interpret mode on CPU)
     agrees with the XLA windowing form."""
