@@ -208,6 +208,36 @@ class SearchResult:
         }
 
     # -- downloads ------------------------------------------------------------
+    def _materialize(self, row, download_dir=None, cutout_size=None,
+                     **factory_kwargs):
+        """Resolve one product row to a local FITS path (or, for TESScut
+        rows, build the cutout TPF from the transport's local FFI stack —
+        the offline re-design of reference ``search.py:522-594``)."""
+        if row.get("productFilename") == "TESScut":
+            transport = row.get("_transport")
+            sector = int(row.get("sequence_number"))
+            ffi_paths = getattr(transport, "ffi_sectors", {}).get(sector)
+            if not ffi_paths:
+                raise SearchError(
+                    f"No local FFI stack registered for TESS sector "
+                    f"{sector}; a recorded transport needs 'ffi_sectors' "
+                    "entries to serve TESScut cutouts offline.")
+            from .targetpixelfile import (TargetPixelFileFactory,
+                                          TessTargetPixelFile)
+            size = cutout_size if cutout_size is not None else 5
+            if np.isscalar(size):
+                size = (int(size), int(size))
+            position = row.get("_position")     # (ra, dec) from resolver
+            return TargetPixelFileFactory.from_fits_images(
+                ffi_paths, position=position, size=size,
+                target_id=str(row.get("target_name", "TESScut")),
+                tpf_cls=TessTargetPixelFile, **factory_kwargs)
+        path = row.get("path")
+        if path is None and row.get("_transport") is not None:
+            path = row["_transport"].download_product(
+                row, download_dir or get_cache_dir())
+        return path
+
     def download(self, quality_bitmask="default", download_dir=None,
                  cutout_size=None, **kwargs):
         """Open the first product (reference ``search.py:369-430``)."""
@@ -222,7 +252,10 @@ class SearchResult:
                         "first file has been downloaded.".format(len(self)))
         from .io import read
         row = self.table[0]
-        path = row["path"]
+        path = self._materialize(row, download_dir=download_dir,
+                                 cutout_size=cutout_size)
+        if not isinstance(path, (str, os.PathLike)):
+            return path                         # TESScut rows return a TPF
         try:
             return read(path, quality_bitmask=quality_bitmask, **kwargs)
         except LightkurveError as e:
@@ -246,10 +279,15 @@ class SearchResult:
         objs = []
         for row in self.table:
             try:
-                objs.append(read(row["path"],
+                path = self._materialize(row, download_dir=download_dir,
+                                         cutout_size=cutout_size)
+                if not isinstance(path, (str, os.PathLike)):
+                    objs.append(path)           # TESScut rows return a TPF
+                    continue
+                objs.append(read(path,
                                  quality_bitmask=quality_bitmask, **kwargs))
             except LightkurveError as e:
-                log.warning(f"Skipping {row['path']}: {e}")
+                log.warning(f"Skipping {row.get('path')}: {e}")
         if objs and isinstance(objs[0], TargetPixelFile):
             return TargetPixelFileCollection(objs)
         return LightCurveCollection(objs)
@@ -355,9 +393,25 @@ def _exptime_match(value, exptime):
 def _search_products(target, filetype="Lightcurve", radius=None,
                      exptime=None, cadence=None, mission=None, author=None,
                      quarter=None, month=None, campaign=None, sector=None,
-                     limit=None, archive_dir=None):
-    """Offline product search over local archive dirs
-    (replaces reference ``search.py:892-1238``)."""
+                     limit=None, archive_dir=None, transport=None):
+    """Product search: through the MAST pipeline when a transport is
+    available (reference ``search.py:892-1238`` semantics, offline via
+    recorded fixtures — see :mod:`lightkurve_tpu.mast`), else over local
+    archive directories by filename heuristics."""
+    from . import mast
+    if transport is None:
+        transport = mast.default_transport()
+    if transport is not None:
+        if exptime is None and cadence is not None:
+            exptime = cadence
+        rows = mast.search_products_mast(
+            target, transport, radius=radius, filetype=filetype,
+            mission=mission or ("Kepler", "K2", "TESS"),
+            provenance_name=author,
+            exptime=exptime if exptime is not None else (0, 9999),
+            quarter=quarter, month=month, campaign=campaign,
+            sector=sector, limit=limit)
+        return SearchResult(rows or [])
     target_str = str(target).lower().replace(" ", "")
     # resolve KIC/EPIC/TIC prefixes to bare ids, like the reference's
     # target parsing (search.py:1115-1210)
@@ -416,35 +470,58 @@ def _search_products(target, filetype="Lightcurve", radius=None,
 def search_lightcurve(target, radius=None, exptime=None, cadence=None,
                       mission=("Kepler", "K2", "TESS"), author=None,
                       quarter=None, month=None, campaign=None, sector=None,
-                      limit=None, archive_dir=None):
+                      limit=None, archive_dir=None, transport=None):
     """Search for light curve products (reference ``search.py:595-723``)."""
     return _search_products(target, filetype="Lightcurve", radius=radius,
                             exptime=exptime, cadence=cadence,
                             mission=mission, author=author, quarter=quarter,
                             month=month, campaign=campaign, sector=sector,
-                            limit=limit, archive_dir=archive_dir)
+                            limit=limit, archive_dir=archive_dir,
+                            transport=transport)
 
 
 def search_targetpixelfile(target, radius=None, exptime=None, cadence=None,
                            mission=("Kepler", "K2", "TESS"), author=None,
                            quarter=None, month=None, campaign=None,
-                           sector=None, limit=None, archive_dir=None):
+                           sector=None, limit=None, archive_dir=None,
+                           transport=None):
     """Search for TPF products (reference ``search.py:724-855``)."""
     return _search_products(target, filetype="Target Pixel", radius=radius,
                             exptime=exptime, cadence=cadence,
                             mission=mission, author=author, quarter=quarter,
                             month=month, campaign=campaign, sector=sector,
-                            limit=limit, archive_dir=archive_dir)
+                            limit=limit, archive_dir=archive_dir,
+                            transport=transport)
 
 
-def search_tesscut(target, sector=None):
-    """TESSCut FFI cutout search (reference ``search.py:856-891``) —
-    inherently a network service."""
-    raise SearchError(
-        "search_tesscut requires the MAST TESScut web service, which needs "
-        "network access unavailable in this environment. Use "
-        "`TargetPixelFileFactory.from_fits_images` on local FFI files "
-        "instead.")
+def search_tesscut(target, sector=None, transport=None):
+    """TESSCut FFI cutout search (reference ``search.py:856-891``).
+
+    Network-only in the reference; here it runs against a transport whose
+    ``ffi_sectors`` registry maps sector numbers to local FFI stacks —
+    ``download(cutout_size=...)`` then builds the cutout TPF on the host
+    via :meth:`TargetPixelFileFactory.from_fits_images`.
+    """
+    from . import mast
+    if transport is None:
+        transport = mast.default_transport()
+    if transport is None:
+        raise SearchError(
+            "search_tesscut requires the MAST TESScut web service, which "
+            "needs network access unavailable in this environment. "
+            "Register local FFI stacks with a RecordedMASTTransport "
+            "(ffi_sectors) or use "
+            "`TargetPixelFileFactory.from_fits_images` directly.")
+    rows = mast.search_products_mast(target, transport, filetype="FFI",
+                                     sector=sector)
+    # carry the resolved position so download() can place the cutout
+    try:
+        pos = transport.resolve_object(str(target))
+        for r in rows:
+            r["_position"] = pos
+    except Exception:
+        pass
+    return SearchResult(rows)
 
 
 def search_lightcurvefile(*args, **kwargs):
