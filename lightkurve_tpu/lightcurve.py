@@ -1581,14 +1581,18 @@ class LightCurve:
     def query_solar_system_objects(self, cadence_mask="outliers",
                                    radius=None, sigma=3, location=None,
                                    cache=True, return_mask=False,
-                                   show_progress=True):
+                                   show_progress=True, fetch=None):
         """Query SkyBot for solar-system objects crossing the aperture
-        (reference ``lightcurve.py:1860-2010``).
+        (reference ``lightcurve.py:1860-1976``).
 
-        All argument validation (RA/Dec presence, the ``cadence_mask``
-        forms, location resolution from the mission) mirrors the
-        reference; the network call itself is environment-gated."""
+        Argument validation (RA/Dec presence, the ``cadence_mask``
+        forms, location resolution from the mission, per-mission default
+        cone radii) mirrors the reference exactly; the HTTP call is a
+        pluggable ``fetch(url) -> text`` hook so recorded SkyBot
+        responses replay offline (see
+        :func:`lightkurve_tpu.utils._query_solar_system_objects`)."""
         import collections.abc
+        from .utils import _query_solar_system_objects
         for attr in ("ra", "dec"):
             if getattr(self, attr, None) is None:
                 raise ValueError(
@@ -1608,13 +1612,34 @@ class LightCurve:
         elif not isinstance(cadence_mask, np.ndarray):
             raise ValueError(
                 "the `cadence_mask` argument is missing or invalid")
+        # avoid searching times with NaN flux (remove_outliers includes
+        # NaNs in its mask — reference lightcurve.py:1936-1943)
+        cadence_mask = cadence_mask & ~np.isnan(
+            np.asarray(self.flux.value, dtype=float))
         if location is None:
-            location = (self.meta.get("MISSION") or "kepler")
-        raise NotImplementedError(
-            "Solar-system object queries require network access to the "
-            "SkyBot service, which is unavailable in this environment. "
-            f"(validated: {int(np.sum(cadence_mask))} cadences, "
-            f"location={str(location).lower()!r})")
+            mission = self.meta.get("MISSION")
+            if not mission:
+                raise ValueError("you must pass a value for `location`.")
+            location = str(mission).lower()
+        location = str(location).lower()
+        if radius is None:
+            # 15-pixel default cone (comet tails trip up narrower ones,
+            # reference lightcurve.py:1952-1960)
+            if location in ("kepler", "k2"):
+                radius = 4 * 15 / 3600.0
+            elif location == "tess":
+                radius = 21 * 15 / 3600.0
+            else:
+                radius = 15 / 3600.0
+        times_jd = np.asarray(self.time.jd)
+        res = _query_solar_system_objects(
+            ra=self.ra, dec=self.dec, times=times_jd[cadence_mask],
+            location=location, radius=radius, cache=cache,
+            show_progress=show_progress, fetch=fetch)
+        if return_mask:
+            epochs = [] if res is None else np.asarray(res.epoch)
+            return res, np.isin(times_jd, epochs)
+        return res
 
 
 def _copy_col(v):

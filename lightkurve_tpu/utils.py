@@ -12,6 +12,8 @@ DPDD Table 28; cf. reference ``utils.py:134-292``), ``create_quality_mask``
 from __future__ import annotations
 
 import logging
+import os
+import re
 import warnings
 
 import numpy as np
@@ -370,6 +372,88 @@ def bkjd_to_astropy_time(bkjd):
 def btjd_to_astropy_time(btjd):
     """Alias of :func:`btjd_to_time` under the reference's public name."""
     return btjd_to_time(btjd)
+
+
+def _default_skybot_fetch(url):
+    """Resolve a SkyBot conesearch URL without network access.
+
+    ``$LIGHTKURVE_TPU_SKYBOT_FIXTURES`` may point to a JSON file mapping
+    either full URLs or bare ``EPOCH`` values to recorded SkyBot text
+    responses; absent that, the query raises with the reference's
+    guidance (the live service is
+    ``https://ssp.imcce.fr/webservices/skybot/``)."""
+    import json
+    fx = os.environ.get("LIGHTKURVE_TPU_SKYBOT_FIXTURES")
+    if fx:
+        with open(fx) as f:
+            table = json.load(f)
+        if url in table:
+            return table[url]
+        m = re.search(r"EPOCH=([\d.]+)", url)
+        if m and m.group(1) in table:
+            return table[m.group(1)]
+        raise LightkurveError(
+            f"SkyBot fixture file {fx} has no response recorded for "
+            f"{url}")
+    raise NotImplementedError(
+        "Solar-system object queries require network access to the "
+        "SkyBot service (https://ssp.imcce.fr/webservices/skybot/), "
+        "which is unavailable in this environment. Record responses in "
+        "$LIGHTKURVE_TPU_SKYBOT_FIXTURES or pass a `fetch=` callable.")
+
+
+def _query_solar_system_objects(ra, dec, times, radius=0.1,
+                                location="kepler", cache=True,
+                                show_progress=True, fetch=None):
+    """List asteroids/comets crossing a cone at the given epochs
+    (reference ``utils.py:705-794``).
+
+    Runs the reference's SkyBot pipeline — observer-location codes
+    (Kepler C55 / TESS C57), per-epoch conesearch URLs, the ``# Flag:
+    -1`` error contract, pipe-delimited response parsing, and the
+    Num/Name/Class/Mv/epoch result schema — against a pluggable
+    ``fetch(url) -> text`` hook so recorded responses replay offline.
+
+    Returns a `pandas.DataFrame` (None when no objects were found).
+    """
+    import pandas as pd
+
+    if fetch is None:
+        fetch = _default_skybot_fetch
+    if location.lower() in ("kepler", "k2"):
+        location = "C55"
+    elif location.lower() == "tess":
+        location = "C57"
+
+    url = ("https://ssp.imcce.fr/webservices/skybot/api/conesearch.php?"
+           "-mime=text&"
+           f"-ra={ra}&-dec={dec}&-bd={radius}&-loc={location}&")
+
+    df = None
+    for time in np.atleast_1d(times):
+        text = fetch(url + f"EPOCH={time}")
+        if text[:10] == "# Flag: -1":
+            raise IOError(
+                "SkyBot Solar System query failed.\n"
+                "URL used:\n" + url + f"EPOCH={time}" + "\n"
+                "Response received:\n" + text)
+        import io as _io
+        try:
+            res = pd.read_csv(_io.StringIO(text), delimiter="|",
+                              skiprows=2)
+        except pd.errors.EmptyDataError:
+            res = []
+        if len(res) > 0:
+            res["epoch"] = time
+            res.rename({"# Num ": "Num", " Name ": "Name",
+                        " Class ": "Class", " Mv ": "Mv"},
+                       inplace=True, axis="columns")
+            res = res[["Num", "Name", "Class", "Mv",
+                       "epoch"]].reset_index(drop=True)
+            df = res if df is None else pd.concat([df, res])
+    if df is not None:
+        df.reset_index(drop=True)
+    return df
 
 
 def show_citation_instructions():

@@ -188,8 +188,9 @@ def test_tpf_animate_smoke():
 def test_sso_query_gated(lc):
     lc.meta["RA"] = 80.0
     lc.meta["DEC"] = -70.0
+    lc.meta["MISSION"] = "TESS"     # resolves the default location
     with pytest.raises(Exception) as e:
-        lc.query_solar_system_objects()
+        lc.query_solar_system_objects(cadence_mask="all")
     assert "network" in str(e.value).lower() or \
         "unavailable" in str(e.value).lower()
     # argument validation happens BEFORE the network gate (reference
@@ -201,6 +202,11 @@ def test_sso_query_gated(lc):
     lc2.meta.pop("RA", None)
     with pytest.raises(ValueError, match="`ra` attribute"):
         lc2.query_solar_system_objects()
+    # missing mission/location raises like the reference (:1946-1950)
+    lc3 = lc.copy()
+    lc3.meta.pop("MISSION", None)
+    with pytest.raises(ValueError, match="location"):
+        lc3.query_solar_system_objects()
     # the accepted cadence_mask forms all reach the network gate
     import numpy as np
     for cm in ("all", np.ones(len(lc), bool), [True] * len(lc), True):
