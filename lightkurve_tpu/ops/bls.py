@@ -750,11 +750,28 @@ def _detect_uniform_weights(dy):
     return bool(np.all((col > 0) & (np.isfinite(col) | np.isinf(col))))
 
 
+def _array_platform(*arrays):
+    """Platform the compute will actually run on: the first concrete
+    array's device platform, else the process default backend.  The axon
+    environment loads the TPU plugin at interpreter start, so
+    ``jax.default_backend()`` says 'tpu' even for arrays committed to (or
+    shard_mapped over) CPU devices — keying TPU-only decisions (batch
+    padding, the Pallas window kernel) off the default backend would
+    inject Pallas calls into CPU meshes."""
+    for a in arrays:
+        try:
+            return next(iter(a.devices())).platform
+        except Exception:
+            continue
+    return jax.default_backend()
+
+
 def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                            objective="likelihood", chunk=16, nbins=None,
                            d_phase=None, hist_dtype=None, bucket=False,
                            window_impl=None, edge_mode="wrap",
-                           uniform_weights=None, fold_impl=None):
+                           uniform_weights=None, fold_impl=None,
+                           platform=None):
     """Batched BLS for curves sharing ONE time grid.
 
     Parameters
@@ -801,6 +818,8 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
                     "kernel if your weights are row-constant.")
     t = jnp.asarray(t)
     Y = jnp.asarray(Y)
+    if platform is None:
+        platform = _array_platform(Y, t)
     dtype = Y.dtype
     periods = jnp.asarray(periods, dtype)
     durations_np = np.asarray(durations, dtype=np.float64)
@@ -817,7 +836,7 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
         # there and the rows are sliced off on return).  The w_scale
         # normalization below is exactly undone on the outputs, so
         # padding rows (weight 0) change nothing but the mean's divisor.
-        if jax.default_backend() == "tpu" and B_orig % 128 != 0:
+        if platform == "tpu" and B_orig % 128 != 0:
             pad_rows = (-B_orig) % 128
             Y = jnp.concatenate(
                 [Y, jnp.zeros((pad_rows, Y.shape[1]), dtype)])
@@ -871,13 +890,14 @@ def bls_power_shared_batch(t, Y, dy, periods, durations, oversample=10,
         window_impl = os.environ.get("LK_BLS_WINDOW", "auto")
     if window_impl == "auto":
         # general path: fused Pallas window scan on TPU when the batch
-        # tiles the lanes (one HBM pass instead of ~13); XLA windowing
-        # otherwise (CPU parity tests, ragged batches).  Uniform path:
-        # XLA windowing always — with one shared count column it is
-        # measured faster than the Pallas scan (and has no B%128
+        # tiles the lanes (one HBM pass instead of ~13; ragged batches
+        # are zero-weight padded above so they stay on it); XLA
+        # windowing otherwise (CPU parity tests / CPU meshes).  Uniform
+        # path: XLA windowing always — with one shared count column it
+        # is measured faster than the Pallas scan (and has no B%128
         # constraint).
         window_impl = ("pallas" if not uniform_weights
-                       and jax.default_backend() == "tpu"
+                       and platform == "tpu"
                        and Y.shape[0] % 128 == 0 else "xla")
 
     if uniform_weights:

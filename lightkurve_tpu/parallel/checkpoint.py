@@ -92,7 +92,7 @@ class SweepRunner:
 
     def __init__(self, stack, periods, durations, checkpoint_path,
                  chunk_periods=4096, oversample=10, objective="likelihood",
-                 method="fast", save_every=1, mesh=None):
+                 method="fast", save_every=1, mesh=None, async_save=False):
         self.stack = stack
         self.mesh = mesh
         self.periods = np.asarray(periods, dtype=np.float64)
@@ -103,6 +103,13 @@ class SweepRunner:
         self.objective = objective
         self.method = method
         self.save_every = max(int(save_every), 1)
+        #: async_save=True moves the npz write off the sweep thread (one
+        #: writer, one write in flight) so checkpoint IO overlaps device
+        #: compute; the atomic os.replace keeps kill-resume safe (a write
+        #: lost mid-flight just replays its chunk).
+        self.async_save = bool(async_save)
+        self._save_pool = None
+        self._pending_save = None
         B = len(stack)
         self.state = {f: np.full(B, np.nan) for f in _FIELDS}
         self.state["power"] = np.full(B, -np.inf)
@@ -142,12 +149,33 @@ class SweepRunner:
         log.info("Resumed sweep at chunk %d/%d", self.next_chunk,
                  self.n_chunks)
 
-    def _save(self):
+    def _write_npz(self, payload):
         tmp = self.checkpoint_path + ".tmp.npz"   # .npz suffix: savez
-        np.savez(tmp, periods=self.periods,        # won't append another
-                 next_chunk=self.next_chunk,
-                 chunk_periods=self.chunk_periods, **self.state)
+        np.savez(tmp, **payload)                   # won't append another
         os.replace(tmp, self.checkpoint_path)
+
+    def _save(self):
+        # snapshot by reference: _merge REPLACES state arrays (np.where
+        # allocates), so a captured dict stays internally consistent
+        payload = dict(periods=self.periods, next_chunk=self.next_chunk,
+                       chunk_periods=self.chunk_periods, **self.state)
+        if not self.async_save:
+            self._write_npz(payload)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        if self._save_pool is None:
+            self._save_pool = ThreadPoolExecutor(
+                1, thread_name_prefix="lk-sweep-ckpt")
+        if self._pending_save is not None:
+            self._pending_save.result()            # one write in flight
+        self._pending_save = self._save_pool.submit(self._write_npz,
+                                                    payload)
+
+    def flush_saves(self):
+        """Block until any in-flight async checkpoint write lands."""
+        if self._pending_save is not None:
+            self._pending_save.result()
+            self._pending_save = None
 
     def _make_step(self):
         """One jitted step: kernel over a period chunk + DEVICE-side
@@ -279,4 +307,5 @@ class SweepRunner:
             pending = out_dev
         if pending is not None:
             self._merge(np.asarray(pending))
+        self.flush_saves()
         return dict(self.state)

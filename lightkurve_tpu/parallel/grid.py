@@ -100,12 +100,18 @@ def sharded_bls(time, flux, dy, periods, durations, oversample=10,
     nbins = int(np.ceil(float(np.max(np.asarray(periods))) / d_phase))
     t0_count = nbins + 1
 
+    # inside shard_map the arrays are tracers, so the kernel cannot see
+    # which platform its shard runs on — pin it from the mesh devices
+    # (the axon plugin makes default_backend() say 'tpu' even for CPU
+    # meshes, which would auto-select the Pallas window kernel there)
+    platform = mesh.devices.flat[0].platform
+
     def local(t, y, d, p):
         if shared_time:
             return bls_power_shared_batch(
                 t[0], y, d, p, durations, oversample=oversample,
                 objective=objective, nbins=nbins, d_phase=d_phase,
-                uniform_weights=uniform_weights)
+                uniform_weights=uniform_weights, platform=platform)
         fn = jax.vmap(lambda tt, yy, dd: bls_power(
             tt, yy, dd, p, durations, oversample=oversample,
             objective=objective, chunk=chunk, t0_count=t0_count,

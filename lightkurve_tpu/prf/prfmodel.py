@@ -54,16 +54,58 @@ class _InterpolatedPRF:
                + v10 * wy * (1 - wx) + v11 * wy * wx)
         return jnp.where(inside, val, 0.0)
 
+    def _interp_separable(self, dr, dc):
+        """Bilinear interpolation for AXIS-ALIGNED offsets as two small
+        matmuls: ``R @ PRF @ Cᵀ`` with hat-function (bilinear) weight
+        matrices R (H, Sy) and C (W, Sx).
+
+        Equivalent to :meth:`_interp_device` on the outer-product grid
+        but GATHER-FREE: TPU gathers serialize over indices and
+        dominated the batched PRF fit (measured ~86 µs per
+        cadence-iteration at 9×9 px); the matmul form rides the MXU and
+        batches cleanly under vmap."""
+        import jax.numpy as jnp
+        prf = jnp.asarray(self.supersampled_prf)
+        sy, sx = prf.shape
+        fy = dr * self.oversample + (sy - 1) / 2.0           # (H,)
+        fx = dc * self.oversample + (sx - 1) / 2.0           # (W,)
+        ry = jnp.maximum(0.0, 1.0 - jnp.abs(
+            fy[:, None] - jnp.arange(sy)))                   # (H, Sy)
+        cx = jnp.maximum(0.0, 1.0 - jnp.abs(
+            fx[:, None] - jnp.arange(sx)))                   # (W, Sx)
+        # outside the supersampled support the gather path returns 0;
+        # the hat weights would keep a partial tail, so mask explicitly
+        ry = ry * ((fy >= 0) & (fy <= sy - 1))[:, None]
+        cx = cx * ((fx >= 0) & (fx <= sx - 1))[:, None]
+        return ry @ prf @ cx.T                               # (H, W)
+
+    @staticmethod
+    def _is_identity_focus(scale_col, scale_row, rotation_angle):
+        """True iff the focus transform is concretely absent (plain
+        Python/numpy scalars at the defaults — i.e. ``fit_focus=False``;
+        traced values conservatively return False)."""
+        for v, ident in ((rotation_angle, 0.0),):
+            if not isinstance(v, (int, float, np.floating, np.integer)) \
+                    or float(v) != ident:
+                return False
+        return True
+
     def evaluate(self, center_col, center_row, flux=1.0, scale_col=1.0,
                  scale_row=1.0, rotation_angle=0.0):
         """PRF image on the detector grid (reference ``:80-124``):
         coordinates are rotated/scaled about the center, then the
         supersampled model is interpolated."""
         import jax.numpy as jnp
-        cosa = jnp.cos(rotation_angle)
-        sina = jnp.sin(rotation_angle)
         dc = jnp.asarray(self.col_coord) - center_col        # (W,)
         dr = jnp.asarray(self.row_coord) - center_row        # (H,)
+        if self._is_identity_focus(scale_col, scale_row, rotation_angle):
+            # no rotation → the sample grid is an outer product and the
+            # interpolation separates into gather-free matmuls (scales
+            # may still be traced: they act per-axis)
+            return flux * self._interp_separable(dr * scale_row,
+                                                 dc * scale_col)
+        cosa = jnp.cos(rotation_angle)
+        sina = jnp.sin(rotation_angle)
         dcol, drow = jnp.meshgrid(dc, dr)
         rot_row = drow * cosa - dcol * sina
         rot_col = drow * sina + dcol * cosa

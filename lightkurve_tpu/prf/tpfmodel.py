@@ -522,6 +522,11 @@ class PRFPhotometry:
         self.model = model
         self.results = None
         self.opt_params = None
+        # jitted (fit, loss) callables keyed on (n_iter, damping): a
+        # fresh jax.jit per run() would re-trace AND recompile the whole
+        # LM loop every call (measured: compile dominated the reported
+        # throughput at B=1000 — ~5x the actual fit time)
+        self._fit_cache = {}
 
     def run(self, flux_cube, cadences=None, n_iter=20, damping=1e-3):
         import jax
@@ -531,16 +536,17 @@ class PRFPhotometry:
         with jax.default_matmul_precision("highest"):
             return self._run(flux_cube, cadences, n_iter, damping)
 
-    def _run(self, flux_cube, cadences, n_iter, damping):
+    def _fit_fns(self, n_iter, damping):
+        """Jitted (vmapped fit, vmapped loss) for this model, cached so
+        repeated ``run`` calls re-trace nothing (jax's own jit cache then
+        handles per-shape compiles)."""
+        key = (int(n_iter), float(damping))
+        hit = self._fit_cache.get(key)
+        if hit is not None:
+            return hit
         import jax
         import jax.numpy as jnp
 
-        cube = np.asarray(flux_cube, dtype=float)
-        if cube.ndim == 2:
-            cube = cube[None, ...]
-        if cadences is not None:
-            cube = cube[np.asarray(cadences)]
-        data = jnp.asarray(np.nan_to_num(cube))
         p0 = jnp.asarray(self.model.initial_guess())
         k = p0.shape[0]
 
@@ -581,10 +587,24 @@ class PRFPhotometry:
 
             return jax.lax.fori_loop(0, n_iter, body, p0)
 
-        fitted = jax.jit(jax.vmap(fit_one))(data)
+        hit = (jax.jit(jax.vmap(fit_one)), jax.jit(jax.vmap(loss)))
+        self._fit_cache[key] = hit
+        return hit
+
+    def _run(self, flux_cube, cadences, n_iter, damping):
+        import jax.numpy as jnp
+
+        cube = np.asarray(flux_cube, dtype=float)
+        if cube.ndim == 2:
+            cube = cube[None, ...]
+        if cadences is not None:
+            cube = cube[np.asarray(cadences)]
+        data = jnp.asarray(np.nan_to_num(cube))
+        fit_fn, loss_fn = self._fit_fns(n_iter, damping)
+        fitted = fit_fn(data)
         self.opt_params = np.asarray(fitted)
         # final loss per cadence (diagnostic)
-        self.losses = np.asarray(jax.jit(jax.vmap(loss))(fitted, data))
+        self.losses = np.asarray(loss_fn(fitted, data))
         # per-cadence structured results, as in the reference's
         # ``PRFPhotometry.results`` list (reference :766-780)
         guesses = self.model.get_initial_guesses()

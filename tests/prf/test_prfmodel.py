@@ -161,3 +161,36 @@ def test_simple_kepler_prf_interpolation_consistency():
     np.testing.assert_allclose(img.sum(), 1.0, rtol=2e-2)
     peak = np.unravel_index(np.argmax(img), img.shape)
     assert abs(peak[0] - 7.5) <= 1.0 and abs(peak[1] - 7.5) <= 1.0
+
+
+def test_separable_interp_matches_gather_path():
+    """The gather-free matmul interpolation (axis-aligned offsets) is
+    numerically identical to the generic rotated-gather path at
+    rotation=0, including scales, sub-pixel centers, and off-support
+    truncation at the cutout edge."""
+    import jax.numpy as jnp
+    from lightkurve_tpu.prf.prfmodel import GaussianPRF
+    prf = GaussianPRF(shape=(9, 11), column=5, row=3)
+    cases = [
+        dict(center_col=10.3, center_row=7.6, flux=123.4),
+        dict(center_col=5.01, center_row=3.01, flux=1.0),      # corner
+        dict(center_col=15.9, center_row=11.9, flux=2.0),      # far edge
+        dict(center_col=10.0, center_row=8.0, flux=5.0,
+             scale_col=1.2, scale_row=0.8),
+    ]
+    for kw in cases:
+        sep = np.asarray(prf.evaluate(**kw))                  # separable
+        gen = np.asarray(prf._interp_device(
+            (jnp.asarray(prf.row_coord) - kw["center_row"])[:, None]
+            * kw.get("scale_row", 1.0)
+            * jnp.ones((1, len(prf.col_coord))),
+            (jnp.asarray(prf.col_coord) - kw["center_col"])[None, :]
+            * kw.get("scale_col", 1.0)
+            * jnp.ones((len(prf.row_coord), 1)))) * kw["flux"]
+        np.testing.assert_allclose(sep, gen, rtol=1e-6, atol=1e-12,
+                                   err_msg=str(kw))
+    # a traced rotation forces the gather path (conservative fallback)
+    out = prf.evaluate(10.0, 7.0, 1.0, rotation_angle=jnp.asarray(0.0))
+    ref = prf.evaluate(10.0, 7.0, 1.0, rotation_angle=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-12)

@@ -139,12 +139,12 @@ def test_uniform_path_matches_general(rng, dy_case):
                                    err_msg=f"{dy_case}/{k}")
 
 
-def test_general_path_ragged_batch_padding(rng, monkeypatch):
+def test_general_path_ragged_batch_padding(rng):
     """On TPU the general weighted kernel pads ragged batches (B not a
     multiple of 128) with zero-weight rows to stay on the fused window
     path; outputs must be identical to the unpadded run and keep the
-    caller's B.  Forced on here by faking the backend check."""
-    import jax
+    caller's B.  Forced on here via platform='tpu' (window_impl pinned
+    to xla since Pallas needs a real TPU; padding is what this checks)."""
     from lightkurve_tpu.ops import bls as bls_mod
     B, n = 5, 300
     t = np.sort(rng.uniform(0, 10, n))
@@ -154,11 +154,9 @@ def test_general_path_ragged_batch_padding(rng, monkeypatch):
     durations = np.array([0.1, 0.2])
     ref = bls_mod.bls_power_shared_batch(t, Y, dy, periods, durations,
                                          uniform_weights=False)
-    monkeypatch.setattr(bls_mod.jax, "default_backend", lambda: "tpu")
     padded = bls_mod.bls_power_shared_batch(
         t, Y, dy, periods, durations, uniform_weights=False,
-        window_impl="xla")     # pallas needs a real TPU; padding is what
-    monkeypatch.undo()         # this test checks
+        window_impl="xla", platform="tpu")
     for k in ("power", "depth", "depth_err", "depth_snr",
               "log_likelihood", "duration", "transit_time", "period"):
         a, b = np.asarray(ref[k]), np.asarray(padded[k])

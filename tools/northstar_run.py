@@ -2,12 +2,23 @@
 BLS grid on the chip (BASELINE.json: "10^4 light curves over a
 10^5-point period grid per minute on v5p-8").
 
+END-TO-END BY DEFAULT: the curves are read from a 10,240-file synthetic
+TESS sector on disk (``tools/make_sector.py``) through the full host
+pipeline — C++ threaded FITS parsing, padded host stacks, and the
+double-buffered ``StreamingStackLoader`` whose prefetch worker parses
+batch k+1 while batch k's sweep runs on the chip.  Checkpoint writes are
+asynchronous (``SweepRunner(async_save=True)``) and XLA programs come
+from the persistent compile cache, so steady-state batches carry no
+host-visible stalls.  ``--mode synthetic`` keeps the old in-memory
+generator for A/B-ing loader overhead.
+
 Resumable: per-batch SweepRunner checkpoints under --state-dir plus a
 batch-level manifest, so repeated invocations continue where the last
 one stopped (the TPU tunnel can wedge; wrap in `timeout` and re-run).
 Writes NORTHSTAR.json at the repo root when complete.
 
 Usage:  python tools/northstar_run.py [--batches N] [--state-dir DIR]
+                                      [--mode fits|synthetic]
 """
 import argparse
 import json
@@ -20,9 +31,11 @@ sys.path.insert(0, ROOT)
 
 import numpy as np
 
+from tools import make_sector
+
 N_CURVES_TOTAL = 10_240          # 20 batches x 512 (>= 1e4)
-BATCH = 512
-N = 8192                         # TESS 2-min cadences (~11.4 d)
+BATCH = make_sector.BATCH        # 512
+N = make_sector.N                # 8192 TESS 2-min cadences (~11.4 d)
 P_GRID = 100_000
 CHUNK_PERIODS = 12_500           # one jit step per (batch, chunk); larger
                                  # chunks amortize per-dispatch overhead
@@ -32,16 +45,9 @@ DURATIONS = np.array([0.05, 0.10, 0.15, 0.20, 0.25, 0.33])
 
 
 def make_batch(ib):
-    """Deterministic synthetic batch ``ib``: planet per curve."""
-    rng = np.random.default_rng(1000 + ib)
-    t = np.arange(N) * (2.0 / 60 / 24)
-    t = t + rng.uniform(0.001, 0.0012)   # off bin-boundary knife edge
-    flux = 1.0 + 2e-4 * rng.standard_normal((BATCH, N))
-    p_inj = rng.uniform(1.2, 3.5, BATCH)
-    t0_inj = rng.uniform(0, p_inj)
-    for i in range(BATCH):
-        ph = np.mod(t - t0_inj[i] + p_inj[i] / 2, p_inj[i]) - p_inj[i] / 2
-        flux[i, np.abs(ph) < 0.05] -= 3e-3
+    """Deterministic synthetic batch ``ib`` (in-memory A/B mode)."""
+    t = make_sector.time_grid()
+    flux, p_inj = make_sector.batch_flux(ib, t)
     return t, flux, p_inj
 
 
@@ -64,58 +70,96 @@ def hbm_stats():
     return _hbm()
 
 
+def _stack_iter(mode, start_batch, n_batches, sector_dir):
+    """Yield (ib, stack) with the host pipeline appropriate to ``mode``."""
+    import jax
+    import jax.numpy as jnp
+    from lightkurve_tpu.batch import LightCurveStack
+
+    if mode == "fits":
+        from lightkurve_tpu.io.pipeline import StreamingStackLoader
+        paths = make_sector.ensure_sector(sector_dir, n_batches,
+                                          verbose=False)
+        loader = StreamingStackLoader(
+            paths[start_batch * BATCH:], batch_size=BATCH, prefetch=2,
+            time_column="TIME", flux_column="PDCSAP_FLUX",
+            flux_err_column="PDCSAP_FLUX_ERR", length=N,
+            dtype=jnp.float32)
+        for k, stack in enumerate(loader):
+            yield start_batch + k, stack
+        return
+    dtype = jnp.float32
+    for ib in range(start_batch, n_batches):
+        t, flux, p_inj = make_batch(ib)
+        yield ib, LightCurveStack(
+            time=jnp.asarray(np.broadcast_to(t, flux.shape), dtype),
+            flux=jnp.asarray(flux, dtype),
+            flux_err=jnp.asarray(np.full(flux.shape, 2e-4), dtype),
+            mask=jnp.ones(flux.shape, bool))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=N_CURVES_TOTAL // BATCH)
     ap.add_argument("--state-dir", default="/root/northstar_state")
+    ap.add_argument("--sector-dir", default="/root/northstar_sector")
+    ap.add_argument("--mode", choices=("fits", "synthetic"),
+                    default="fits")
     ap.add_argument("--max-seconds", type=float, default=500.0,
                     help="stop cleanly after this much wall-clock")
     args = ap.parse_args()
     os.makedirs(args.state_dir, exist_ok=True)
     manifest_path = os.path.join(args.state_dir, "manifest.json")
     manifest = {"batches_done": 0, "wall_s": 0.0, "recovered": 0,
-                "curves": 0, "batch_seconds": []}
+                "curves": 0, "batch_seconds": [], "mode": args.mode}
     if os.path.exists(manifest_path):
         manifest = json.load(open(manifest_path))
+        if manifest.get("mode", args.mode) != args.mode:
+            raise SystemExit(
+                f"state dir {args.state_dir} holds a "
+                f"{manifest.get('mode')!r} run; pass a fresh --state-dir "
+                f"for --mode {args.mode}")
+        manifest["mode"] = args.mode
 
     import jax
     from lightkurve_tpu.config import enable_persistent_compile_cache
     enable_persistent_compile_cache()
-    import jax.numpy as jnp
-    from lightkurve_tpu.batch import LightCurveStack
     from lightkurve_tpu.parallel.checkpoint import SweepRunner
 
     t0_all = _time.time()
-    t_ref, _, _ = make_batch(0)
+    t_ref = make_sector.time_grid()
     baseline = t_ref[-1] - t_ref[0]
     periods = np.linspace(1.0, baseline / 3, P_GRID)
     print(f"grid: {P_GRID} periods in [1.0, {baseline/3:.3f}] d; "
-          f"{args.batches} batches x {BATCH} curves x {N} cadences",
-          flush=True)
+          f"{args.batches} batches x {BATCH} curves x {N} cadences; "
+          f"mode={args.mode}", flush=True)
 
-    while manifest["batches_done"] < args.batches:
+    def save_manifest():
+        json.dump(manifest, open(manifest_path, "w"))
+
+    for ib, stack in _stack_iter(args.mode, manifest["batches_done"],
+                                 args.batches, args.sector_dir):
+        if manifest["batches_done"] >= args.batches:
+            break
         if _time.time() - t0_all > args.max_seconds:
             print("max-seconds reached; resumable state saved", flush=True)
-            break
-        ib = manifest["batches_done"]
-        t, flux, p_inj = make_batch(ib)
-        dtype = jnp.float32
-        stack = LightCurveStack(
-            time=jnp.asarray(np.broadcast_to(t, flux.shape), dtype),
-            flux=jnp.asarray(flux, dtype),
-            flux_err=jnp.asarray(np.full(flux.shape, 2e-4), dtype),
-            mask=jnp.ones(flux.shape, bool))
+            save_manifest()
+            return
+        assert ib == manifest["batches_done"]
+        p_inj = make_sector.batch_truth(ib)[0]
         ckpt = os.path.join(args.state_dir, f"batch{ib:03d}.npz")
         runner = SweepRunner(stack, periods, DURATIONS, ckpt,
-                             chunk_periods=CHUNK_PERIODS, method="shared")
+                             chunk_periods=CHUNK_PERIODS, method="shared",
+                             async_save=True)
         resumed_mid_batch = runner.next_chunk > 0
         tb = _time.time()
         best = None
         while not runner.done:
             if _time.time() - t0_all > args.max_seconds:
+                runner.flush_saves()
                 print(f"batch {ib}: paused at chunk {runner.next_chunk}/"
                       f"{runner.n_chunks}", flush=True)
-                json.dump(manifest, open(manifest_path, "w"))
+                save_manifest()
                 return
             best = runner.run(max_chunks=4)
         dt_b = _time.time() - tb
@@ -129,7 +173,7 @@ def main():
             manifest.setdefault("batch_seconds", []).append(round(dt_b, 2))
         manifest["recovered"] += int(rec.sum())
         manifest["curves"] += BATCH
-        json.dump(manifest, open(manifest_path, "w"))
+        save_manifest()
         rate = BATCH * P_GRID / dt_b
         print(f"batch {ib}: {dt_b:.1f}s  {rate:.3e} curve-period/s  "
               f"recovered {rec.sum()}/{BATCH}  hbm={hbm_stats()}",
@@ -142,6 +186,8 @@ def main():
             "curves": manifest["curves"],
             "period_grid": P_GRID,
             "cadences": N,
+            "data_source": ("fits_files" if args.mode == "fits"
+                            else "synthetic_memory"),
             "wall_clock_s": round(wall, 1),
             "curve_period_evals_per_sec_per_chip": round(total_cp / wall, 1),
             "vs_north_star_per_chip": round(
@@ -156,10 +202,14 @@ def main():
             **_steady_state_fields(manifest),
             "hbm": hbm_stats(),
             "device": str(jax.devices()[0]),
-            "note": ("measured end-to-end via SweepRunner (method="
-                     "'shared', device-side winner reduction, per-chunk "
-                     "host checkpointing); north-star = 1e4 curves x "
-                     "1e5 periods per minute on 8 chips"),
+            "note": ("measured end-to-end via StreamingStackLoader "
+                     "(C++ FITS reader, double-buffered host->device) + "
+                     "SweepRunner (method='shared', device-side winner "
+                     "reduction, ASYNC per-chunk host checkpointing); "
+                     "north-star = 1e4 curves x 1e5 periods per minute "
+                     "on 8 chips" if args.mode == "fits" else
+                     "measured end-to-end via SweepRunner on in-memory "
+                     "synthetic batches (A/B mode)"),
         }
         out = os.path.join(ROOT, "NORTHSTAR.json")
         json.dump(result, open(out, "w"), indent=1)
