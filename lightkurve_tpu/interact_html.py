@@ -207,8 +207,19 @@ def _page(title, subtitle, body, data_js, main_js, path):
 # ----------------------------------------------------------------------
 
 _BLS_JS = r"""
-const P0 = D.pmin, P1 = D.pmax, NP = D.power.length;
-const period = i => P0 + (P1 - P0) * i / (NP - 1);
+// D.p is a sorted NON-UNIFORM period axis: the dense base grid merged
+// with second-level fine grids around the top peaks, so zooming into a
+// peak reveals ~an order of magnitude more resolution (the reference
+// widget gets this by recomputing BLS server-side on every zoom,
+// interact_bls.py:899-934; here it is precomputed on device).
+const NP = D.p.length, P0 = D.p[0], P1 = D.p[NP - 1];
+const period = i => D.p[i];
+function lowerBound(x){               // first index with D.p[i] >= x
+  let lo = 0, hi = NP;
+  while (lo < hi){ const m = (lo + hi) >> 1;
+    if (D.p[m] < x) lo = m + 1; else hi = m; }
+  return lo;
+}
 let sel = D.best;                 // selected period index
 let vx0 = P0, vx1 = P1;           // power-panel x view
 const pp = mkplot(document.getElementById('power'));
@@ -218,8 +229,8 @@ const pl = mkplot(document.getElementById('full'));
 function drawPower(){
   pp.xmin = vx0; pp.xmax = vx1;
   let lo = Infinity, hi = -Infinity;
-  const i0 = Math.max(0, Math.floor((vx0-P0)/(P1-P0)*(NP-1)));
-  const i1 = Math.min(NP-1, Math.ceil((vx1-P0)/(P1-P0)*(NP-1)));
+  const i0 = Math.max(0, lowerBound(vx0) - 1);
+  const i1 = Math.min(NP-1, lowerBound(vx1));
   for (let i = i0; i <= i1; i++){
     const v = D.power[i];
     if (v !== null){ if (v < lo) lo = v; if (v > hi) hi = v; }
@@ -318,7 +329,8 @@ redraw();
 
 def export_interact_bls_html(lc, path, minimum_period=None,
                              maximum_period=None, resolution=20000,
-                             max_points=20000, durations=None):
+                             max_points=20000, durations=None,
+                             refine_peaks=8, refine_factor=20):
     """Write a standalone interactive BLS explorer to ``path``.
 
     Live equivalent of the bokeh widget at reference
@@ -327,9 +339,14 @@ def export_interact_bls_html(lc, path, minimum_period=None,
     cadences highlighted).  Clicking the power panel snap-selects the
     strongest nearby peak and re-folds instantly; the mouse wheel zooms.
     Where the reference *recomputes* BLS server-side on every zoom
-    (``interact_bls.py:899-934``), this precomputes one dense grid on
-    the TPU (default 20 000 trial periods — 10× the reference widget's
-    server-side resolution) so zooming never needs a round-trip.
+    (``interact_bls.py:899-934``), this precomputes the whole
+    interaction space on the TPU: one dense base grid (default 20 000
+    trial periods — 10× the reference widget's server-side resolution)
+    PLUS second-level fine grids around the ``refine_peaks`` strongest
+    peaks at ``refine_factor``× the base resolution, merged into one
+    sorted period axis — zooming into a peak reveals the refined
+    structure with zero round-trips, matching the reference's
+    recompute-on-zoom capability.
 
     Returns the path written.
     """
@@ -351,17 +368,52 @@ def export_interact_bls_html(lc, path, minimum_period=None,
         kw["duration"] = durations
     pg = lc.to_periodogram(method="bls", period=periods, **kw)
 
-    power = np.asarray(pg.power.value, dtype=float)
-    t0 = np.asarray(getattr(pg.transit_time, "value", pg.transit_time),
-                    dtype=float)
-    dur = np.asarray(getattr(pg.duration, "value", pg.duration), dtype=float)
-    dep = np.asarray(getattr(pg.depth, "value", pg.depth), dtype=float)
+    def _cols(pgi):
+        return (np.asarray(pgi.power.value, dtype=float),
+                np.asarray(getattr(pgi.transit_time, "value",
+                                   pgi.transit_time), dtype=float),
+                np.asarray(getattr(pgi.duration, "value", pgi.duration),
+                           dtype=float),
+                np.asarray(getattr(pgi.depth, "value", pgi.depth),
+                           dtype=float))
+
+    power, t0, dur, dep = _cols(pg)
+
+    # second-level refine: fine grids (refine_factor x denser) around the
+    # strongest well-separated peaks, merged into one sorted axis
+    if refine_peaks and refine_factor > 1 and periods.size > 2:
+        spacing = float(periods[1] - periods[0])
+        halfw = 40.0 * spacing
+        order = np.argsort(np.nan_to_num(power, nan=-np.inf))[::-1]
+        centers = []
+        for i in order[: 50 * max(int(refine_peaks), 1)]:
+            p = float(periods[i])
+            if all(abs(p - c) > 2 * halfw for c in centers):
+                centers.append(p)
+            if len(centers) >= int(refine_peaks):
+                break
+        fine = np.concatenate([
+            np.linspace(max(periods[0], c - halfw),
+                        min(periods[-1], c + halfw),
+                        int(80 * refine_factor)) for c in centers]) \
+            if centers else np.empty(0)
+        if fine.size:
+            pg_f = lc.to_periodogram(method="bls",
+                                     period=np.unique(fine), **kw)
+            pw_f, t0_f, dur_f, dep_f = _cols(pg_f)
+            merged = np.concatenate([periods, np.unique(fine)])
+            srt = np.argsort(merged, kind="stable")
+            periods = merged[srt]
+            power = np.concatenate([power, pw_f])[srt]
+            t0 = np.concatenate([t0, t0_f])[srt]
+            dur = np.concatenate([dur, dur_f])[srt]
+            dep = np.concatenate([dep, dep_f])[srt]
     best = int(np.nanargmax(power))
 
     keep = _decimate(tv.size, max_points)
     data_js = (
         "const D = {"
-        f"pmin:{float(periods[0])!r},pmax:{float(periods[-1])!r},best:{best},"
+        f"best:{best},p:{_js_array(periods, 9)},"
         f"power:{_js_array(power)},t0:{_js_array(t0, 9)},"
         f"dur:{_js_array(dur)},dep:{_js_array(dep)},"
         f"t:{_js_array(tv[keep], 10)},f:{_js_array(fv[keep])}"
@@ -376,7 +428,8 @@ wheel = zoom &middot; <button id="reset">reset</button></p>
 <canvas id="full" width="940" height="230"></canvas>
 """
     return _page(f"BLS explorer — {label}",
-                 f"{periods.size} trial periods precomputed on device; "
+                 f"{periods.size} trial periods precomputed on device "
+                 "(dense base grid + zoom-refined peak neighborhoods); "
                  "all interaction is client-side.",
                  body, data_js, _BLS_JS, path)
 
