@@ -122,10 +122,7 @@ class Header:
                           for c in cards.cards]
         elif isinstance(cards, dict):
             for k, v in cards.items():
-                if isinstance(v, tuple) and len(v) == 2:
-                    self.cards.append(Card(k, v[0], v[1]))
-                else:
-                    self.cards.append(Card(k, v))
+                self[k] = v        # routes commentary cards correctly
         elif cards:
             self.cards = list(cards)
 
@@ -148,6 +145,13 @@ class Header:
         return self.cards[i].value
 
     def get(self, key, default=None):
+        if key.upper() in ("COMMENT", "HISTORY"):
+            # commentary cards: join every card's text (astropy returns
+            # a commentary-card list whose str() is the joined lines —
+            # detect_filetype substring-checks str(h0.get("COMMENT")))
+            texts = [c.comment for c in self.cards
+                     if c.keyword == key.upper()]
+            return "\n".join(texts) if texts else default
         i = self._find(key)
         return self.cards[i].value if i >= 0 else default
 
@@ -155,6 +159,12 @@ class Header:
         comment = ""
         if isinstance(value, tuple) and len(value) == 2:
             value, comment = value
+        if key.upper() in ("COMMENT", "HISTORY"):
+            # commentary cards carry their text in the comment slot and
+            # repeat (one card per line), like astropy's add_comment
+            for line in str(value).split("\n"):
+                self.cards.append(Card(key.upper(), None, line))
+            return
         i = self._find(key)
         if i >= 0:
             self.cards[i].value = value

@@ -30,7 +30,8 @@ _UNIT_FIXES = {
     "pixel": "pix",
     "pix": "pix",
     "ppm": "ppm",
-    "adu": "",
+    # 'adu' stays a named unit (astropy parses u.adu; reference
+    # io/test_cdips.py asserts str(lc['bge'].unit) == 'adu')
     "unitless": "",
     "": "",
     "days": "d",

@@ -498,9 +498,16 @@ def remote_jupyter_proxy_url(port):
 def finalize_notebook_url(notebook_url):
     """Reference ``utils.py:878-906``: pass an explicit URL through;
     with ``LK_JUPYTERHUB_EXTERNAL_URL`` set, return the proxy-URL
-    callable; otherwise the local default."""
+    callable; otherwise the local default.
+
+    Malformed (empty) URLs raise the error contract the reference gets
+    from bokeh's server (reference test_malformed_notebook_url)."""
     import os
     if notebook_url is not None:
+        if isinstance(notebook_url, str) and not notebook_url.strip():
+            raise ValueError(
+                "Empty host value: pass a notebook_url like "
+                "'localhost:8888'.")
         return notebook_url
     if os.environ.get("LK_JUPYTERHUB_EXTERNAL_URL"):
         return remote_jupyter_proxy_url

@@ -223,3 +223,24 @@ def test_to_fits_mission_style_primary_header(tmp_path):
     from lightkurve_tpu.io.fits import open_fits
     back = open_fits(path)
     assert back[0].header["RADESYS"] == "ICRS"
+
+
+def test_comment_cards_roundtrip(tmp_path):
+    """COMMENT/HISTORY are commentary cards: repeatable, text-carrying,
+    and surfaced as joined text by Header.get (astropy semantics —
+    detect_filetype identifies EVEREST files by their COMMENT text,
+    reference io/detect.py)."""
+    h = Header({"TELESCOP": "Kepler", "COMMENT": "EVEREST pipeline"})
+    h["COMMENT"] = "second line"
+    assert h.get("COMMENT") == "EVEREST pipeline\nsecond line"
+    table = BinTableHDU(data={"TIME": np.arange(3.0),
+                              "FLUX": np.ones(3, np.float32)},
+                        header=Header({"EXTNAME": "LIGHTCURVE"}))
+    path = str(tmp_path / "comments.fits")
+    write_fits(HDUList([PrimaryHDU(header=h), table]), path)
+    from lightkurve_tpu.io.fits import open_fits
+    h0 = open_fits(path)[0].header
+    assert "EVEREST pipeline" in h0.get("COMMENT")
+    assert "second line" in h0.get("COMMENT")
+    from lightkurve_tpu.io.detect import detect_filetype
+    assert detect_filetype(open_fits(path)) == "EVEREST"

@@ -115,3 +115,29 @@ def test_preprocess_lc():
     assert clean.flux.unit == dimensionless
     np.testing.assert_allclose(np.median(np.asarray(clean.flux.value)),
                                1.0, rtol=1e-3)
+
+
+def test_malformed_notebook_url():
+    """Mirrors reference test_interact.py/test_interact_bls.py::
+    test_malformed_notebook_url: an empty notebook_url raises the
+    'Empty host value' contract (the reference surfaces it from bokeh;
+    here finalize_notebook_url validates directly)."""
+    import pytest
+    from lightkurve_tpu.utils import finalize_notebook_url
+    with pytest.raises(ValueError, match="Empty host value"):
+        finalize_notebook_url("")
+    assert finalize_notebook_url("myhost:9999") == "myhost:9999"
+    assert finalize_notebook_url(None) == "localhost:8888"
+
+
+def test_graceful_exit_outside_notebook():
+    """Mirrors reference test_graceful_exit_outside_notebook: invoking
+    the interact widget outside a notebook must not crash (the reference
+    returns None from the bokeh app; the redesigned static panel returns
+    its figure handle — the contract is graceful execution)."""
+    import matplotlib
+    from tests.synthetic import make_synthetic_tpf
+    tpf = make_synthetic_tpf(n_cadences=6)
+    result = tpf.interact()
+    assert result is not None
+    matplotlib.pyplot.close("all")

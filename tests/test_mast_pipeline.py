@@ -224,8 +224,9 @@ def transport(tmp_path):
 
 
 def test_exact_kic_search_quarters(transport):
-    """Mirrors reference tests/test_search.py:45-74: KIC 11904151 in 15
-    long-cadence quarters; quarter=11 hits, quarter=12 empty."""
+    """Mirrors reference test_search_targetpixelfile
+    (tests/test_search.py:45-74): KIC 11904151 in 15 long-cadence
+    quarters; quarter=11 hits, quarter=12 empty."""
     sr = search_targetpixelfile("KIC 11904151", mission="Kepler",
                                 cadence="long", transport=transport)
     assert len(sr) == 15
@@ -584,3 +585,15 @@ def test_display_extra_columns_nonexistent(transport):
     assert "foo_col" not in repr(sr)
     sr.display_extra_columns = ["sequence_number"]
     assert "sequence_number" in repr(sr)
+
+
+def test_name_resolving_regression_764(transport):
+    """Mirrors reference test_name_resolving_regression_764 (#764,
+    skipped upstream): 'EPIC250105131' and 'EPIC 250105131' must resolve
+    identically — the id regex treats the space as optional, so both hit
+    the same exact target_name query."""
+    for target in ("EPIC 202975993", "EPIC202975993", "epic202975993"):
+        sr = search_targetpixelfile(target, campaign=11,
+                                    transport=transport)
+        assert len(sr) == 2, target
+        assert sr.table[0]["target_name"] == "ktwo202975993"
