@@ -124,12 +124,14 @@ def _align_to_lc(lc, ref_lc):
 def underfit_metric_neighbors(corrected_lc, radius=6000, min_targets=30,
                               max_targets=50, interpolate=False,
                               extrapolate=False, quality_bitmask="default",
-                              neighbor_flux=None):
+                              neighbor_flux=None, transport=None):
     """Under-fitting metric in [0, 1] (reference ``metrics.py:126-255``).
 
     ``neighbor_flux`` : optional list of flux arrays (already aligned to the
-    corrected light curve's cadences).  When omitted, neighbors are
-    downloaded from MAST — which requires network access.
+    corrected light curve's cadences).  When omitted, neighbors come from
+    the archive search — through ``transport`` (e.g. a
+    :class:`~lightkurve_tpu.mast.RecordedMASTTransport`) when given or
+    ambient, else live MAST (network).
     """
     corrected_lc = corrected_lc.copy().remove_nans().normalize() - 1.0
     flux = corrected_lc.flux.value
@@ -138,7 +140,8 @@ def underfit_metric_neighbors(corrected_lc, radius=6000, min_targets=30,
         neighbor_flux = _download_and_preprocess_neighbors(
             corrected_lc, radius=radius, min_targets=min_targets,
             max_targets=max_targets, interpolate=interpolate,
-            extrapolate=extrapolate, quality_bitmask=quality_bitmask)
+            extrapolate=extrapolate, quality_bitmask=quality_bitmask,
+            transport=transport)
     if len(neighbor_flux) < 1:
         raise MinTargetsError("No neighboring targets available")
     if not np.all([len(neighbor_flux[0]) == len(f) for f in neighbor_flux]):
@@ -170,10 +173,12 @@ def _download_and_preprocess_neighbors(corrected_lc, radius=6000,
                                        min_targets=30, max_targets=50,
                                        interpolate=False, extrapolate=False,
                                        flux_column="sap_flux",
-                                       quality_bitmask="default"):
+                                       quality_bitmask="default",
+                                       transport=None):
     """Download neighboring SAP light curves and align them to
-    ``corrected_lc`` (reference ``metrics.py:280-450``).  Requires network
-    access to MAST."""
+    ``corrected_lc`` (reference ``metrics.py:280-450``).  Runs against
+    ``transport`` when given (recorded fixtures work offline); else live
+    MAST."""
     from ..search import search_lightcurve
     target = corrected_lc.meta.get("TARGETID") or corrected_lc.meta.get(
         "LABEL")
@@ -183,7 +188,7 @@ def _download_and_preprocess_neighbors(corrected_lc, radius=6000,
     search = search_lightcurve(
         str(target), radius=radius,
         mission=corrected_lc.meta.get("MISSION"), limit=max_targets + 1,
-        author=("Kepler", "K2", "SPOC"))
+        author=("Kepler", "K2", "SPOC"), transport=transport)
     if len(search) - 1 < min_targets:
         raise MinTargetsError(
             f"Only {max(len(search) - 1, 0)} neighbors found; "

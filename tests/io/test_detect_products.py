@@ -349,3 +349,78 @@ def test_read_everest_cadn(tmp_path):
     lc = read_everest_lightcurve(path)
     np.testing.assert_array_equal(np.asarray(lc["cadenceno"]),
                                   np.arange(500, 500 + n))
+
+
+def test_detect_and_read_pathos(tmp_path, rng):
+    """Mirrors reference io/test_pathos.py::test_detect_pathos and
+    ::test_read_pathos on a synthetic file: PATHOS detection via its
+    column signature, every PSF/AP# flux extension selectable with
+    FLUX_ORIGIN recorded, time/flux consistent with the file through
+    QUALITY_MASK, and distinct extensions giving distinct fluxes."""
+    from numpy.testing import assert_array_equal
+    from lightkurve_tpu.io.readers import read_pathos_lightcurve
+    from lightkurve_tpu.io import open_fits
+    n = 30
+    exts = ["PSF_FLUX_RAW", "PSF_FLUX_COR"]
+    exts += [f"AP{ap}_FLUX_RAW" for ap in (1, 2, 3, 4)]
+    exts += [f"AP{ap}_FLUX_COR" for ap in (1, 2, 3, 4)]
+    cols = {e: np.full(n, 10.0 + i, np.float32)
+            for i, e in enumerate(exts)}
+    cols["SKY_LOCAL"] = np.ones(n, np.float32)
+    cols["DQUALITY"] = np.zeros(n, np.int32)
+    table = _base_table(cols=cols)
+    path = _write(tmp_path, "pathos.fits",
+                  {"TELESCOP": "TESS", "TICID": 93270923, "SECTOR": 8},
+                  table)
+    hdul = open_fits(path)
+    assert detect_filetype(hdul) == "PATHOS"
+    fluxes = []
+    for ext in exts:
+        lc = read_pathos_lightcurve(path, flux_column=ext)
+        assert type(lc).__name__ == "TessLightCurve"
+        assert lc.meta["FLUX_ORIGIN"] == ext.lower()
+        assert_array_equal(
+            np.asarray(hdul[1].data["TIME"])[lc.meta["QUALITY_MASK"]],
+            lc.time.value)
+        assert_array_equal(
+            np.asarray(hdul[1].data[ext])[lc.meta["QUALITY_MASK"]],
+            lc.flux.value)
+        fluxes.append(np.asarray(lc.flux.value))
+    for i in range(len(fluxes) - 1):
+        assert not np.array_equal(fluxes[i], fluxes[i + 1])
+
+
+def test_gsfc_eleanor_lite(tmp_path):
+    """Mirrors reference io/test_eleanor.py::test_gsfc_eleanor_lite on a
+    synthetic file: GSFC-ELEANOR-LITE author detection, corr_flux
+    selection, the two extra eleanor quality bits (2^17/2^18) surviving
+    'default' but removed by 'hardest', and integer cadence numbers."""
+    from lightkurve_tpu.io.readers import read_eleanor_lightcurve
+    from lightkurve_tpu.io import open_fits
+    n = 30
+    quality = np.zeros(n, np.int32)
+    quality[3] = 2 ** 17
+    quality[4] = 2 ** 18
+    cols = {"CORR_FLUX": np.linspace(0.9, 1.1, n).astype(np.float32),
+            "RAW_FLUX": np.ones(n, np.float32),
+            "FLUX_ERR": np.full(n, 0.1, np.float32),
+            "QUALITY": quality,
+            "X_CENTROID": np.ones(n, np.float32),
+            "Y_CENTROID": np.ones(n, np.float32),
+            "FFIINDEX": np.arange(n, dtype=float)}
+    path = _write(tmp_path, "gsfc.fits",
+                  {"TELESCOP": "TESS", "LITE": True,
+                   "PCORIGIN": "POSTCARD", "TVERSION": "1.0",
+                   "GITHUB": "https://github.com/afeinstein20/eleanor",
+                   "TICID": 336732616, "SECTOR": 1},
+                  _base_table(cols=cols))
+    hdul = open_fits(path)
+    assert detect_filetype(hdul) == "ELEANOR"
+    lc = read_eleanor_lightcurve(path, quality_bitmask="default")
+    assert lc.meta["AUTHOR"] == "GSFC-ELEANOR-LITE"
+    assert lc.meta["FLUX_ORIGIN"] == "corr_flux"
+    q = np.asarray(lc["quality"])
+    assert ((q & 2 ** 17) != 0).any() and ((q & 2 ** 18) != 0).any()
+    lc = read_eleanor_lightcurve(path, quality_bitmask="hardest")
+    assert not (np.asarray(lc["quality"]) & (2 ** 17 | 2 ** 18)).any()
+    assert np.issubdtype(np.asarray(lc["cadenceno"]).dtype, np.integer)
