@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 
 import numpy as np
 
@@ -845,6 +846,19 @@ def export_interact_sky_html(tpf, path, catalog=None, magnitude_limit=18.0,
     # normalize the catalog to column arrays
     if catalog is None:
         catalog = {}
+    if isinstance(catalog, (str, os.PathLike)):
+        # a locally-saved catalog file (e.g. a Gaia archive cone-search
+        # export): .json = dict of columns / list of rows; .csv = header
+        # row of column names then numeric rows
+        cpath = os.fspath(catalog)
+        if cpath.lower().endswith(".json"):
+            with open(cpath) as f:
+                catalog = json.load(f)
+        else:
+            import csv
+            with open(cpath, newline="") as f:
+                rows = list(csv.DictReader(f))
+            catalog = rows
     if isinstance(catalog, (list, tuple)):
         cols = {}
         for row in catalog:
