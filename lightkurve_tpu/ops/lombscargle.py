@@ -550,24 +550,44 @@ _PRE_CACHE = {}
 _PRE_CACHE_MAX = 64
 
 
+def _tracing_active():
+    """True when called under a jax trace (jit/vmap/shard_map): committed
+    device arrays must not be returned there — a cached concrete array
+    fed into e.g. a ShardMapTracer context raises; embedding host
+    constants (the pre-cache behavior) is always safe."""
+    from jax._src import core as _core
+    return type(_core.trace_ctx.trace).__name__ != "EvalTrace"
+
+
 def _fast_precompute_device(t, f0, df, Nf, oversampling, Mfft, dtype):
     """Cached :func:`fast_precompute` with arrays staged for the device
-    (xi int32; frac/phases in ``dtype``)."""
+    (xi int32; frac/phases in ``dtype``).
+
+    Two cache levels: the host float64 trig (the ~10 ms per-call cost)
+    is always memoized; the device-committed copies are memoized only
+    when NOT under a jax trace (inside jit/shard_map the host arrays are
+    embedded as constants instead)."""
     t = np.asarray(t)
-    key = (hash(t.tobytes()), t.shape, float(f0), float(df), int(Nf),
-           int(oversampling), int(Mfft), np.dtype(dtype).name)
+    base_key = (hash(t.tobytes()), t.shape, float(f0), float(df), int(Nf),
+                int(oversampling), int(Mfft), np.dtype(dtype).name)
+    pre = _PRE_CACHE.get(("host",) + base_key)
+    if pre is None:
+        pre = fast_precompute(t, f0, df, Nf, oversampling, Mfft)
+        pre = dict(pre, frac=pre["frac"].astype(dtype),
+                   ph_hr=pre["ph_hr"].astype(dtype),
+                   ph_hi=pre["ph_hi"].astype(dtype),
+                   ph_fr=pre["ph_fr"].astype(dtype),
+                   ph_fi=pre["ph_fi"].astype(dtype))
+        if len(_PRE_CACHE) >= _PRE_CACHE_MAX:
+            _PRE_CACHE.pop(next(iter(_PRE_CACHE)))
+        _PRE_CACHE[("host",) + base_key] = pre
+    if _tracing_active():
+        return pre                       # embedded as trace constants
+    key = ("dev",) + base_key
     hit = _PRE_CACHE.get(key)
     if hit is None:
-        pre = fast_precompute(t, f0, df, Nf, oversampling, Mfft)
-        hit = dict(
-            Nfft=pre["Nfft"],
-            xi=jnp.asarray(pre["xi"]),
-            frac=jnp.asarray(pre["frac"], dtype=dtype),
-            ph_hr=jnp.asarray(pre["ph_hr"], dtype=dtype),
-            ph_hi=jnp.asarray(pre["ph_hi"], dtype=dtype),
-            ph_fr=jnp.asarray(pre["ph_fr"], dtype=dtype),
-            ph_fi=jnp.asarray(pre["ph_fi"], dtype=dtype),
-        )
+        hit = {k: (v if k == "Nfft" else jnp.asarray(v, dtype=(
+            None if k == "xi" else dtype))) for k, v in pre.items()}
         if len(_PRE_CACHE) >= _PRE_CACHE_MAX:
             _PRE_CACHE.pop(next(iter(_PRE_CACHE)))
         _PRE_CACHE[key] = hit
