@@ -364,6 +364,20 @@ def _find_or_download_cbv_file(cbv_dir, mission="Kepler", quarter=None,
         if mission == "TESS":
             pats = [f"*s{sector:04d}*{camera}-{ccd}*cbv*.fits",
                     "*cbv*.fits"]
+            # 20-s targets have their own CBV products, published under
+            # the *_fast-cbv listings (reference cbvcorrector.py:1946);
+            # select by the 'fast' filename marker
+            def _is_fast(p):
+                return "fast" in os.path.basename(p).lower()
+            for pat in pats:
+                hits = sorted(glob.glob(os.path.join(cbv_dir, pat)))
+                hits = [h for h in hits if _is_fast(h) == bool(
+                    fast_cadence)]
+                if hits:
+                    return hits[0]
+            raise LightkurveError(
+                f"No {'fast-cadence ' if fast_cadence else ''}CBV file "
+                f"found in {cbv_dir}")
         else:
             qc = quarter if quarter is not None else campaign
             pats = [f"*q{qc:02d}*lcbv.fits" if mission == "Kepler"
@@ -398,6 +412,10 @@ class CBVCorrector(RegressionCorrector):
         if extrapolate_cbvs and not interpolate_cbvs:
             raise LightkurveError("interpolate_cbvs must be True if "
                                   "extrapolate_cbvs is True")
+        # 20-s products get their own CBVs: auto-detect by the product
+        # filename, like the reference (cbvcorrector.py:136-138)
+        if "fast" in str(lc.meta.get("FILENAME") or "").lower():
+            fast_cadence = True
         lc = lc.remove_nans()
         super().__init__(lc)
 

@@ -254,3 +254,46 @@ def test_CotrendingBasisVectors_nonretrieval():
     assert np.all(np.asarray(interp["VECTOR_1"])[outside] == 0.0)
     interp = cbvs.interpolate(sample_lc, extrapolate=True)
     assert np.all(np.asarray(interp["VECTOR_1"])[outside] != 0.0)
+
+
+def _write_cbv_file(tmp_path, name, dt_days):
+    t = 1500.0 + np.arange(N_CAD) * dt_days
+    v1, v2, v3 = _cbv_vectors(t)
+    table = BinTableHDU(data={
+        "TIME": t,
+        "CADENCENO": np.arange(100, 100 + N_CAD, dtype=np.int32),
+        "GAP": np.zeros(N_CAD, dtype=np.uint8),
+        "VECTOR_1": v1.astype(np.float32),
+        "VECTOR_2": v2.astype(np.float32),
+        "VECTOR_3": v3.astype(np.float32),
+    }, header=Header({"EXTNAME": "CBV.single-scale.2.4"}))
+    ph = Header({"TELESCOP": "TESS", "SECTOR": 10, "CAMERA": 2, "CCD": 4})
+    path = str(tmp_path / name)
+    write_fits(HDUList([PrimaryHDU(header=ph), table]), path)
+    return path
+
+
+def test_CBV_cadence(tmp_path, rng):
+    """Mirrors reference test_correctors.py::test_CBV_cadence: separate
+    CBVs exist for 20-s and 2-min products; the corrector selects by
+    cadence — auto-detected from a 'fast' product filename like the
+    reference (cbvcorrector.py:136-138)."""
+    _write_cbv_file(tmp_path, "tess2019-s0010-2-4-0140-s_cbv.fits",
+                    2.0 / 60 / 24)
+    _write_cbv_file(tmp_path, "tess2019-s0010-2-4-0140-s_fast-cbv.fits",
+                    20.0 / 86400.0)
+    cbv_dir = str(tmp_path)
+
+    def median_cadence_s(cbvs):
+        tv = np.asarray(cbvs.time.value, dtype=float)
+        return float(np.median(np.diff(tv))) * 86400.0
+
+    lc_fast = make_lc_with_systematics(rng)
+    lc_fast.meta["FILENAME"] = "tess2019-s0010-0000000042-fast-lc.fits"
+    corr = CBVCorrector(lc_fast, cbv_dir=cbv_dir)
+    assert np.isclose(median_cadence_s(corr.cbvs[0]), 20.0, rtol=0.01)
+
+    lc_reg = make_lc_with_systematics(rng)
+    lc_reg.meta["FILENAME"] = "tess2019-s0010-0000000042-s_lc.fits"
+    corr = CBVCorrector(lc_reg, cbv_dir=cbv_dir)
+    assert np.isclose(median_cadence_s(corr.cbvs[0]), 120.0, rtol=0.01)

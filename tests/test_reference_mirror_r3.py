@@ -788,3 +788,13 @@ def test_lightcurvefile_repr(tmp_path):
     lcf = TessLightCurve.read(path)
     str(lcf)
     repr(lcf)
+
+
+def test_to_corrector():
+    """Mirrors reference test_correctors.py::test_to_corrector (gated
+    remote upstream only because its fixture TPF downloads from MAST):
+    tpf.to_corrector('pld').correct() returns a light curve of the TPF's
+    length."""
+    tpf = make_synthetic_tpf(n_cadences=120, mission="TESS")
+    lc = tpf.to_corrector("pld").correct()
+    assert len(lc.flux) == len(tpf.time)
