@@ -196,3 +196,80 @@ def show_skyview_widget(tpf, *args, **kwargs):
         "Gaia archive, which are unavailable in this environment. "
         "Pass html='path.html' and an offline `catalog` to write a "
         "standalone sky widget instead.")
+
+
+def merge_nearby_tics(catalog, tic_entries):
+    """Merge a TIC nearby-target report into a Gaia-style catalog.
+
+    Offline equivalent of the reference's ``_add_nearby_tics_if_tess``
+    (``interact.py:121-220``), which crossmatches the ExoFOP "nearby
+    target" report against the Gaia overlay of ``interact_sky``:
+
+    - TIC rows carrying a Gaia source id that matches an existing
+      catalog row annotate that row with ``tic`` (and ``tmag`` when
+      present);
+    - TIC rows without a Gaia counterpart are APPENDED as new sources
+      with ``source_id = 0`` (their position comes from the report);
+    - id columns of "weird" dtypes (strings, objects, missing values —
+      the reference's pd.Int64Dtype regression, test_interact_sky
+      _functions_add_nearby_tics_weird_dtype) are normalized via a
+      tolerant per-value integer parse.
+
+    Parameters
+    ----------
+    catalog : dict of arrays / list of row dicts
+        Gaia-style catalog with ``ra``/``dec`` and ``id``/``source_id``.
+    tic_entries : list of row dicts
+        Nearby-TIC report rows: ``tic`` (id), optional ``gaia_id``,
+        ``ra``/``dec`` (deg), optional ``tmag``.
+
+    Returns
+    -------
+    (catalog, extra_columns, tooltip_extras) : the merged column dict,
+    the names of the added columns, and tooltip label/field pairs —
+    mirroring the reference helper's return shape.
+    """
+    def _to_int(v):
+        try:
+            iv = int(float(v))
+            return iv
+        except (TypeError, ValueError):
+            return 0
+
+    if isinstance(catalog, (list, tuple)):
+        cols = {}
+        for row in catalog:
+            for k, v in dict(row).items():
+                cols.setdefault(k, []).append(v)
+        catalog = cols
+    cat = {k.lower(): list(np.atleast_1d(v))
+           for k, v in dict(catalog or {}).items()}
+    n = len(cat.get("ra", []))
+    id_key = "id" if "id" in cat else "source_id"
+    ids = [_to_int(v) for v in cat.get(id_key, [0] * n)]
+    cat[id_key] = ids
+    cat.setdefault("ra", [np.nan] * n)
+    cat.setdefault("dec", [np.nan] * n)
+    cat["tic"] = [""] * n
+    cat["tmag"] = [np.nan] * n
+
+    by_gaia = {g: i for i, g in enumerate(ids) if g}
+    for row in tic_entries or []:
+        row = dict(row)
+        tic = str(row.get("tic", row.get("TIC", "")))
+        gid = _to_int(row.get("gaia_id", row.get("GAIA", 0)))
+        tmag = row.get("tmag", row.get("Tmag", np.nan))
+        if gid and gid in by_gaia:
+            i = by_gaia[gid]
+            cat["tic"][i] = tic
+            cat["tmag"][i] = tmag
+        else:
+            new_row = {id_key: 0, "ra": row.get("ra", np.nan),
+                       "dec": row.get("dec", np.nan), "tic": tic,
+                       "tmag": tmag}
+            for k in cat:
+                cat[k].append(new_row.get(k, "" if k == "tic"
+                                          else np.nan))
+    extras = ["tic", "tmag"]
+    tooltips = [("TIC", "@tic"), ("Tmag", "@tmag")]
+    return cat, extras, tooltips

@@ -817,7 +817,8 @@ draw();
 
 
 def export_interact_sky_html(tpf, path, catalog=None, magnitude_limit=18.0,
-                             aperture_mask="empty", catalog_epoch=2016.0):
+                             aperture_mask="empty", catalog_epoch=2016.0,
+                             tic_catalog=None):
     """Write a standalone sky-view widget over the TPF to ``path``.
 
     Offline-catalog variant of the reference's Gaia widget
@@ -865,6 +866,10 @@ def export_interact_sky_html(tpf, path, catalog=None, magnitude_limit=18.0,
             for k, v in dict(row).items():
                 cols.setdefault(k, []).append(v)
         catalog = cols
+    if tic_catalog:
+        # merge a nearby-TIC report (reference _add_nearby_tics_if_tess)
+        from .interact import merge_nearby_tics
+        catalog, _, _ = merge_nearby_tics(catalog, tic_catalog)
     get = {k.lower(): np.atleast_1d(np.asarray(v))
            for k, v in dict(catalog).items()}
     ra = np.asarray(get.get("ra", []), dtype=float)

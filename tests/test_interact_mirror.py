@@ -141,3 +141,47 @@ def test_graceful_exit_outside_notebook():
     result = tpf.interact()
     assert result is not None
     matplotlib.pyplot.close("all")
+
+
+def test_interact_sky_functions_add_nearby_tics():
+    """Mirrors reference test_interact_sky_functions_add_nearby_tics:
+    merging a nearby-TIC report into the Gaia catalog annotates matched
+    Gaia rows with their TIC and appends TIC-only rows with Source=0."""
+    import numpy as np
+    from lightkurve_tpu.interact import merge_nearby_tics
+    gaia = {"source_id": [111, 222, 333],
+            "ra": [10.0, 10.001, 10.002],
+            "dec": [-5.0, -5.001, -5.002],
+            "gmag": [12.0, 13.0, 14.0]}
+    tics = [
+        {"tic": "900001", "gaia_id": 222, "tmag": 12.8},  # Gaia match
+        {"tic": "900002", "ra": 10.003, "dec": -5.003,    # TIC-only
+         "tmag": 15.2},
+    ]
+    cat, extras, tooltips = merge_nearby_tics(gaia, tics)
+    src = np.asarray(cat["source_id"])
+    tic = np.asarray(cat["tic"])
+    # existing Gaia entries annotated with tic data
+    assert ((src > 0) & (tic != "")).sum() > 0
+    # new TIC-only entries appended with no Gaia id
+    assert ((src == 0) & (tic != "")).sum() > 0
+    assert "tic" in extras and ("TIC", "@tic") in tooltips
+    # position of the appended row carried through
+    i = int(np.nonzero(src == 0)[0][0])
+    assert cat["ra"][i] == 10.003
+
+
+def test_interact_sky_functions_add_nearby_tics_weird_dtype():
+    """Mirrors reference ..._weird_dtype: id columns arriving as
+    strings/objects/None (the pd.Int64Dtype regression) merge without
+    error."""
+    import numpy as np
+    from lightkurve_tpu.interact import merge_nearby_tics
+    gaia = {"source_id": np.array(["111", "", None], dtype=object),
+            "ra": [1.0, 2.0, 3.0], "dec": [0.0, 0.0, 0.0]}
+    tics = [{"tic": "7", "gaia_id": "111"},
+            {"tic": "8", "gaia_id": None, "ra": 4.0, "dec": 0.0}]
+    cat, _, _ = merge_nearby_tics(gaia, tics)
+    tic = np.asarray(cat["tic"])
+    assert (tic != "").sum() == 2
+    assert cat["tic"][0] == "7"          # matched despite string ids
