@@ -38,7 +38,7 @@ import os
 
 import numpy as np
 
-from .utils import LightkurveError
+from .utils import LightkurveError, LightkurveWarning
 
 __all__ = ["export_interact_bls_html", "export_interact_html",
            "export_interact_echelle_html", "export_interact_sky_html"]
@@ -867,9 +867,18 @@ def export_interact_sky_html(tpf, path, catalog=None, magnitude_limit=18.0,
                 cols.setdefault(k, []).append(v)
         catalog = cols
     if tic_catalog:
-        # merge a nearby-TIC report (reference _add_nearby_tics_if_tess)
-        from .interact import merge_nearby_tics
-        catalog, _, _ = merge_nearby_tics(catalog, tic_catalog)
+        # merge a nearby-TIC report (reference _add_nearby_tics_if_tess);
+        # a failing report degrades to a warning, never an exception —
+        # the widget still renders with the Gaia-only catalog (reference
+        # test_interact_sky_functions_case_nearby_tics_failed)
+        import warnings as _warnings
+        try:
+            from .interact import merge_nearby_tics
+            catalog, _, _ = merge_nearby_tics(catalog, tic_catalog)
+        except Exception as exc:
+            _warnings.warn(
+                f"nearby-TIC catalog merge failed ({exc}); continuing "
+                "without TIC annotations", LightkurveWarning)
     get = {k.lower(): np.atleast_1d(np.asarray(v))
            for k, v in dict(catalog).items()}
     ra = np.asarray(get.get("ra", []), dtype=float)

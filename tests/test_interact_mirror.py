@@ -185,3 +185,33 @@ def test_interact_sky_functions_add_nearby_tics_weird_dtype():
     tic = np.asarray(cat["tic"])
     assert (tic != "").sum() == 2
     assert cat["tic"][0] == "7"          # matched despite string ids
+
+
+def test_interact_sky_functions_case_nearby_tics_failed(tmp_path):
+    """Mirrors reference ..._case_nearby_tics_failed: when the nearby-TIC
+    report is unusable, interact_sky still renders (Gaia-only) with a
+    warning instead of raising."""
+    import warnings
+
+    import pytest
+    from tests.synthetic import make_synthetic_tpf
+    from lightkurve_tpu.interact_html import export_interact_sky_html
+    from lightkurve_tpu.utils import LightkurveWarning
+
+    class Broken:
+        def __iter__(self):
+            raise IOError("simulated service unavailable")
+
+        def __bool__(self):
+            return True
+
+    tpf = make_synthetic_tpf(n_cadences=5)
+    ra0, dec0 = tpf.wcs.pixel_to_world(2.0, 2.0)
+    catalog = {"ra": [float(ra0)], "dec": [float(dec0)], "gmag": [12.0],
+               "source_id": [77]}
+    path = str(tmp_path / "sky_failed_tics.html")
+    with pytest.warns(LightkurveWarning, match="nearby-TIC"):
+        out = export_interact_sky_html(tpf, path, catalog=catalog,
+                                       tic_catalog=Broken())
+    assert out == path
+    assert "77" in open(path).read()
