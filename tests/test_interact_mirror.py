@@ -215,3 +215,31 @@ def test_interact_sky_functions_case_nearby_tics_failed(tmp_path):
                                        tic_catalog=Broken())
     assert out == path
     assert "77" in open(path).read()
+
+
+def test_interact_functions(tmp_path):
+    """Mirrors reference test_interact_functions: the interact helpers
+    run across mission flavors and aperture masks without error (the
+    reference exercises its bokeh datasource/figure builders; here the
+    static-panel and HTML exporters are the equivalents)."""
+    import matplotlib
+    from tests.synthetic import make_synthetic_tpf
+    from lightkurve_tpu.interact import show_interact_widget
+    from lightkurve_tpu.interact_html import export_interact_sky_html
+
+    for mission in ("Kepler", "TESS"):
+        tpf = make_synthetic_tpf(n_cadences=8, mission=mission)
+        for mask in ("default", "threshold", "all"):
+            fig = show_interact_widget(tpf, aperture_mask=mask)
+            assert fig is not None
+        # the Gaia-overlay equivalent with and without a magnitude limit
+        ra0, dec0 = tpf.wcs.pixel_to_world(2.0, 2.0)
+        cat = {"ra": [float(ra0)], "dec": [float(dec0)], "gmag": [21.0],
+               "source_id": [5]}
+        p1 = export_interact_sky_html(
+            tpf, str(tmp_path / f"{mission}_sky.html"), catalog=cat)
+        p2 = export_interact_sky_html(
+            tpf, str(tmp_path / f"{mission}_sky22.html"), catalog=cat,
+            magnitude_limit=22)
+        assert p1 != p2
+    matplotlib.pyplot.close("all")
