@@ -243,3 +243,40 @@ def test_interact_functions(tmp_path):
             magnitude_limit=22)
         assert p1 != p2
     matplotlib.pyplot.close("all")
+
+
+def _bls_demo_lc(mission):
+    import numpy as np
+    from lightkurve_tpu import KeplerLightCurve, TessLightCurve
+    rng = np.random.default_rng(11)
+    t = np.arange(0, 18, 0.02)
+    f = 1.0 + 3e-4 * rng.standard_normal(t.size)
+    ph = np.mod(t - 0.7 + 2.2 / 2, 2.2) - 2.2 / 2
+    f[np.abs(ph) < 0.06] -= 6e-3
+    cls = KeplerLightCurve if mission == "Kepler" else TessLightCurve
+    lc = cls(time=t, flux=f, flux_err=np.full(t.size, 3e-4))
+    lc.meta["MISSION"] = mission
+    return lc.normalize().remove_nans().flatten()
+
+
+def test_full_widget():
+    """Mirrors reference test_interact_bls.py::test_full_widget: the
+    interact_bls entry point runs with every keyword form."""
+    import matplotlib
+    lc = _bls_demo_lc("Kepler")
+    assert lc.interact_bls(resolution=400) is not None
+    assert lc.interact_bls(minimum_period=1.5, resolution=400) is not None
+    assert lc.interact_bls(maximum_period=5, resolution=400) is not None
+    matplotlib.pyplot.close("all")
+
+
+def test_tess_widget(tmp_path):
+    """Mirrors reference test_interact_bls.py::test_tess_widget on a
+    TESS-flavored curve, including the standalone HTML form."""
+    import matplotlib
+    lc = _bls_demo_lc("TESS")
+    assert lc.interact_bls(resolution=400) is not None
+    out = lc.interact_bls(resolution=400,
+                          html=str(tmp_path / "bls.html"))
+    assert str(out).endswith("bls.html")
+    matplotlib.pyplot.close("all")
