@@ -837,6 +837,12 @@ def export_interact_sky_html(tpf, path, catalog=None, magnitude_limit=18.0,
 
     Returns the path written.
     """
+    if not getattr(tpf, "has_wcs", True):
+        # reference add_gaia_figure_elements raises here too
+        # (test_interact_sky_functions_case_no_target_coordinate)
+        raise LightkurveError(
+            "Cannot render a sky overlay: the TPF carries no valid "
+            "coordinate system (no tabular WCS keywords).")
     cube = np.asarray(getattr(tpf.flux, "value", tpf.flux), dtype=np.float64)
     R, C = cube.shape[1], cube.shape[2]
     with np.errstate(invalid="ignore", all="ignore"):

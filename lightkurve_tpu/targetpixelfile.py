@@ -281,6 +281,16 @@ class TargetPixelFile:
         return self._wcs
 
     @property
+    def has_wcs(self):
+        """True when the cadence table carries real tabular WCS keywords
+        (``1CRVL5``-style); :attr:`wcs` silently falls back to an
+        identity transform otherwise, which sky overlays must not trust
+        (reference interact.py raises 'no valid coordinate' there)."""
+        h = self._ext_header
+        return bool(h) and any(
+            k in h for k in ("1CRVL5", "1CTYP5", "2CRVL5"))
+
+    @property
     def nan_time_mask(self):
         return ~np.isfinite(self.time.value)
 

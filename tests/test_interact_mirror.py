@@ -280,3 +280,24 @@ def test_tess_widget(tmp_path):
                           html=str(tmp_path / "bls.html"))
     assert str(out).endswith("bls.html")
     matplotlib.pyplot.close("all")
+
+
+def test_interact_sky_functions_case_no_target_coordinate():
+    """Mirrors reference
+    test_interact_sky_functions_case_no_target_coordinate: a TPF without
+    a valid coordinate system must raise rather than render a sky
+    overlay against an identity WCS."""
+    import numpy as np
+    import pytest
+    from lightkurve_tpu.targetpixelfile import TargetPixelFileFactory
+    from lightkurve_tpu.interact_html import export_interact_sky_html
+    from lightkurve_tpu.utils import LightkurveError
+    fac = TargetPixelFileFactory(n_cadences=4, n_rows=5, n_cols=5)
+    for i in range(4):
+        fac.add_cadence(frameno=i, flux=np.ones((5, 5), np.float32),
+                        header={"TIME": float(i)})
+    tpf = fac.get_tpf()
+    assert not tpf.has_wcs
+    with pytest.raises(LightkurveError, match="coordinate"):
+        export_interact_sky_html(tpf, "/tmp/never.html",
+                                 catalog={"ra": [1.0], "dec": [1.0]})
