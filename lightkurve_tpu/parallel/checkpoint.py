@@ -23,6 +23,19 @@ _FIELDS = ("power", "depth", "depth_err", "depth_snr", "log_likelihood",
            "duration", "transit_time", "period")
 
 
+_SAVE_POOL = [None]
+
+
+def _save_pool():
+    """One shared checkpoint-writer thread per process (a per-runner
+    executor would leak an idle thread per batch in streaming sweeps)."""
+    if _SAVE_POOL[0] is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _SAVE_POOL[0] = ThreadPoolExecutor(
+            1, thread_name_prefix="lk-sweep-ckpt")
+    return _SAVE_POOL[0]
+
+
 def _reduce_winner(out, n_valid):
     """Device-side winner reduction: ONE stacked (F, B) array so the
     host pulls a single small buffer instead of 8 (B, P_chunk) grids."""
@@ -162,10 +175,8 @@ class SweepRunner:
         if not self.async_save:
             self._write_npz(payload)
             return
-        from concurrent.futures import ThreadPoolExecutor
         if self._save_pool is None:
-            self._save_pool = ThreadPoolExecutor(
-                1, thread_name_prefix="lk-sweep-ckpt")
+            self._save_pool = _save_pool()
         if self._pending_save is not None:
             self._pending_save.result()            # one write in flight
         self._pending_save = self._save_pool.submit(self._write_npz,

@@ -206,9 +206,29 @@ def test_uniform_kernel_padding_rows_sort_last():
     assert int(np.argmax(power.max(axis=1))) == 0
 
 
+@pytest.fixture
+def fresh_jax_caches():
+    """Release compiled executables before Pallas-interpret tests.
+
+    The Mosaic interpreter has been observed to SEGFAULT when invoked
+    late in a long single-process pytest run (after ~450 tests'
+    accumulated compilation state; reproducibly at
+    test_fused_pallas_matches_xla in a full `pytest tests/` run, never
+    when the module runs alone).  Clearing jax's compilation caches
+    before entering interpret mode removes the accumulated state the
+    crash depends on."""
+    import gc
+
+    import jax
+    jax.clear_caches()
+    gc.collect()
+    yield
+
+
 @pytest.mark.parametrize("edge_mode", ["wrap", "astropy"])
 @pytest.mark.parametrize("objective", ["likelihood", "snr"])
-def test_fused_pallas_matches_xla(rng, edge_mode, objective):
+def test_fused_pallas_matches_xla(rng, edge_mode, objective,
+                                  fresh_jax_caches):
     """The fully-fused Pallas BLS pipeline (interpret mode on CPU)
     matches the XLA staged path on every output, both edge conventions
     and objectives, including lane-tile 256 and inf-padding rows."""
@@ -234,7 +254,7 @@ def test_fused_pallas_matches_xla(rng, edge_mode, objective):
                                       err_msg=k)
 
 
-def test_fused_pallas_lane_tile_256_and_padding(rng):
+def test_fused_pallas_lane_tile_256_and_padding(rng, fresh_jax_caches):
     """B=256 engages the 256-lane tile; all-inf dy rows (batch padding)
     sort last exactly as the XLA uniform kernel's."""
     from lightkurve_tpu.ops.bls import bls_power_shared_batch
