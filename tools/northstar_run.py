@@ -200,6 +200,10 @@ def main():
             # at).  Only COMPLETE (non-resumed) batches contribute; a
             # pre-existing manifest without timings yields None fields.
             **_steady_state_fields(manifest),
+            # per-batch walls make the cold/steady split auditable: the
+            # first batch carries XLA compile-cache loading and any
+            # remote-tunnel stalls; the rest are the production rate
+            "batch_seconds": manifest.get("batch_seconds", [])[:40],
             "hbm": hbm_stats(),
             "device": str(jax.devices()[0]),
             "note": ("measured end-to-end via StreamingStackLoader "
