@@ -108,6 +108,24 @@ def main():
     ap.add_argument("--max-seconds", type=float, default=500.0,
                     help="stop cleanly after this much wall-clock")
     args = ap.parse_args()
+    # hard watchdog: a wedged tunnel blocks device calls indefinitely,
+    # so the cooperative max-seconds check between chunks never runs.
+    # SIGALRM can't interrupt a blocked C call either, so a daemon
+    # thread exits the process; all sweep state is already on disk
+    # (per-chunk npz checkpoints + the manifest), so the run resumes.
+    import threading
+
+    def _bail():
+        print(f"watchdog: no clean exit after {args.max_seconds + 300:.0f}"
+              "s (tunnel stall?); state is resumable — re-run to continue",
+              flush=True)
+        os._exit(3)
+
+    # +300 s headroom covers a legitimately slow first-batch compile;
+    # daemon timer: never blocks a normal (earlier) exit
+    _timer = threading.Timer(args.max_seconds + 300, _bail)
+    _timer.daemon = True
+    _timer.start()
     os.makedirs(args.state_dir, exist_ok=True)
     manifest_path = os.path.join(args.state_dir, "manifest.json")
     manifest = {"batches_done": 0, "wall_s": 0.0, "recovered": 0,
