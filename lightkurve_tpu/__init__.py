@@ -59,6 +59,8 @@ _LAZY = {
     "search_targetpixelfile": ".search",
     "search_tesscut": ".search",
     "SearchResult": ".search",
+    "MASTTransport": ".mast",
+    "RecordedMASTTransport": ".mast",
     "LightCurveStack": ".batch",
     "StreamingStackLoader": ".io.pipeline",
     "TPFStack": ".batch",
