@@ -91,6 +91,97 @@ def _percurve_step_cached(method, durs_key, oversample, objective,
     return step
 
 
+_PREWARM_POOL = [None]
+
+
+def _prewarm_pool():
+    if _PREWARM_POOL[0] is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _PREWARM_POOL[0] = ThreadPoolExecutor(
+            8, thread_name_prefix="lk-sweep-prewarm")
+    return _PREWARM_POOL[0]
+
+
+def shared_sweep_geometries(periods, durations, chunk_periods,
+                            oversample=10):
+    """The distinct static (d_phase, nb_q) program geometries a shared
+    sweep over ``periods`` will use, in grid (= execution) order.
+
+    The shared-method step sizes its fold histogram per chunk (quantized
+    to a 128-row tile), so a sweep compiles one XLA program per distinct
+    quantized size — knowable up front from the grid alone.
+    """
+    periods = np.asarray(periods, dtype=np.float64)
+    durations = np.asarray(durations, dtype=np.float64)
+    d_phase = float(durations.min()) / oversample
+    k_max = max(int(max(int(d / d_phase + 0.5), 1)) for d in durations)
+    geoms, seen = [], set()
+    for lo in range(0, len(periods), chunk_periods):
+        chunk = periods[lo:lo + chunk_periods]
+        nb = int(np.ceil(float(np.max(chunk)) / d_phase))
+        tiles = max((nb + k_max - 1 + 127) // 128, 1)
+        nb_q = tiles * 128 - (k_max - 1)
+        if nb_q not in seen:
+            seen.add(nb_q)
+            geoms.append((d_phase, nb_q, chunk[: min(len(chunk),
+                                                     chunk_periods)]))
+    return geoms
+
+
+def prewarm_shared_sweep(n_targets, n_cadences, periods, durations,
+                         chunk_periods, oversample=10,
+                         objective="likelihood", dtype="float32",
+                         uniform_weights=True, wait=False):
+    """Compile every distinct chunk program of a shared-method sweep
+    CONCURRENTLY on background threads, before (or while) the data
+    arrives.
+
+    A production sector sweep streams many (B, N) batches through one
+    grid; all batches share the same handful of chunk programs.  The
+    big fused-BLS programs take ~1 min each to build through a remote
+    compile tunnel, and a cold process otherwise pays them serially,
+    in-line with the first batch.  Firing them on threads overlaps the
+    compiles with each other and with the host-side FITS parse of the
+    first batch; the persistent compile cache
+    (:func:`~lightkurve_tpu.config.enable_persistent_compile_cache`)
+    then makes later processes skip them entirely.
+
+    Returns the list of futures (each resolves when its program has
+    compiled and executed once on dummy data).  ``wait=True`` blocks.
+
+    No reference equivalent: the reference recompiles nothing (its BLS
+    is a one-shot Cython call, /root/reference/src/lightkurve/
+    periodogram.py:1161-1192) but pays the full objective in Python
+    serially per target instead.
+    """
+    import jax.numpy as jnp
+    durs_key = tuple(float(d) for d in np.asarray(durations, np.float64))
+    dtype_name = str(np.dtype(dtype))
+    geoms = shared_sweep_geometries(periods, durations, chunk_periods,
+                                    oversample)
+    jdt = jnp.dtype(dtype_name)
+    t_row = jnp.zeros((n_cadences,), jdt)
+    flux = jnp.ones((n_targets, n_cadences), jdt)
+    dy = jnp.ones((n_targets, n_cadences), jdt)
+    n_valid = jnp.asarray(1, np.int32)
+
+    def _one(d_phase, nb_q, chunk):
+        step = _shared_step_cached(durs_key, oversample, objective,
+                                   d_phase, nb_q, dtype_name,
+                                   uniform_weights=uniform_weights)
+        pvals = np.full(chunk_periods, chunk[-1], np.dtype(dtype_name))
+        pvals[:len(chunk)] = chunk
+        step(t_row, flux, dy, jnp.asarray(pvals), n_valid)[0]\
+            .block_until_ready()
+        return nb_q
+
+    futures = [_prewarm_pool().submit(_one, *g) for g in geoms]
+    if wait:
+        for f in futures:
+            f.result()
+    return futures
+
+
 class SweepRunner:
     """Chunked, resumable BLS sweep over a huge period grid.
 
@@ -129,6 +220,24 @@ class SweepRunner:
         self.next_chunk = 0
         if os.path.exists(checkpoint_path):
             self._load()
+
+    def prewarm(self, wait=False):
+        """Start compiling this sweep's distinct chunk programs on
+        background threads (shared method only; see
+        :func:`prewarm_shared_sweep`).  Safe to call at any point; the
+        sweep's own chunk steps block only on the program they need."""
+        if self.method != "shared" or self.mesh is not None:
+            return []
+        import jax.numpy as jnp
+        err = self.stack.flux_err
+        uniform = bool(jnp.all(self.stack.mask)) and bool(
+            jnp.all(err == err[:, :1]))
+        B, N = self.stack.flux.shape
+        return prewarm_shared_sweep(
+            B, N, self.periods, self.durations, self.chunk_periods,
+            oversample=self.oversample, objective=self.objective,
+            dtype=str(np.dtype(self.stack.flux.dtype)),
+            uniform_weights=uniform, wait=wait)
 
     @property
     def n_chunks(self):

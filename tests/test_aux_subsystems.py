@@ -137,6 +137,35 @@ def test_sweep_shared_method_matches_fast(tmp_path, rng):
                                rtol=1e-12)
 
 
+def test_sweep_prewarm_covers_all_chunk_programs(tmp_path, rng):
+    """prewarm() compiles exactly the distinct chunk programs a shared
+    sweep uses (the geometry enumeration matches the per-chunk sizing in
+    SweepRunner._make_step), and a prewarmed sweep is bit-identical."""
+    from lightkurve_tpu.parallel.checkpoint import (
+        shared_sweep_geometries, _shared_step_cached)
+    stack = _make_stack(rng, B=4)
+    periods = np.linspace(1.5, 3.5, 64)
+    durations = np.array([0.1])
+    geoms = shared_sweep_geometries(periods, durations, 16)
+    assert len(geoms) >= 2          # the sorted grid spans >1 tile size
+    plain = SweepRunner(stack, periods, durations,
+                        str(tmp_path / "a.npz"), chunk_periods=16,
+                        method="shared").run()
+    _shared_step_cached.cache_clear()
+    warm = SweepRunner(stack, periods, durations,
+                       str(tmp_path / "b.npz"), chunk_periods=16,
+                       method="shared")
+    futures = warm.prewarm(wait=True)
+    assert sorted(f.result() for f in futures) == sorted(
+        nb for _, nb, _ in geoms)
+    # every program the sweep needs is already in the step factory cache
+    before = _shared_step_cached.cache_info().currsize
+    out = warm.run()
+    assert _shared_step_cached.cache_info().currsize == before
+    np.testing.assert_allclose(out["power"], plain["power"], rtol=1e-9)
+    np.testing.assert_allclose(out["period"], plain["period"], rtol=1e-12)
+
+
 def test_sweep_mesh_sharded_matches_single(tmp_path, rng):
     """SweepRunner(mesh=...) shards each period chunk over the device
     mesh (targets x grid) while keeping host checkpoint/resume — the

@@ -142,7 +142,8 @@ def main():
     import jax
     from lightkurve_tpu.config import enable_persistent_compile_cache
     enable_persistent_compile_cache()
-    from lightkurve_tpu.parallel.checkpoint import SweepRunner
+    from lightkurve_tpu.parallel.checkpoint import (SweepRunner,
+                                                    prewarm_shared_sweep)
 
     t0_all = _time.time()
     t_ref = make_sector.time_grid()
@@ -154,6 +155,24 @@ def main():
 
     def save_manifest():
         json.dump(manifest, open(manifest_path, "w"))
+
+    # compile all distinct chunk programs CONCURRENTLY, overlapping each
+    # other and the loader's first FITS parse (a cold process otherwise
+    # pays the ~1-min-per-program remote compiles serially inside batch
+    # 0; with a warm persistent cache these all resolve in seconds)
+    t_pw = _time.time()
+    pw = prewarm_shared_sweep(BATCH, N, periods, DURATIONS, CHUNK_PERIODS)
+    print(f"prewarm: {len(pw)} distinct chunk programs compiling on "
+          "background threads", flush=True)
+    _pw_left = [len(pw)]
+
+    def _pw_done(_):
+        _pw_left[0] -= 1
+        if _pw_left[0] == 0:
+            print(f"prewarm: all programs ready after "
+                  f"{_time.time() - t_pw:.1f}s", flush=True)
+    for f in pw:
+        f.add_done_callback(_pw_done)
 
     for ib, stack in _stack_iter(args.mode, manifest["batches_done"],
                                  args.batches, args.sector_dir):
