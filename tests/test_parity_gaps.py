@@ -98,6 +98,21 @@ def test_from_stingray():
         LightCurve.from_stingray(object())
 
 
+def test_to_excel(tmp_path):
+    """`to_excel` delegates to pandas (reference lightcurve.py:2552-2566);
+    without an excel engine installed the error names the missing module
+    so the user knows what to install."""
+    lc = LightCurve(time=[1, 2, 3], flux=[1., 1, 1])
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="openpyxl"):
+            lc.to_excel(str(tmp_path / "lc.xlsx"))
+    else:  # pragma: no cover - engine present in some envs
+        lc.to_excel(str(tmp_path / "lc.xlsx"))
+        assert (tmp_path / "lc.xlsx").exists()
+
+
 def test_bokeh_import_error():
     """DEVIATION: the reference raises bokeh's ImportError from
     tpf.interact()/lc.interact_bls() when bokeh is missing
