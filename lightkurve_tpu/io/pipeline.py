@@ -61,7 +61,12 @@ def assemble_host_stack(t, f, fe, length=None):
         f = np.pad(f, ((0, 0), (0, pad)))
         fe = np.pad(fe, ((0, 0), (0, pad)))
         mask = np.pad(mask, ((0, 0), (0, pad)))
-    for i in range(t.shape[0]):
+    # the repair loop only ever rewrites NON-finite time entries, so rows
+    # whose time column is already fully finite (the common case: TESS/
+    # Kepler TIME is rarely NaN even where flux is) skip it entirely —
+    # the per-row median-cadence estimate is pure waste for them
+    needs_repair = np.nonzero(~np.isfinite(t).all(axis=1))[0]
+    for i in needs_repair:
         good = np.where(mask[i])[0]
         if len(good) < 2:
             # keep any real sample's time; fabricate only the rest
@@ -88,7 +93,7 @@ def assemble_host_stack(t, f, fe, length=None):
             t[i, interior] = np.interp(interior, good, tg)
         if tail.size:
             t[i, tail] = tg[-1] + dt * (tail - good[-1])
-    f = np.nan_to_num(f)
+    f = np.where(np.isfinite(f), f, 0.0)   # one pass, not nan_to_num's 3
     fe = np.where(np.isfinite(fe) & (fe > 0), fe, 1.0)
     return t, f, fe, mask
 

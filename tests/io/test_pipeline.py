@@ -38,6 +38,19 @@ def test_assemble_host_stack_padding():
     assert np.all(np.isfinite(ff)) and np.all(fe > 0)
 
 
+def test_assemble_host_stack_finite_times_untouched():
+    """Rows whose TIME column is fully finite skip the repair loop — the
+    real times survive bit-exactly even when every flux is invalid (the
+    old per-row path fabricated times wherever flux was NaN)."""
+    t = np.arange(16.0)[None, :] * 0.02 + 100.0
+    f = np.full((1, 16), np.nan)
+    tt, ff, fe, m = assemble_host_stack(t.copy(), f, None, length=16)
+    np.testing.assert_array_equal(tt[0], t[0])
+    assert not m.any()                       # no valid samples
+    assert np.all(np.isfinite(tt[0])) and np.all(np.diff(tt[0]) > 0)
+    assert np.all(ff == 0.0) and np.all(fe == 1.0)
+
+
 def test_streaming_batches(fits_dir):
     loader = StreamingStackLoader(fits_dir, batch_size=4, prefetch=2)
     assert len(loader) == 3

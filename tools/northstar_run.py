@@ -174,10 +174,19 @@ def main():
     for f in pw:
         f.add_done_callback(_pw_done)
 
-    for ib, stack in _stack_iter(args.mode, manifest["batches_done"],
-                                 args.batches, args.sector_dir):
-        if manifest["batches_done"] >= args.batches:
+    stacks = iter(_stack_iter(args.mode, manifest["batches_done"],
+                              args.batches, args.sector_dir))
+    while manifest["batches_done"] < args.batches:
+        # time the blocking hand-off from the prefetch worker explicitly:
+        # with the double-buffered loader keeping up this is ~0, but when
+        # the host parse falls behind the stall must count toward the
+        # end-to-end wall (it is real user-visible time)
+        t_ld = _time.time()
+        try:
+            ib, stack = next(stacks)
+        except StopIteration:
             break
+        dt_ld = _time.time() - t_ld
         if _time.time() - t0_all > args.max_seconds:
             print("max-seconds reached; resumable state saved", flush=True)
             save_manifest()
@@ -203,7 +212,9 @@ def main():
         rec = np.abs(best["period"] - p_inj) / p_inj < 0.01
         # count period harmonics/aliases as recoveries too? No — strict.
         manifest["batches_done"] += 1
-        manifest["wall_s"] += dt_b
+        manifest["wall_s"] += dt_b + dt_ld
+        manifest["load_wait_s"] = round(
+            manifest.get("load_wait_s", 0.0) + dt_ld, 2)
         if not resumed_mid_batch:
             # resumed batches only time their REMAINING chunks; including
             # them would bias the steady-state median low
@@ -241,6 +252,9 @@ def main():
             # first batch carries XLA compile-cache loading and any
             # remote-tunnel stalls; the rest are the production rate
             "batch_seconds": manifest.get("batch_seconds", [])[:40],
+            # total time the sweep thread blocked waiting on the host
+            # loader (counted in wall_clock_s; ~0 when prefetch keeps up)
+            "load_wait_s": manifest.get("load_wait_s", 0.0),
             "hbm": hbm_stats(),
             "device": str(jax.devices()[0]),
             "note": ("measured end-to-end via StreamingStackLoader "
