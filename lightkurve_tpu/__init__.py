@@ -104,6 +104,7 @@ _LAZY = {
     "export_interact_html": ".interact_html",
     "export_interact_echelle_html": ".interact_html",
     "export_interact_sky_html": ".interact_html",
+    "demo_sky_catalog": ".interact_html",
 }
 
 

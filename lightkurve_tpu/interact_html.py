@@ -41,7 +41,29 @@ import numpy as np
 from .utils import LightkurveError, LightkurveWarning
 
 __all__ = ["export_interact_bls_html", "export_interact_html",
-           "export_interact_echelle_html", "export_interact_sky_html"]
+           "export_interact_echelle_html", "export_interact_sky_html",
+           "demo_sky_catalog"]
+
+
+def demo_sky_catalog():
+    """Path of the bundled demo sky catalog (CSV) for the Tabby-star TPF.
+
+    The reference's ``tpf.interact_sky()`` pulls live Gaia sources over
+    the network (reference ``interact.py:91-153``); this environment has
+    no egress, so a small SYNTHETIC catalog — 25 sources with
+    Kepler-field-like magnitudes and Gaia-like proper motions, laid out
+    on the stamp of the reference's Tabby-star test TPF
+    (``test-tpf-kplr-tabby-100-cadences.fits``) — ships with the package
+    so the sky widget can be demoed out of the box::
+
+        export_interact_sky_html(tpf, "sky.html",
+                                 catalog=demo_sky_catalog())
+
+    For real work, pass your own Gaia archive cone-search export
+    (CSV/JSON) instead.
+    """
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "demo_sky_catalog_tabby.csv")
 
 
 # ----------------------------------------------------------------------

@@ -360,3 +360,27 @@ def test_sky_html_catalog_from_file(tmp_path):
     out = export_interact_sky_html(tpf, str(tmp_path / "sky_json.html"),
                                    catalog=str(jpath))
     assert "sky_json" in out
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REFDATA),
+                    reason="reference fixture data not present")
+def test_sky_html_bundled_demo_catalog(tmp_path):
+    """The package ships a demo catalog for the Tabby-star TPF so the sky
+    widget works out of the box with no network and no user catalog."""
+    import os
+    from lightkurve_tpu import read
+    from lightkurve_tpu.interact_html import (demo_sky_catalog,
+                                              export_interact_sky_html)
+
+    cat = demo_sky_catalog()
+    assert os.path.exists(cat)
+    tpf = read(os.path.join(REFDATA,
+                            "test-tpf-kplr-tabby-100-cadences.fits"))
+    path = str(tmp_path / "sky_demo.html")
+    export_interact_sky_html(tpf, path, catalog=cat)
+    D = _embedded(open(path).read())
+    # the target plus most of the on-stamp field sources survive the
+    # magnitude and stamp-proximity cuts
+    assert len(D["src"]) >= 10
+    assert any(s["id"] == "KIC 8462852" for s in D["src"])
+    assert D["pm"] is True              # catalog carries proper motions
