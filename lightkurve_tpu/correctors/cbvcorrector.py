@@ -560,22 +560,25 @@ class CBVCorrector(RegressionCorrector):
     def correct_elasticnet(self, cbv_type=("SingleScale",),
                            cbv_indices=("ALL",), alpha=1e-20, l1_ratio=0.01,
                            ext_dm=None, cadence_mask=None, **kwargs):
-        """Combined L1/L2 fit via sklearn ElasticNet
-        (reference ``:294-395``)."""
-        from sklearn import linear_model
+        """Combined L1/L2 fit via the JAX FISTA solver
+        (``ops.solve.elasticnet_fista``); matches sklearn's ElasticNet
+        objective with ``fit_intercept=False`` (reference ``:294-395``)."""
+        import jax.numpy as jnp
+
+        from ..ops.solve import elasticnet_fista
         self._correct_initialization(cbv_type=cbv_type,
                                      cbv_indices=cbv_indices, ext_dm=ext_dm)
         if cadence_mask is None:
             cadence_mask = np.ones(len(self.lc), bool)
-        self.regressor = linear_model.ElasticNet(
-            alpha=alpha, l1_ratio=l1_ratio, fit_intercept=False, **kwargs)
         X = self.design_matrix_collection.values
         y = self.lc.flux.value
-        self.regressor.fit(X[cadence_mask, :], y[cadence_mask])
-        model_flux = X[:, :-1] @ self.regressor.coef_[:-1]
+        coef = np.asarray(elasticnet_fista(
+            jnp.asarray(X[cadence_mask, :]), jnp.asarray(y[cadence_mask]),
+            float(alpha), float(l1_ratio), **kwargs))
+        model_flux = X[:, :-1] @ coef[:-1]
         model_flux -= np.median(model_flux)
         model_err = np.zeros(len(model_flux))
-        self.coefficients = self.regressor.coef_
+        self.coefficients = coef
         self.model_lc = LightCurve(
             time=self.lc.time.copy(),
             flux=Quantity(model_flux, self.lc.flux.unit),

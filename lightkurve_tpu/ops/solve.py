@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .stats import sigma_clip_mask
 
 __all__ = ["solve_regression", "iterative_clipped_regression",
-           "randomized_pca", "chol_solve_small"]
+           "randomized_pca", "chol_solve_small", "elasticnet_fista"]
 
 
 def chol_solve_small(A, b):
@@ -133,6 +133,71 @@ def iterative_clipped_regression(X, y, flux_err, mask, prior_mu, prior_sigma,
     m, w, sigma_w_inv = jax.lax.fori_loop(
         0, niters, body, (mask, w0, s0))
     return w, m, sigma_w_inv
+
+
+@_true_f32
+@partial(jax.jit, static_argnames=("max_iter",))
+def elasticnet_fista(X, y, alpha, l1_ratio, tol=1e-14, max_iter=50_000):
+    """ElasticNet via FISTA (accelerated proximal gradient) with adaptive
+    restart — the device replacement for sklearn's Cython coordinate
+    descent (reference ``correctors/cbvcorrector.py:294-395`` delegates to
+    ``sklearn.linear_model.ElasticNet``).
+
+    Minimizes sklearn's objective (``fit_intercept=False``)::
+
+        1/(2n) ||y - Xw||²  +  α·ρ·||w||₁  +  α(1-ρ)/2·||w||²
+
+    The design matrices here are skinny (n cadences × k ≲ 40 CBV columns),
+    so the problem is pre-reduced to its normal-equation form — ``G = XᵀX/n``
+    and ``c = Xᵀy/n`` — making every FISTA iteration an O(k²) matvec; tens
+    of thousands of iterations cost less than one host↔device round trip.
+    The Lipschitz constant is λmax(G) + α(1-ρ) (exact, via ``eigvalsh`` on
+    the tiny k×k Gram).  Gradient-scheme adaptive restart (O'Donoghue &
+    Candès 2015) keeps the linear rate on the strongly-convex CBV fits.
+
+    Returns ``w`` (k,) — converged to the unique minimizer, which is what
+    sklearn's coordinate descent converges to; parity is checked at 1e-6
+    in ``tests/correctors/test_elasticnet_parity.py``.
+    """
+    n = X.shape[0]
+    G = (X.T @ X) / n
+    c = (X.T @ y) / n
+    lam1 = alpha * l1_ratio
+    lam2 = alpha * (1.0 - l1_ratio)
+    L = jnp.linalg.eigvalsh(G)[-1] + lam2
+    step = 1.0 / jnp.maximum(L, jnp.finfo(X.dtype).tiny)
+    thr = lam1 * step
+
+    def grad(w):
+        return G @ w - c + lam2 * w
+
+    def prox_step(v):
+        z = v - step * grad(v)
+        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - thr, 0.0)
+
+    k = X.shape[1]
+    w0 = jnp.zeros((k,), X.dtype)
+
+    def cond(carry):
+        i, w, w_prev, _, _, delta = carry
+        scale = jnp.maximum(1.0, jnp.max(jnp.abs(w)))
+        return (i < max_iter) & (delta > tol * scale)
+
+    def body(carry):
+        i, w, _, v, t, _ = carry
+        w_new = prox_step(v)
+        # gradient-scheme restart: momentum fights descent → reset t
+        restart = jnp.dot(v - w_new, w_new - w) > 0.0
+        t = jnp.where(restart, 1.0, t)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        v_new = w_new + ((t - 1.0) / t_new) * (w_new - w)
+        delta = jnp.max(jnp.abs(w_new - w))
+        return i + 1, w_new, w, v_new, t_new, delta
+
+    init = (jnp.asarray(0), w0, w0, w0, jnp.asarray(1.0, X.dtype),
+            jnp.asarray(jnp.inf, X.dtype))
+    _, w, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return w
 
 
 @_true_f32
