@@ -173,7 +173,6 @@ def _get_thruster_firings(arclength):
     """Detect K2 thruster firings as outliers of d²(arclength)/dt²
     (reference ``sffcorrector.py:352-418``): fit a Gaussian to the histogram
     of accelerations, flag |a| > 5σ, and keep one cadence per cluster."""
-    from scipy.optimize import curve_fit
     arc = np.copy(np.asarray(arclength, float))
     d2adt2 = np.gradient(np.gradient(arc))
     finite = np.isfinite(d2adt2)
@@ -182,16 +181,16 @@ def _get_thruster_firings(arclength):
     hist, bin_edges = np.histogram(d2adt2[finite], edges, density=True)
     xbins = bin_edges[1:] - np.median(np.diff(bin_edges))
 
-    def gauss(x, amp, mu, sig):
-        return amp * np.exp(-0.5 * ((x - mu) / sig) ** 2)
-
+    # jitted Levenberg-Marquardt replaces scipy curve_fit (the weights
+    # mirror curve_fit's sigma=1/sqrt(hist): w = 1/sigma = sqrt(hist))
     try:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            popt, _ = curve_fit(
-                gauss, xbins, hist, p0=[100.0, 0.0, 0.01],
-                sigma=1.0 / np.sqrt(np.maximum(hist, 1e-12)), maxfev=10000)
-        stddev = abs(popt[2])
+        from ..ops.peaks import fit_gaussian_lm
+        popt = np.asarray(fit_gaussian_lm(
+            xbins, hist, np.sqrt(np.maximum(hist, 1e-12)),
+            np.array([100.0, 0.0, 0.01])))
+        stddev = abs(float(popt[2]))
+        if not np.isfinite(stddev) or stddev == 0.0:
+            raise FloatingPointError("degenerate gaussian fit")
     except Exception:
         stddev = np.nanstd(d2adt2[finite])
 

@@ -7,8 +7,8 @@ empirical Stello et al. (2009) relation Δν = 0.294·numax^0.772 is selected.
 from __future__ import annotations
 
 import numpy as np
-from scipy.signal import find_peaks
 
+from ..ops.peaks import find_peaks_mask
 from ..units import Quantity, uHz
 from .utils import SeismologyQuantity, autocorrelate, get_fwhm
 
@@ -46,8 +46,11 @@ def estimate_deltanu_acf2d(periodogram, numax):
 
     sel = (lags > deltanu_emp - 0.25 * deltanu_emp) & \
           (lags < deltanu_emp + 0.25 * deltanu_emp)
-    peaks, _ = find_peaks(acf[sel],
-                          distance=np.floor(deltanu_emp / 2.0 / fs))
+    # device local-max reduce + distance pruning (scipy.signal.find_peaks
+    # semantics; reference deltanu_estimators.py:122)
+    peak_mask = np.asarray(find_peaks_mask(
+        acf[sel], np.floor(deltanu_emp / 2.0 / fs)))
+    peaks = np.flatnonzero(peak_mask)
     if len(peaks) == 0:
         raise ValueError(
             "No Delta Nu peaks were detected near the empirical value "
