@@ -229,7 +229,56 @@ def main():
                                      uniform_weights=True, bucket=True)
         return out["power"], out["period"]
 
-    # warmup/compile
+    # ---- tier 0: smallest honest measurement FIRST (VERDICT r4 item 1) --
+    # The round-4 driver run produced a 0.0: the full-shape compile through
+    # the tunnel outran the 540 s watchdog before anything was measured.
+    # A small period slab (same B/N, P/8) compiles in a fraction of the
+    # time (and loads from the persistent cache in seconds), so a REAL
+    # measured rate lands in `_measured` within the first minutes; a later
+    # watchdog fire then reports this number — honestly labeled with its
+    # own config — instead of discarding the run.
+    global _measured
+    P0 = max(P // 8, 1024)
+    p0_d = jnp.asarray(periods[:P0], dtype)
+
+    def step0(time, flux, dy):
+        out = bls_power_shared_batch(time, flux, dy, p0_d,
+                                     durations_d, oversample=10, chunk=8,
+                                     uniform_weights=True, bucket=True)
+        return out["power"], out["period"]
+
+    try:
+        pw0, _ = step0(time_d, flux_d, dy_d)
+        float(jnp.sum(pw0))
+        reps0 = []
+        for _ in range(3):
+            t0 = _time.time()
+            pw0, _ = step0(time_d, flux_d, dy_d)
+            float(jnp.sum(pw0))
+            reps0.append(_time.time() - t0)
+        rate0 = B * P0 / min(reps0)
+        _measured = {
+            "metric": "bls_curve_period_evals_per_sec_per_chip",
+            "value": round(rate0, 1), "unit": "curve-period/s/chip",
+            "vs_baseline": round(rate0 / NORTH_STAR_RATE, 5),
+            "detail": {"B": B, "N": N, "P": P0,
+                       "tier": "tier0_small_slab",
+                       "note": "fallback measurement; the full-shape "
+                               "run did not complete before a watchdog",
+                       "step_times_all_reps": [round(r, 3) for r in reps0],
+                       "timing": "device_scalar_sync",
+                       "device": str(jax.devices()[0])},
+        }
+        # a real number is now safe — grant the full-shape compile a
+        # fresh full watchdog window (bounded: probe + 2x WATCHDOG total)
+        signal.alarm(WATCHDOG_S)
+        _deadline[0] = _time.time() + WATCHDOG_S + 10
+        _write_state(deadline=_time.time() + WATCHDOG_S + 20,
+                     measured=_measured, done=False)
+    except Exception as exc:  # tier-0 failure must not kill the real run
+        print(f"# tier-0 measurement failed: {exc}", file=sys.stderr)
+
+    # warmup/compile (full shape)
     power, _ = step(time_d, flux_d, dy_d)
     float(jnp.sum(power))
     # Best-of-N: the tunnel adds stochastic multi-hundred-ms stalls that
@@ -295,7 +344,6 @@ def main():
     # the primary metric is measured: if a companion bench hangs/compiles
     # past the watchdog, report THIS result instead of a 0-valued timeout
     # line, and give the companions a fresh (shorter) alarm window
-    global _measured
     # share the LIVE detail dict: companions that complete before a later
     # one hangs still appear in the watchdog's partial line
     detail["companion_error"] = ("watchdog fired during companion "
