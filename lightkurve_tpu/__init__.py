@@ -61,6 +61,7 @@ _LAZY = {
     "SearchResult": ".search",
     "MASTTransport": ".mast",
     "RecordedMASTTransport": ".mast",
+    "HTTPMASTTransport": ".mast_http",
     "LightCurveStack": ".batch",
     "StreamingStackLoader": ".io.pipeline",
     "TPFStack": ".batch",

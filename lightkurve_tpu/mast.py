@@ -257,11 +257,17 @@ class RecordedMASTTransport(MASTTransport):
 
 def default_transport():
     """Resolve the ambient transport: ``$LIGHTKURVE_TPU_MAST_FIXTURES``
-    (a fixture JSON path) enables the recorded transport; otherwise
-    ``None`` (callers fall back to the local-directory archive scan)."""
+    (a fixture JSON path) enables the recorded transport;
+    ``$LIGHTKURVE_TPU_MAST_HTTP=1`` enables the live HTTP client
+    (networked deployments only — this environment has no egress);
+    otherwise ``None`` (callers fall back to the local archive scan)."""
     env = os.environ.get("LIGHTKURVE_TPU_MAST_FIXTURES")
     if env:
         return RecordedMASTTransport(env)
+    if os.environ.get("LIGHTKURVE_TPU_MAST_HTTP", "").strip() in (
+            "1", "true", "yes"):
+        from .mast_http import HTTPMASTTransport
+        return HTTPMASTTransport()
     return None
 
 
