@@ -549,6 +549,40 @@ def main():
         detail["bls_ragged_slowdown_vs_uniform"] = round(
             (dt_r / 500) / (dt_u / B), 2)
 
+    def _c_bls_bucketed():
+        # heterogeneous-grid BLS (VERDICT r4 item 4): the same B=512
+        # batch split across 4 distinct time grids (multi-sector case),
+        # swept through SweepRunner's bucketed shared path.  The rate
+        # must be within an order of magnitude of the shared kernel's.
+        import tempfile
+
+        from lightkurve_tpu.batch import LightCurveStack
+        from lightkurve_tpu.parallel.checkpoint import SweepRunner
+        Pb = max(P // 4, 1024)
+        t_np = np.asarray(t)
+        times = np.empty((B, N), np.float32)
+        for g in range(4):
+            times[g::4] = t_np + g * 13.7       # 4 epoch-shifted sectors
+        stack = LightCurveStack(
+            time=jnp.asarray(times, dtype), flux=flux_d,
+            flux_err=dy_d, mask=jnp.ones((B, N), bool))
+        with tempfile.TemporaryDirectory() as td:
+            runner = SweepRunner(stack, periods[:Pb], durations,
+                                 os.path.join(td, "b.npz"),
+                                 chunk_periods=Pb, oversample=10,
+                                 method="shared")
+            runner.run()                        # compile + first sweep
+            runner.next_chunk = 0               # re-run the same chunk
+            t0 = _time.time()
+            runner.run()
+            dt_b = _time.time() - t0
+        detail["bls_bucketed_hetero_evals_per_sec"] = round(
+            B * Pb / dt_b, 1)
+        if "bls_uniform_evals_per_sec" in detail:
+            detail["bls_bucketed_slowdown_vs_uniform"] = round(
+                detail["bls_uniform_evals_per_sec"]
+                / (B * Pb / dt_b), 2)
+
     def _c_fastchi2():
         # fastchi2 vs direct chi2 (nterms=3) — the reference dispatches
         # nterms>1 to astropy's FFT-accelerated fastchi2
@@ -589,6 +623,7 @@ def main():
                      ("ls", _c_ls),
                      ("seismo_acf", _c_seismo_acf),
                      ("bls_cliff", _c_bls_cliff),
+                     ("bls_bucketed", _c_bls_bucketed),
                      ("fastchi2", _c_fastchi2)]:
         if not _companion_checkpoint():
             break
