@@ -25,6 +25,13 @@ _FIELDS = ("power", "depth", "depth_err", "depth_snr", "log_likelihood",
 
 _SAVE_POOL = [None]
 
+#: (step-cache key, (B, N)) pairs whose XLA program was built by
+#: :func:`prewarm_shared_sweep`.  The step wrapper consults this on its
+#: first execution of a shape so an in-line compile (a prewarm MISS —
+#: the stall pathology ADVICE r4 flagged in the north-star record) is
+#: logged and attributable, instead of silently inflating one batch.
+_PREWARMED = set()
+
 
 def _save_pool():
     """One shared checkpoint-writer thread per process (a per-runner
@@ -55,6 +62,8 @@ def _shared_step_cached(durs_key, oversample, objective, d_phase, nbins,
     import jax.numpy as jnp
     from ..ops.bls import bls_power_shared_batch
     durs = jnp.asarray(durs_key, dtype=np.dtype(dtype_name))
+    key = (durs_key, oversample, objective, d_phase, nbins, dtype_name,
+           uniform_weights)
 
     @jax.jit
     def step(t_row, flux, dy, pvals, n_valid):
@@ -64,7 +73,19 @@ def _shared_step_cached(durs_key, oversample, objective, d_phase, nbins,
             chunk=8, uniform_weights=uniform_weights)
         return _reduce_winner(out, n_valid)
 
-    return step
+    seen_shapes = set()
+
+    def wrapped(t_row, flux, dy, pvals, n_valid):
+        shape = tuple(flux.shape)
+        if shape not in seen_shapes:
+            seen_shapes.add(shape)
+            if (key, shape) not in _PREWARMED:
+                log.info(
+                    "chunk program nbins=%d B=%d compiled in-line "
+                    "(prewarm miss)", nbins, shape[0])
+        return step(t_row, flux, dy, pvals, n_valid)
+
+    return wrapped
 
 
 @lru_cache(maxsize=16)
@@ -166,6 +187,10 @@ def prewarm_shared_sweep(n_targets, n_cadences, periods, durations,
     n_valid = jnp.asarray(1, np.int32)
 
     def _one(d_phase, nb_q, chunk):
+        key = (durs_key, oversample, objective, d_phase, nb_q, dtype_name,
+               uniform_weights)
+        _PREWARMED.add((key, (n_targets, n_cadences)))   # before step():
+        # the step wrapper's first-call miss check must see it registered
         step = _shared_step_cached(durs_key, oversample, objective,
                                    d_phase, nb_q, dtype_name,
                                    uniform_weights=uniform_weights)

@@ -224,10 +224,16 @@ def main():
             manifest.setdefault("batch_seconds", []).append(round(dt_b, 2))
         manifest["recovered"] += int(rec.sum())
         manifest["curves"] += BATCH
+        # per-batch live-HBM trace (ADVICE r4): growth across same-shape
+        # batches indicates buffer retention (e.g. by the async
+        # checkpoint path), not noise — keep it auditable in the record
+        hbm_now = hbm_stats()
+        manifest.setdefault("hbm_live_bytes", []).append(
+            int(hbm_now.get("live_bytes", hbm_now.get("bytes_in_use", 0))))
         save_manifest()
         rate = BATCH * P_GRID / dt_b
         print(f"batch {ib}: {dt_b:.1f}s  {rate:.3e} curve-period/s  "
-              f"recovered {rec.sum()}/{BATCH}  hbm={hbm_stats()}",
+              f"recovered {rec.sum()}/{BATCH}  hbm={hbm_now}",
               flush=True)
 
     if manifest["batches_done"] >= args.batches:
@@ -264,6 +270,14 @@ def main():
             # load_wait pathology — make the active path auditable
             "native_fits_loader": _native_loader_active(),
             "hbm": hbm_stats(),
+            # live-HBM per batch + first->last growth (ADVICE r4): every
+            # batch has the same shape, so sustained growth means buffers
+            # are being retained across batches (a leak), not workload
+            "hbm_live_bytes_per_batch": manifest.get("hbm_live_bytes",
+                                                     [])[:40],
+            "hbm_growth_bytes": (
+                manifest["hbm_live_bytes"][-1] - manifest["hbm_live_bytes"][0]
+                if len(manifest.get("hbm_live_bytes", [])) >= 2 else 0),
             "device": str(jax.devices()[0]),
             "note": ("measured end-to-end via StreamingStackLoader "
                      "(C++ FITS reader, double-buffered host->device) + "
