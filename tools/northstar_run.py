@@ -144,6 +144,11 @@ def main():
     enable_persistent_compile_cache()
     from lightkurve_tpu.parallel.checkpoint import (SweepRunner,
                                                     prewarm_shared_sweep)
+    # touch the device BEFORE the first batch: TPU client init (several
+    # seconds through the remote tunnel) otherwise lands inside batch 0's
+    # measured load_wait_s
+    import jax.numpy as _jnp
+    float(_jnp.zeros((), _jnp.float32) + 1.0)
 
     t0_all = _time.time()
     t_ref = make_sector.time_grid()
