@@ -192,7 +192,14 @@ def main():
     import jax.numpy as jnp
     from lightkurve_tpu.ops.bls import bls_power_shared_batch
 
-    B = int(os.environ.get("LK_BENCH_B", 512))   # measured sweet spot on v5e
+    # B-scaling on the v5e (2026-08-20, P=4096/chunk=8): 256→6.24M,
+    # 512→8.10M, 1024→11.45M, 2048→12.80M evals/s — the one-hot fold
+    # matrix is generated once per period chunk on the VPU and reused by
+    # every batch row's MXU MACs, so larger B amortizes the generation
+    # (bf16 fold operands were measured as a no-op: TPU DEFAULT matmul
+    # precision already feeds the MXU bf16).  2048 is the knee; beyond it
+    # the rate is flat and HBM grows linearly.
+    B = int(os.environ.get("LK_BENCH_B", 2048))
     N = int(os.environ.get("LK_BENCH_N", 8192))
     # dispatch-sized period slab; the north-star grid is 10^5 points, so a
     # large per-dispatch P is the realistic shape (SweepRunner chunks

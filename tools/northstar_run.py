@@ -34,7 +34,16 @@ import numpy as np
 from tools import make_sector
 
 N_CURVES_TOTAL = 10_240          # 20 batches x 512 (>= 1e4)
-BATCH = make_sector.BATCH        # 512
+BATCH = make_sector.BATCH        # 512 (sector generator's file batch)
+# curves per SweepRunner batch: the device rate scales with B because the
+# per-chunk one-hot fold matrix is generated once and reused by every
+# batch row's MXU MACs (B-scaling measured 2026-08-20 on the v5e:
+# 8.10M evals/s at B=512 -> 12.80M at B=2048).  Decoupled from the
+# generator's 512-file batches; must be a multiple of BATCH.
+RUN_BATCH = int(os.environ.get("LK_NS_BATCH", 2048))
+if RUN_BATCH % BATCH:
+    raise SystemExit(f"LK_NS_BATCH={RUN_BATCH} must be a multiple of "
+                     f"the sector file-batch size {BATCH}")
 N = make_sector.N                # 8192 TESS 2-min cadences (~11.4 d)
 P_GRID = 100_000
 CHUNK_PERIODS = 12_500           # one jit step per (batch, chunk); larger
@@ -58,7 +67,7 @@ def _steady_state_fields(manifest):
                 "steady_state_evals_per_sec_per_chip": None,
                 "steady_state_vs_north_star": None}
     med = float(np.median(secs))
-    rate = BATCH * P_GRID / med
+    rate = RUN_BATCH * P_GRID / med
     return {"batch_seconds_median": round(med, 2),
             "steady_state_evals_per_sec_per_chip": round(rate, 1),
             "steady_state_vs_north_star": round(
@@ -76,13 +85,14 @@ def _stack_iter(mode, start_batch, n_batches, sector_dir):
     import jax.numpy as jnp
     from lightkurve_tpu.batch import LightCurveStack
 
+    R = RUN_BATCH // BATCH            # generator batches per runner batch
     if mode == "fits":
         from lightkurve_tpu.io.pipeline import StreamingStackLoader
-        paths = make_sector.ensure_sector(sector_dir, n_batches,
+        paths = make_sector.ensure_sector(sector_dir, n_batches * R,
                                           verbose=False)
         loader = StreamingStackLoader(
-            paths[start_batch * BATCH:], batch_size=BATCH, prefetch=2,
-            time_column="TIME", flux_column="PDCSAP_FLUX",
+            paths[start_batch * RUN_BATCH:], batch_size=RUN_BATCH,
+            prefetch=2, time_column="TIME", flux_column="PDCSAP_FLUX",
             flux_err_column="PDCSAP_FLUX_ERR", length=N,
             dtype=jnp.float32)
         for k, stack in enumerate(loader):
@@ -90,7 +100,9 @@ def _stack_iter(mode, start_batch, n_batches, sector_dir):
         return
     dtype = jnp.float32
     for ib in range(start_batch, n_batches):
-        t, flux, p_inj = make_batch(ib)
+        parts = [make_batch(g) for g in range(ib * R, (ib + 1) * R)]
+        t = parts[0][0]
+        flux = np.concatenate([p[1] for p in parts])
         yield ib, LightCurveStack(
             time=jnp.asarray(np.broadcast_to(t, flux.shape), dtype),
             flux=jnp.asarray(flux, dtype),
@@ -100,7 +112,8 @@ def _stack_iter(mode, start_batch, n_batches, sector_dir):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", type=int, default=N_CURVES_TOTAL // BATCH)
+    ap.add_argument("--batches", type=int,
+                    default=N_CURVES_TOTAL // RUN_BATCH)
     ap.add_argument("--state-dir", default="/root/northstar_state")
     ap.add_argument("--sector-dir", default="/root/northstar_sector")
     ap.add_argument("--mode", choices=("fits", "synthetic"),
@@ -129,7 +142,8 @@ def main():
     os.makedirs(args.state_dir, exist_ok=True)
     manifest_path = os.path.join(args.state_dir, "manifest.json")
     manifest = {"batches_done": 0, "wall_s": 0.0, "recovered": 0,
-                "curves": 0, "batch_seconds": [], "mode": args.mode}
+                "curves": 0, "batch_seconds": [], "mode": args.mode,
+                "run_batch": RUN_BATCH}
     if os.path.exists(manifest_path):
         manifest = json.load(open(manifest_path))
         if manifest.get("mode", args.mode) != args.mode:
@@ -137,7 +151,13 @@ def main():
                 f"state dir {args.state_dir} holds a "
                 f"{manifest.get('mode')!r} run; pass a fresh --state-dir "
                 f"for --mode {args.mode}")
+        if manifest.get("run_batch", RUN_BATCH) != RUN_BATCH:
+            raise SystemExit(
+                f"state dir {args.state_dir} holds a run_batch="
+                f"{manifest.get('run_batch')} run; pass a fresh "
+                f"--state-dir for LK_NS_BATCH={RUN_BATCH}")
         manifest["mode"] = args.mode
+        manifest["run_batch"] = RUN_BATCH
 
     import jax
     from lightkurve_tpu.config import enable_persistent_compile_cache
@@ -155,7 +175,7 @@ def main():
     baseline = t_ref[-1] - t_ref[0]
     periods = np.linspace(1.0, baseline / 3, P_GRID)
     print(f"grid: {P_GRID} periods in [1.0, {baseline/3:.3f}] d; "
-          f"{args.batches} batches x {BATCH} curves x {N} cadences; "
+          f"{args.batches} batches x {RUN_BATCH} curves x {N} cadences; "
           f"mode={args.mode}", flush=True)
 
     def save_manifest():
@@ -166,7 +186,8 @@ def main():
     # pays the ~1-min-per-program remote compiles serially inside batch
     # 0; with a warm persistent cache these all resolve in seconds)
     t_pw = _time.time()
-    pw = prewarm_shared_sweep(BATCH, N, periods, DURATIONS, CHUNK_PERIODS)
+    pw = prewarm_shared_sweep(RUN_BATCH, N, periods, DURATIONS,
+                              CHUNK_PERIODS)
     print(f"prewarm: {len(pw)} distinct chunk programs compiling on "
           "background threads", flush=True)
     _pw_left = [len(pw)]
@@ -197,7 +218,9 @@ def main():
             save_manifest()
             return
         assert ib == manifest["batches_done"]
-        p_inj = make_sector.batch_truth(ib)[0]
+        R = RUN_BATCH // BATCH
+        p_inj = np.concatenate([make_sector.batch_truth(g)[0]
+                                for g in range(ib * R, (ib + 1) * R)])
         ckpt = os.path.join(args.state_dir, f"batch{ib:03d}.npz")
         runner = SweepRunner(stack, periods, DURATIONS, ckpt,
                              chunk_periods=CHUNK_PERIODS, method="shared",
@@ -228,7 +251,7 @@ def main():
             # them would bias the steady-state median low
             manifest.setdefault("batch_seconds", []).append(round(dt_b, 2))
         manifest["recovered"] += int(rec.sum())
-        manifest["curves"] += BATCH
+        manifest["curves"] += RUN_BATCH
         # per-batch live-HBM trace (ADVICE r4): growth across same-shape
         # batches indicates buffer retention (e.g. by the async
         # checkpoint path), not noise — keep it auditable in the record
@@ -236,9 +259,9 @@ def main():
         manifest.setdefault("hbm_live_bytes", []).append(
             int(hbm_now.get("live_bytes", hbm_now.get("bytes_in_use", 0))))
         save_manifest()
-        rate = BATCH * P_GRID / dt_b
+        rate = RUN_BATCH * P_GRID / dt_b
         print(f"batch {ib}: {dt_b:.1f}s  {rate:.3e} curve-period/s  "
-              f"recovered {rec.sum()}/{BATCH}  hbm={hbm_now}",
+              f"recovered {rec.sum()}/{RUN_BATCH}  hbm={hbm_now}",
               flush=True)
 
     if manifest["batches_done"] >= args.batches:
@@ -248,6 +271,7 @@ def main():
             "curves": manifest["curves"],
             "period_grid": P_GRID,
             "cadences": N,
+            "run_batch": RUN_BATCH,
             "data_source": ("fits_files" if args.mode == "fits"
                             else "synthetic_memory"),
             "wall_clock_s": round(wall, 1),
