@@ -13,7 +13,8 @@ N=8192, 6 durations, oversample 10, persistent compile cache warm):
 
 Interpretation: the per-chunk one-hot fold matrix is generated once on
 the VPU and reused by every batch row's MXU MACs, so generation cost
-amortizes with B; 2048 is the knee.  This sets `bench.py`'s default
+amortizes with B; scaling flattens by 2048 (1.41x from 512->1024,
+1.12x from 1024->2048).  This sets `bench.py`'s default
 LK_BENCH_B and the north-star runner's LK_NS_BATCH.  (The companion
 experiment `exp_bf16_hist.py` showed bf16 fold operands are a no-op:
 TPU DEFAULT matmul precision already feeds the MXU bf16.)
