@@ -41,11 +41,11 @@ def _failure_line():
                             "(device unreachable or compile hang; the "
                             "axon tunnel is known to wedge for 0.5-2h)",
                    "last_measured": {
-                       "value": 11170110.0, "vs_baseline": 5.36165,
-                       "date": "2026-08-18",
+                       "value": 13655461.6, "vs_baseline": 6.55462,
+                       "date": "2026-08-20",
                        "device": "TPU v5 lite0",
-                       "timing": "block_until_ready",
-                       "config": {"B": 512, "N": 8192, "P": 16384}}}})
+                       "timing": "device_scalar_sync",
+                       "config": {"B": 2048, "N": 8192, "P": 16384}}}})
 
 
 def _watchdog(signum, frame):
