@@ -197,9 +197,8 @@ def main():
     # matrix is generated once per period chunk on the VPU and reused by
     # every batch row's MXU MACs, so larger B amortizes the generation
     # (bf16 fold operands were measured as a no-op: TPU DEFAULT matmul
-    # precision already feeds the MXU bf16).  Scaling is clearly
-    # flattening by 2048 (1.41x from 512->1024 but 1.12x from
-    # 1024->2048), and 2048 keeps step time ~0.65 s and HBM modest.
+    # precision already feeds the MXU bf16).  2048 is the measured
+    # optimum: B=4096 regresses to 11.54M (see tools/exp_bscale.py).
     B = int(os.environ.get("LK_BENCH_B", 2048))
     N = int(os.environ.get("LK_BENCH_N", 8192))
     # dispatch-sized period slab; the north-star grid is 10^5 points, so a

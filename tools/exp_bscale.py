@@ -11,10 +11,23 @@ N=8192, 6 durations, oversample 10, persistent compile cache warm):
     B= 2048 chunk=  4     718.7 ms    11.67M evals/s
     B= 2048 chunk=  2     729.6 ms    11.50M evals/s
 
+Follow-up sweep (same day, second session):
+
+    B= 2048 chunk=  8 impl=xla       671.2 ms    12.50M evals/s
+    B= 4096 chunk=  8 impl=xla      1453.4 ms    11.54M evals/s
+    B= 2048 chunk=  8 impl=pallas   1024.9 ms     8.18M evals/s
+    B= 2048 chunk= 16 impl=xla       756.2 ms    11.09M evals/s
+    B= 4096 chunk= 16 impl=xla      1932.6 ms     8.68M evals/s
+
 Interpretation: the per-chunk one-hot fold matrix is generated once on
 the VPU and reused by every batch row's MXU MACs, so generation cost
-amortizes with B; scaling flattens by 2048 (1.41x from 512->1024,
-1.12x from 1024->2048).  This sets `bench.py`'s default
+amortizes with B — and B=2048/chunk=8 is the measured optimum: B=4096
+REGRESSES (11.54M; the (B, nbins) working set stops fitting close to
+the MXU), larger chunks regress, and the fused Pallas uniform window
+scan still loses to the XLA scan at the big batch (8.18M vs 12.50M,
+same verdict as B=512: one shared count column makes the per-element
+window work a single fma, so the HBM passes it saves don't pay for
+leaving the matmul pipeline).  This sets `bench.py`'s default
 LK_BENCH_B and the north-star runner's LK_NS_BATCH.  (The companion
 experiment `exp_bf16_hist.py` showed bf16 fold operands are a no-op:
 TPU DEFAULT matmul precision already feeds the MXU bf16.)
