@@ -174,6 +174,7 @@ def test_shared_kernel_matches_oracle(name, edge_mode):
     _assert_close(out, ref, context=f"shared/{name}/{edge_mode}")
 
 
+@pytest.mark.mosaic_interpret
 @pytest.mark.parametrize("edge_mode", ["wrap", "astropy"])
 def test_shared_kernel_pallas_window_matches_oracle(edge_mode):
     c = CFGS["hotjup"]

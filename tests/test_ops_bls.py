@@ -164,6 +164,7 @@ def test_general_path_ragged_batch_padding(rng):
         np.testing.assert_allclose(a, b, rtol=1e-6, err_msg=k)
 
 
+@pytest.mark.mosaic_interpret
 def test_uniform_pallas_window_matches_xla(rng):
     """The uniform-path Pallas window kernel (interpret mode on CPU)
     agrees with the XLA windowing form."""
@@ -225,6 +226,7 @@ def fresh_jax_caches():
     yield
 
 
+@pytest.mark.mosaic_interpret
 @pytest.mark.parametrize("edge_mode", ["wrap", "astropy"])
 @pytest.mark.parametrize("objective", ["likelihood", "snr"])
 def test_fused_pallas_matches_xla(rng, edge_mode, objective,
@@ -254,6 +256,7 @@ def test_fused_pallas_matches_xla(rng, edge_mode, objective,
                                       err_msg=k)
 
 
+@pytest.mark.mosaic_interpret
 def test_fused_pallas_lane_tile_256_and_padding(rng, fresh_jax_caches):
     """B=256 engages the 256-lane tile; all-inf dy rows (batch padding)
     sort last exactly as the XLA uniform kernel's."""
