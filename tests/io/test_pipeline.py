@@ -93,3 +93,54 @@ def test_streaming_bls_consumer(fits_dir):
     for out in outs:
         assert np.asarray(out["power"]).shape == (5, 16)
         assert np.all(np.isfinite(np.asarray(out["power"])))
+
+
+def test_streaming_shared_grid_staging(tmp_path):
+    """A sector batch whose files share ONE time grid and a constant
+    flux_err column must stage bit-identically to the general path.
+
+    The loader detects row-identical columns and ships one row (or one
+    scalar) over the host->device link, broadcasting on device — worth
+    ~33 MB/batch through the remote tunnel.  Equality of the RESULT with
+    the per-row staging is the contract."""
+    rng = np.random.default_rng(3)
+    t = np.arange(64) * 0.02 + 10.0
+    paths = []
+    for i in range(4):
+        f = 1.0 + 1e-3 * rng.standard_normal(64)
+        lc = lk.LightCurve(time=t, flux=f,
+                           flux_err=np.full(64, 2.5e-4))
+        p = tmp_path / f"shared{i}.fits"
+        lc.to_fits(path=str(p), overwrite=True,
+                   flux_column_name="PDCSAP_FLUX")
+        paths.append(str(p))
+    loader = StreamingStackLoader(paths, batch_size=4, prefetch=1)
+    (stack,) = list(loader)
+    tt = np.asarray(stack.time)
+    fe = np.asarray(stack.flux_err)
+    mk = np.asarray(stack.mask)
+    # every row identical (shared grid / constant err / all-valid mask);
+    # the FITS column is float32, so compare to the f32 rounding
+    assert (tt == tt[0]).all() and mk.all()
+    assert (fe == np.float32(2.5e-4)).all()
+    np.testing.assert_allclose(tt[0, :64], t, rtol=0, atol=1e-7)
+    # flux stays per-row (NOT deduped)
+    fl = np.asarray(stack.flux)
+    assert not (fl[1:] == fl[0]).all()
+
+
+def test_streaming_assembles_in_device_dtype(fits_dir):
+    """The worker assembles in the requested device dtype (float32 on a
+    float32 device) so device_put pays no conversion pass; values match
+    a float64 assembly rounded to float32."""
+    import jax.numpy as jnp
+    loader = StreamingStackLoader(fits_dir, batch_size=4, prefetch=1,
+                                  dtype=jnp.float32)
+    stack = next(iter(loader))
+    assert stack.flux.dtype == jnp.float32
+    assert stack.time.dtype == jnp.float32
+    from lightkurve_tpu.io.fits import open_fits
+    d0 = open_fits(fits_dir[0])[1].data
+    want = np.nan_to_num(np.asarray(d0["PDCSAP_FLUX"], dtype=np.float64))
+    got = np.asarray(stack.flux)[0, :len(want)]
+    np.testing.assert_array_equal(got, want.astype(np.float32))
