@@ -46,10 +46,10 @@ if RUN_BATCH % BATCH:
                      f"the sector file-batch size {BATCH}")
 N = make_sector.N                # 8192 TESS 2-min cadences (~11.4 d)
 P_GRID = 100_000
-CHUNK_PERIODS = 12_500           # one jit step per (batch, chunk); larger
-                                 # chunks amortize per-dispatch overhead
-                                 # (20 -> 8 dispatches/batch measured
-                                 # ~0.8 s/batch of pure overhead at 5k)
+# one jit step per (batch, chunk); larger chunks amortize per-dispatch
+# overhead (20 -> 8 dispatches/batch measured ~0.8 s/batch of pure
+# overhead at 5k).  Env-tunable for A/B runs (LK_NS_CHUNK).
+CHUNK_PERIODS = int(os.environ.get("LK_NS_CHUNK", 12_500))
 DURATIONS = np.array([0.05, 0.10, 0.15, 0.20, 0.25, 0.33])
 
 
