@@ -272,6 +272,7 @@ def main():
             "period_grid": P_GRID,
             "cadences": N,
             "run_batch": RUN_BATCH,
+            "chunk_periods": CHUNK_PERIODS,
             "data_source": ("fits_files" if args.mode == "fits"
                             else "synthetic_memory"),
             "wall_clock_s": round(wall, 1),
